@@ -1,0 +1,332 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale shapes:
+- exact dedup = hash column in `map_batches` + `groupby(hash)` min-id
+  (the hash, not the full text, is what shuffles);
+- MinHash+LSH = per-batch shingle->signature (vectorized) -> explode to
+  (band, band_hash, doc_id) rows -> groupby band bucket -> candidate
+  pairs -> exact-Jaccard verification. The only shuffled payload is
+  signatures, never documents;
+- embedding near-dup = broadcast matrix + per-batch matmul at test
+  scale; the LSH-bucketed variant in `similarity.py` is the scale path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .text import read_documents
+
+__all__ = [
+    "dedup_exact",
+    "MinHashConfig",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "ngram_jaccard",
+    "embedding_neardup_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Keep the smallest doc_id per distinct text (by md5 key)."""
+    from ray.data.aggregate import Min
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+                ],
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pandas"
+    )
+    return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    num_perm: int = 128
+    shingle_size: int = 3  # word n-grams
+    bands: int = 32  # rows per band = num_perm // bands
+    jaccard_threshold: float = 0.5
+    seed: int = 7
+
+
+def _stable_hash_u64(values: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of strings (vectorized via pandas)."""
+    return pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+class MinHasher:
+    """Per-actor state: the permutation coefficients (built once)."""
+
+    def __init__(self, cfg: MinHashConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        self.a = rng.integers(1, _MERSENNE, size=cfg.num_perm, dtype=np.int64).astype(
+            object
+        )
+        self.b = rng.integers(0, _MERSENNE, size=cfg.num_perm, dtype=np.int64).astype(
+            object
+        )
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if len(shingle_hashes) == 0:
+            return np.full(self.cfg.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        s = shingle_hashes.astype(object)[None, :]
+        perm = (self.a[:, None] * s + self.b[:, None]) % _MERSENNE
+        return perm.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = []
+        for t in texts:
+            sh = _stable_hash_u64(_shingles(t, self.cfg.shingle_size))
+            sigs.append(self.signature(np.unique(sh)))
+        sig_arr = np.stack(sigs) if sigs else np.zeros((0, self.cfg.num_perm), np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "signature": pa.array(
+                    [s.astype(np.int64) for s in sig_arr], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def minhash_signatures(sf_dir: str, cfg: MinHashConfig | None = None) -> rd.Dataset:
+    cfg = cfg or MinHashConfig()
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _band_rows(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    sigs = batch.column("signature").to_pylist()
+    doc = batch.column("doc_id").to_pylist()
+    rows_per_band = cfg.num_perm // cfg.bands
+    band_id, band_hash, doc_id = [], [], []
+    for d, sig in zip(doc, sigs):
+        arr = np.asarray(sig, dtype=np.int64)
+        for b in range(cfg.bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            band_id.append(b)
+            band_hash.append(h)
+            doc_id.append(d)
+    return pa.table(
+        {
+            "band_id": pa.array(band_id, type=pa.int32()),
+            "band_hash": band_hash,
+            "doc_id": doc_id,
+        }
+    )
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity (verification kernel)."""
+    return _jaccard(set(_shingles(text_a, k)), set(_shingles(text_b, k)))
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, cfg: MinHashConfig | None = None, documents: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Verified near-duplicate pairs via MinHash+LSH banding.
+
+    Candidate generation shuffles only (band_hash, doc_id) rows; the
+    final exact-Jaccard verification resolves texts from a broadcast
+    lookup (test scale) — at 100 TB this becomes a hash join of the
+    candidate pairs against the documents table on doc_id.
+    """
+    cfg = cfg or MinHashConfig()
+    docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
+    # Broadcast doc texts for verification.
+    texts = {}
+    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
+    texts_ref = ray.put(texts)
+
+    sigs = docs.map_batches(
+        MinHasher, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 2)
+    )
+    bands = sigs.map_batches(
+        _band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
+
+    def bucket_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs within each LSH bucket of this block.
+
+        The preceding hash repartition on band_hash co-locates each
+        bucket; pairs are generated per run of the sorted block
+        (vectorized triangle indices), not per-group Ray tasks.
+        """
+        if batch.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        b = batch.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+        key = b["band_id"].astype(str) + "|" + b["band_hash"]
+        ids = b["doc_id"].to_numpy()
+        boundaries = np.flatnonzero(key.to_numpy()[1:] != key.to_numpy()[:-1]) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(ids)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu = np.triu_indices(n, k=1)
+            out_a.append(ids[s:e][iu[0]])
+            out_b.append(ids[s:e][iu[1]])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle(bands)
+    candidates = bands.repartition(8, keys=["band_hash"]).map_batches(
+        bucket_pairs_block, batch_format="pandas", batch_size=None
+    )
+    # A pair can surface from many bands: hash-partition on the pair and
+    # drop duplicates per block (vectorized, globally correct since a
+    # given pair always lands in the same partition).
+    unique_pairs = candidates.repartition(8, keys=["doc_a", "doc_b"]).map_batches(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    class Verifier:
+        def __init__(self, ref, k, threshold):
+            self.texts = ray.get(ref)
+            self.k = k
+            self.threshold = threshold
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = [
+                ngram_jaccard(self.texts[a], self.texts[b], self.k)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])
+            ]
+            batch = batch.assign(jaccard=jac)
+            out = batch[batch["jaccard"] >= self.threshold]
+            return out[["doc_a", "doc_b", "jaccard"]]
+
+    return unique_pairs.map_batches(
+        Verifier,
+        fn_constructor_args=(texts_ref, cfg.shingle_size, cfg.jaccard_threshold),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+
+def simhash64(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per document (Charikar 2002): sign of the
+    token-hash bit-vote vector, emitted as hex."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = text.split()
+            if not toks:
+                out.append("0" * 16)
+                continue
+            hashes = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    val |= np.uint64(1) << np.uint64(i)
+            out.append(f"{int(val):016x}")
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": out})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        sh, batch_format="pyarrow"
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """Pairs of embeddings with cosine similarity >= threshold.
+
+    Test-scale implementation: broadcast the (unit-normalized) matrix,
+    per-batch float64 matmul against it. The LSH-bucketed variant in
+    `similarity.py` covers the case where the matrix no longer fits.
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    ref = ray.put((ids, unit))
+
+    class PairFinder:
+        def __init__(self, ref, threshold):
+            self.ids, self.unit = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(emb, axis=1)
+            n[n == 0] = 1.0
+            sims = (emb / n[:, None]) @ self.unit.T
+            rows, cols = np.nonzero(sims >= self.threshold)
+            # Emit each unordered pair once (a < b).
+            a = vid[rows]
+            b = self.ids[cols]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], type=pa.int64()),
+                    "vec_b": pa.array(b[keep], type=pa.int64()),
+                }
+            )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 2),
+    )

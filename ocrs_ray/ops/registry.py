@@ -1,0 +1,106 @@
+"""Registry wiring training-data operators into the driver contract.
+
+Each entry pairs a Ray pipeline with (where SQL-expressible) a DuckDB
+oracle over the pre-registered views. Float-summing aggregates are
+carried as integer micro-units on both sides so value hashes compare
+exactly; sketch/heuristic ops (minhash, simhash, LSH ANN, lang-id,
+winnowing) are rows-only for the driver and verified against exact
+reference implementations in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from . import dedup, relational, similarity, text
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # text analysis
+        "token_counts": text.token_counts,
+        "text_quality": text.text_quality,
+        "lang_id": text.lang_id,
+        "content_hash": text.content_hash,
+        "winnow_fingerprints": text.winnow_fingerprints,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash64": dedup.simhash64,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # similarity search
+        "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        # windowed / grouped aggregates
+        "events_tumbling_window": relational.events_tumbling_window,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    word_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return {
+        "token_counts": (
+            "SELECT doc_id, "
+            r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(length(regexp_extract_all(text, '{word_re}')) AS BIGINT) AS n_word_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            "length(regexp_extract_all(text, '[A-Za-z]')) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS alpha_ratio, "
+            "length(regexp_extract_all(text, '[0-9]')) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS digit_ratio, "
+            r"length(regexp_extract_all(text, '\s')) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS space_ratio, "
+            "length(regexp_extract_all(text, '[A-Z]')) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS upper_ratio, "
+            f"length(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> t IN ({_STOP_LIST}))) "
+            r"/ CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN 1 ELSE length(regexp_extract_all(text, '\S+')) END AS DOUBLE) AS stopword_ratio "
+            "FROM documents"
+        ),
+        "content_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "embedding_neardup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "ann_topk_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS s "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM ("
+            "SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk "
+            "FROM sims) t WHERE rnk <= 10"
+        ),
+        "events_tumbling_window": (
+            "SELECT event_type, "
+            "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_micro, "
+            "CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_base_micro, "
+            "CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_micro, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY 1, 2"
+        ),
+        # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64 and
+        # ann_topk_lsh are heuristic / sketch-based (not SQL-expressible):
+        # rows-only for the driver, pinned by exact reference
+        # implementations in tests/test_ops.py.
+    }

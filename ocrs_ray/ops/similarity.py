@@ -1,0 +1,201 @@
+"""Similarity search over the embeddings table.
+
+- `ann_topk_bruteforce`: exact cosine top-k against a broadcast query
+  matrix — numpy matmul per batch; the correctness baseline.
+- `ann_topk_lsh`: random-hyperplane LSH bucketing (Charikar 2002) —
+  the scale path: candidates only come from matching buckets across a
+  few hash tables, so each batch multiplies against a small slice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+__all__ = ["load_embedding_matrix", "ann_topk_bruteforce", "ann_topk_lsh"]
+
+
+def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def ann_topk_bruteforce(
+    sf_dir: str, n_queries: int = 10, k: int = 10
+) -> rd.Dataset:
+    """Exact top-k cosine neighbors for the first `n_queries` vectors.
+
+    The query matrix is broadcast once (`ray.put`); each batch of the
+    corpus computes a vectorized sims block and emits its local top-k
+    candidates; a final small groupby keeps the global top-k. Ties break
+    on neighbor id ascending (pinned so the SQL oracle matches).
+    """
+    ids, mat = load_embedding_matrix(sf_dir)
+    order = np.argsort(ids)
+    q_idx = order[:n_queries]
+    q_ids = ids[q_idx]
+    q_unit = _unit(mat[q_idx])
+    ref = ray.put((q_ids, q_unit))
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q_unit = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            sims = self.q_unit @ _unit(emb).T  # (Q, B)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                row = sims[qi]
+                mask = vid != self.q_ids[qi]  # exclude self
+                cand_ids = vid[mask]
+                cand_sims = row[mask]
+                if len(cand_ids) > self.k:
+                    # partial select then exact sort with id tiebreak
+                    part = np.argpartition(-cand_sims, self.k)[: self.k + 1]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                sel = np.lexsort((cand_ids, -cand_sims))[: self.k]
+                out_q.extend([self.q_ids[qi]] * len(sel))
+                out_n.extend(cand_ids[sel].tolist())
+                out_s.extend(cand_sims[sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        LocalTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    return _finalize_topk(local, k)
+
+
+def _finalize_topk(local: rd.Dataset, k: int) -> rd.Dataset:
+    """Global top-k from per-block partial top-k candidates.
+
+    The candidate set is at most (blocks x queries x k) rows — tiny
+    relative to the corpus — so the final reduce is a single-block
+    vectorized sort, not a hash shuffle. With a large query set this
+    becomes `groupby(query_id).map_groups` instead; the shuffle payload
+    is still only the candidates, never the embedding matrix.
+    """
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", as_index=False, sort=True).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.groupby("query_id").cumcount().to_numpy() + 1
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.repartition(1).map_batches(
+        global_topk, batch_format="pandas", batch_size=None
+    )
+
+
+def ann_topk_lsh(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> rd.Dataset:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each vector lands in `n_tables` sign-pattern buckets; only buckets
+    containing a query are scanned. Recall is approximate by design —
+    validated against the brute-force baseline in tests, not an SQL
+    oracle.
+    """
+    ids, mat = load_embedding_matrix(sf_dir)
+    unit = _unit(mat)
+    dim = unit.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    order = np.argsort(ids)
+    q_idx = order[:n_queries]
+    q_ids, q_unit = ids[q_idx], unit[q_idx]
+
+    def bucket_of(vecs: np.ndarray, t: int) -> np.ndarray:
+        signs = (vecs @ planes[t].T) > 0
+        return (signs * (1 << np.arange(n_planes))).sum(axis=1)
+
+    q_buckets = np.stack([bucket_of(q_unit, t) for t in range(n_tables)], axis=1)
+    wanted: dict[tuple[int, int], list[int]] = {}
+    for qi in range(len(q_ids)):
+        for t in range(n_tables):
+            wanted.setdefault((t, int(q_buckets[qi, t])), []).append(qi)
+    ref = ray.put((q_ids, q_unit, planes, wanted))
+
+    class BucketScan:
+        def __init__(self, ref):
+            self.q_ids, self.q_unit, self.planes, self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = _unit(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            n_t = self.planes.shape[0]
+            n_p = self.planes.shape[1]
+            out_q, out_n, out_s = [], [], []
+            cand_by_q: dict[int, set[int]] = {}
+            for t in range(n_t):
+                signs = (emb @ self.planes[t].T) > 0
+                buckets = (signs * (1 << np.arange(n_p))).sum(axis=1)
+                for row, b in enumerate(buckets):
+                    for qi in self.wanted.get((t, int(b)), ()):  # noqa: B905
+                        cand_by_q.setdefault(qi, set()).add(row)
+            for qi, rows in cand_by_q.items():
+                rows = sorted(rows)
+                sims = emb[rows] @ self.q_unit[qi]
+                for r, s in zip(rows, sims):
+                    if vid[r] != self.q_ids[qi]:
+                        out_q.append(self.q_ids[qi])
+                        out_n.append(int(vid[r]))
+                        out_s.append(float(s))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        BucketScan,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    return _finalize_topk(local, k)

@@ -1,0 +1,220 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, fingerprinting.
+
+All stages are stateless vectorized `map_batches` transforms over the
+`documents` table (columns pruned at the read); the regex/stopword
+state is compiled once per actor where it matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+__all__ = [
+    "read_documents",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "content_hash",
+    "winnow_fingerprints",
+    "WS_TOKEN_RE",
+    "WORD_TOKEN_RE",
+    "STOPWORDS",
+]
+
+#: Whitespace tokenization (both sides of the oracle use `\S+`).
+WS_TOKEN_RE = r"\S+"
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols.
+WORD_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a an and of to in is on for with that it as at by".split()),
+    "de": frozenset("der die das und ist ein eine zu den von mit auf für nicht".split()),
+    "fr": frozenset("le la les et de un une est pour dans que qui sur pas".split()),
+    "es": frozenset("el la los las y de un una es para en que no con por".split()),
+}
+
+
+def read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc whitespace and word-level token counts."""
+    ws = re.compile(WS_TOKEN_RE)
+    word = re.compile(WORD_TOKEN_RE)
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": text.str.count(ws).astype("int64"),
+                "n_word_tokens": text.str.count(word).astype("int64"),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pandas"
+    )
+
+
+def text_quality(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring features: char-class ratios + stopword ratio.
+
+    Ratios are IEEE double divisions of integer counts, so they compare
+    bit-exactly against the SQL oracle.
+    """
+    ws = re.compile(WS_TOKEN_RE)
+    alpha = re.compile(r"[A-Za-z]")
+    digit = re.compile(r"[0-9]")
+    space = re.compile(r"\s")
+    upper = re.compile(r"[A-Z]")
+    stop_re = re.compile(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.count(ws).astype("int64")
+        lower = text.str.lower()
+        # Count stopwords as whole whitespace-delimited tokens.
+        n_stop = lower.str.split().map(
+            lambda toks: sum(1 for t in toks if t in STOPWORDS)
+        ).astype("int64")
+        denom_c = n_chars.replace(0, 1).astype("float64")
+        denom_t = n_tokens.replace(0, 1).astype("float64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "alpha_ratio": text.str.count(alpha).astype("int64") / denom_c,
+                "digit_ratio": text.str.count(digit).astype("int64") / denom_c,
+                "space_ratio": text.str.count(space).astype("int64") / denom_c,
+                "upper_ratio": text.str.count(upper).astype("int64") / denom_c,
+                "stopword_ratio": n_stop / denom_t,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+class LangId:
+    """Stopword-overlap language identification (actor-pool stage).
+
+    A deterministic heuristic: tokenize, score each candidate language
+    by its stopword hit count, argmax with 'und' fallback when nothing
+    matches. State (compiled regex + stopword tables) builds once per
+    actor.
+    """
+
+    def __init__(self):
+        self.ws = re.compile(WS_TOKEN_RE)
+        self.tables = {k: v for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        langs = sorted(self.tables)
+        for text in batch["text"]:
+            toks = [t.lower() for t in self.ws.findall(text)]
+            n = max(len(toks), 1)
+            best_lang, best = "und", 0.0
+            for lang in langs:
+                hits = sum(1 for t in toks if t in self.tables[lang])
+                s = hits / n
+                if s > best:
+                    best, best_lang = s, lang
+            preds.append(best_lang)
+            scores.append(best)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "lang_pred": preds, "lang_score": scores}
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 2)
+    )
+
+
+def content_hash(sf_dir: str) -> rd.Dataset:
+    """MD5 content hash per doc (exact-dedup key)."""
+
+    def h(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+                ],
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        h, batch_format="pandas"
+    )
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): k-gram rolling hashes, minimum per sliding window,
+    deduplicated in order of first occurrence."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return []
+    base, mod = 257, (1 << 61) - 1
+    # Rolling polynomial hash of all k-grams, vectorized.
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    powers = np.array([pow(base, k - 1 - i, mod) for i in range(k)], dtype=object)
+    n = len(arr) - k + 1
+    hashes = np.empty(n, dtype=np.int64)
+    h = 0
+    for i in range(k):
+        h = (h * base + int(arr[i])) % mod
+    hashes[0] = h
+    top_pow = pow(base, k - 1, mod)
+    for i in range(1, n):
+        h = ((h - int(arr[i - 1]) * top_pow) * base + int(arr[i + k - 1])) % mod
+        hashes[i] = h
+    if n <= window:
+        return [int(hashes.min())]
+    # Sliding-window minima via stride tricks.
+    win = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = win.min(axis=1)
+    out: list[int] = []
+    seen = set()
+    for m in mins:
+        m = int(m)
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints per doc (list<int64> column)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        prints = [winnow_fingerprint(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprints": pa.array(prints, type=pa.list_(pa.int64())),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )

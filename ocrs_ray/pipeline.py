@@ -257,10 +257,17 @@ def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
             contexts.append(ds.context)
         for ctx in contexts:
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            # Defaults (64 aggregators, 300 s min wait) are sized for big
-            # clusters; cap to the local CPU budget so shuffle actors
-            # don't starve the map stages on a small node.
+            # Defaults (64 aggregators, 200 partitions, 300 s min wait)
+            # are sized for big clusters; cap to the local CPU budget so
+            # shuffle actors don't starve the map stages on a small node.
+            # On a real multi-node cluster the defaults scale back up
+            # with cluster_resources().
             ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu))
+            # Default shuffle parallelism is 200 partitions; at 200 x
+            # 1/16 CPU the aggregators alone want 12.5 CPUs and starve
+            # the map stages on a small node. Scale partitions to the
+            # CPU budget (a real cluster raises this automatically).
+            ctx.default_hash_shuffle_parallelism = max(8, ncpu)
             ctx.min_hash_shuffle_aggregator_wait_time_in_s = 5
         return True
     except Exception:
