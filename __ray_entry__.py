@@ -110,6 +110,35 @@ def _ocr_doc_stats(sf_dir: str):
     return docs.map_batches(doc_counts, batch_format="pyarrow")
 
 
+def _ocr_layout(sf_dir: str):
+    """HierText-style layout JSON per media span (S6 sink as a Ray
+    stage). Rows-only for the driver; geometry pinned by unit tests."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ocrs_ray.pipeline import (
+        OcrLayoutProcessor,
+        explode_spans,
+        load_media_store,
+        read_spans,
+    )
+
+    paths = _corpus_for(sf_dir)
+    ds = read_spans(paths["spans"])
+    media_ref = ray.put(load_media_store(paths["media"]))
+    flat = ds.map_batches(explode_spans, batch_format="pyarrow")
+    media_only = flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    return media_only.map_batches(
+        OcrLayoutProcessor,
+        fn_constructor_kwargs={"media_store": media_ref},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale; returns the spans table."""
     from ocrs_ray.pipeline import (
@@ -132,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_pipeline_flat": _ocr_flat,
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
+        "ocr_layout": _ocr_layout,
     }
     try:
         from ocrs_ray.ops import registry as ops_registry

@@ -34,8 +34,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
-        # windowed / grouped aggregates
+        # windowed / temporal / grouped aggregates
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_sessionize": relational.events_sessionize,
+        "events_asof_join": relational.events_asof_join,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
     }
 
@@ -89,6 +91,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000 "
+            "THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "events_asof_join": (
+            "WITH p AS (SELECT event_id, ts, user_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "s AS (SELECT event_id AS signup_event_id, ts AS sts, user_id "
+            "FROM events WHERE event_type = 'signup') "
+            "SELECT p.event_id AS purchase_event_id, p.user_id, s.signup_event_id "
+            "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -16,7 +16,13 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["events_tumbling_window", "lineitem_pricing_summary", "round_half_away"]
+__all__ = [
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_asof_join",
+    "lineitem_pricing_summary",
+    "round_half_away",
+]
 
 MICRO = 1_000_000
 
@@ -56,6 +62,115 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300) -> rd.Dataset:
     return ds.groupby(["event_type", "window_start"]).aggregate(
         Sum("value_micro", alias_name="sum_value_micro"),
         Sum("n", alias_name="n_events"),
+    )
+
+
+def _partition_by_user(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """Hash-partition events by user_id (each user's rows co-located,
+    so per-block session/as-of logic is globally correct)."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=["user_id"])
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Gap-based sessionization: per user, a new session starts when
+    the time since the previous event exceeds `gap_minutes`.
+
+    The classic stateful streaming window, expressed batch-side: one
+    hash shuffle on user_id, then fully vectorized per-block pandas
+    (sort -> gap flags -> cumulative session index -> groupby agg).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "session_start_us": pd.Series([], dtype="int64"),
+                    "session_end_us": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_value_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts_us.diff().gt(gap_us)
+        df = df.assign(
+            session_id=(new_user | gap).cumsum().astype("int64"),
+            value_micro=round_half_away(df["value"].to_numpy() * MICRO).astype(
+                "int64"
+            ),
+        )
+        df = df.assign(ts_us=ts_us)
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("event_id", "count"),
+            sum_value_micro=("value_micro", "sum"),
+        )
+        # session_id is per-user ordinal (1-based) so it is stable
+        # across partitionings (epoch-us ints keep value hashes exact
+        # vs the SQL oracle).
+        out["session_id"] = out.groupby("user_id").cumcount().astype("int64") + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return _partition_by_user(sf_dir).map_batches(
+        sessionize, batch_format="pandas", batch_size=None
+    )
+
+
+def events_asof_join(sf_dir: str) -> rd.Dataset:
+    """As-of join: each purchase event matched to the most recent
+    signup of the same user at-or-before its timestamp.
+
+    Custom operator Ray Data lacks (SURVEY.md §2 custom-operator rule):
+    implemented as hash-partition on the join key + per-block
+    `pandas.merge_asof` — the shuffle co-locates users, the merge is
+    vectorized; no global sort.
+    """
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        right = df[df["event_type"] == "signup"].sort_values("ts", kind="stable")
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "signup_event_id": pd.Series([], dtype="int64"),
+                }
+            )
+        merged = pd.merge_asof(
+            left[["event_id", "ts", "user_id"]],
+            right[["event_id", "ts", "user_id"]].rename(
+                columns={"event_id": "signup_event_id", "ts": "signup_ts"}
+            ),
+            left_on="ts",
+            right_on="signup_ts",
+            by="user_id",
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["signup_event_id"])
+        return pd.DataFrame(
+            {
+                "purchase_event_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "signup_event_id": merged["signup_event_id"].astype("int64"),
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        asof, batch_format="pandas", batch_size=None
     )
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "OcrPipelineConfig",
     "explode_spans",
     "OcrSpanProcessor",
+    "OcrLayoutProcessor",
     "reassemble_block",
     "read_spans",
     "build_ocr_pipeline",
@@ -71,6 +72,9 @@ class OcrPipelineConfig:
     cache_media: bool = True
     #: factory for the per-actor engine (fake models by default).
     engine_factory: Callable = make_engine
+    #: name of a MetricsActor to flush per-batch lineage counters to
+    #: (see ocrs_ray.state.metrics); None disables flushing.
+    metrics_name: str | None = None
 
 
 def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -162,6 +166,7 @@ class OcrSpanProcessor:
         media_store: Any,
         engine_factory: Callable = make_engine,
         cache_media: bool = True,
+        metrics_name: str | None = None,
     ):
         if isinstance(media_store, ray.ObjectRef):
             self.media = ray.get(media_store)
@@ -171,12 +176,19 @@ class OcrSpanProcessor:
             self.media = media_store
         self.engine = engine_factory()
         self.cache: dict[str, str] | None = {} if cache_media else None
-        # lineage counters (flushed into ds.stats() via actor logs; the
-        # checkpoint runner records them per partition).
+        # lineage counters, flushed per batch (fire-and-forget) to the
+        # named metrics actor when one is configured.
         self.n_media = 0
         self.n_pixels = 0
+        self._metrics = None
+        if metrics_name is not None:
+            try:
+                self._metrics = ray.get_actor(metrics_name)
+            except ValueError:
+                pass
 
     def _ocr_one(self, ref: str) -> str:
+        self.n_media += 1  # spans processed (cache hits included)
         if self.cache is not None and ref in self.cache:
             return self.cache[ref]
         payload = self.media.get(ref)
@@ -185,11 +197,18 @@ class OcrSpanProcessor:
         img = decode_media(payload)
         inp = self.engine.prepare_input(img, order="hwc")
         text = self.engine.get_text(inp)
-        self.n_media += 1
         self.n_pixels += img.shape[0] * img.shape[1]
         if self.cache is not None:
             self.cache[ref] = text
         return text
+
+    def _flush_metrics(self) -> None:
+        if self._metrics is not None and (self.n_media or self.n_pixels):
+            self._metrics.add.remote(
+                {"media_spans": self.n_media, "pixels": self.n_pixels}
+            )
+            self.n_media = 0
+            self.n_pixels = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind = batch.column("kind")
@@ -199,6 +218,7 @@ class OcrSpanProcessor:
         idx = np.flatnonzero(media_mask.combine_chunks().to_numpy(zero_copy_only=False))
         refs = batch.column("media_ref").take(pa.array(idx)).to_pylist()
         ocr_texts = [self._ocr_one(ref) for ref in refs]
+        self._flush_metrics()
         text = batch.column("text").to_pylist()
         for i, t in zip(idx, ocr_texts):
             text[i] = t
@@ -206,6 +226,60 @@ class OcrSpanProcessor:
             batch.schema.get_field_index("text"), "text", pa.array(text, type=pa.string())
         )
         return out
+
+
+class OcrLayoutProcessor:
+    """Actor-pool stage: media spans -> HierText-style layout JSON.
+
+    The Ray-level S6 sink (SURVEY.md §2.1): per media span, the full
+    staged engine surface (detect_words -> find_text_lines ->
+    recognize_text) with word/line rotated-rect vertices serialized as
+    a deterministic JSON column, mirroring the reference's JSON output
+    (/root/reference/ocrs-cli/src/output.rs:29-101).
+    """
+
+    def __init__(self, media_store: Any, engine_factory: Callable = make_engine):
+        if isinstance(media_store, ray.ObjectRef):
+            self.media = ray.get(media_store)
+        elif isinstance(media_store, str):
+            self.media = load_media_store(media_store)
+        else:
+            self.media = media_store
+        self.engine = engine_factory()
+        self.cache: dict[str, str] = {}
+
+    def _layout_one(self, ref: str) -> str:
+        import json
+
+        if ref in self.cache:
+            return self.cache[ref]
+        payload = self.media.get(ref)
+        if payload is None:
+            raise KeyError(f"unresolved media_ref: {ref}")
+        img = decode_media(payload)
+        inp = self.engine.prepare_input(img, order="hwc")
+        words = self.engine.detect_words(inp)
+        lines = self.engine.find_text_lines(inp, words)
+        text_lines = self.engine.recognize_text(inp, lines)
+        from .output import ocr_json
+
+        doc = ocr_json(ref, (img.shape[0], img.shape[1]), text_lines)
+        out = json.dumps(doc, sort_keys=True, separators=(",", ":"))
+        self.cache[ref] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "offset": batch.column("offset"),
+                "media_ref": batch.column("media_ref"),
+                "layout_json": pa.array(
+                    [self._layout_one(r) for r in refs], type=pa.string()
+                ),
+            }
+        )
 
 
 def reassemble_block(batch: pa.Table) -> pa.Table:
@@ -262,7 +336,10 @@ def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
             # shuffle actors don't starve the map stages on a small node.
             # On a real multi-node cluster the defaults scale back up
             # with cluster_resources().
-            ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu))
+            # Aggregator actors poll even when idle; one per ~4 CPUs is
+            # plenty for the small shuffle payloads here and keeps them
+            # from stealing cycles from compute actors.
+            ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
             # Default shuffle parallelism is 200 partitions; at 200 x
             # 1/16 CPU the aggregators alone want 12.5 CPUs and starve
             # the map stages on a small node. Scale partitions to the
@@ -297,6 +374,7 @@ def build_ocr_pipeline(
             "media_store": media_store,
             "engine_factory": cfg.engine_factory,
             "cache_media": cfg.cache_media,
+            "metrics_name": cfg.metrics_name,
         },
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,

@@ -209,6 +209,49 @@ def test_ann_lsh_structural(ray_session):
     )
 
 
+def test_sessionize_semantics(ray_session):
+    """Session boundaries: per-user ordinal ids, gap > 30min splits,
+    n_events and time bounds consistent with raw events."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_sessionize
+
+    out = events_sessionize(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    assert out.groupby("user_id")["session_id"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
+    counts = ev.groupby("user_id").size()
+    got_counts = out.groupby("user_id")["n_events"].sum()
+    assert got_counts.to_dict() == counts.to_dict()
+    assert (out["session_end_us"] >= out["session_start_us"]).all()
+    # Sessions of the same user never overlap and respect the gap.
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("session_id")
+        gaps = g["session_start_us"].to_numpy()[1:] - g["session_end_us"].to_numpy()[:-1]
+        assert (gaps > 30 * 60 * 1_000_000).all()
+
+
+def test_asof_join_semantics(ray_session):
+    """Each purchase maps to the latest signup at-or-before it."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_asof_join
+
+    out = events_asof_join(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    by_id = ev.set_index("event_id")
+    signups = ev[ev.event_type == "signup"]
+    for _, row in out.head(50).iterrows():
+        p_ts = by_id.loc[row.purchase_event_id, "ts"]
+        s = signups[(signups.user_id == row.user_id) & (signups.ts <= p_ts)]
+        assert s.sort_values(["ts", "event_id"]).iloc[-1]["event_id"] == row.signup_event_id
+    # Purchases are matched at most once each.
+    assert not out.duplicated("purchase_event_id").any()
+
+
 def test_dedup_exact_keeps_min_doc(ray_session):
     import pyarrow.parquet as pq
 
