@@ -139,6 +139,52 @@ def _ocr_layout(sf_dir: str):
     )
 
 
+def _media_features(sf_dir: str):
+    """Image feature extraction over the corpus media table."""
+    from ocrs_ray.ops.multimodal import media_features
+
+    return media_features(_corpus_for(sf_dir)["media"])
+
+
+def _media_thumbnails(sf_dir: str):
+    """Thumbnail resize; blobs reduced to md5 for stable comparison."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from ocrs_ray.ops.multimodal import media_thumbnails
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "height": batch.column("height"),
+                "width": batch.column("width"),
+                "thumb_md5": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in batch.column("image").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return media_thumbnails(_corpus_for(sf_dir)["media"]).map_batches(
+        digest, batch_format="pyarrow"
+    )
+
+
+def _video_frames(sf_dir: str):
+    """Frame sampling fan-out (deterministic fake decode; see
+    ocrs_ray/ops/multimodal.py docstring)."""
+    import pyarrow as pa
+
+    from ocrs_ray.ops.multimodal import video_frame_sample
+
+    ds = video_frame_sample(_corpus_for(sf_dir)["media"])
+    return ds.map_batches(
+        lambda t: t.drop_columns(["frame"]), batch_format="pyarrow"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale; returns the spans table."""
     from ocrs_ray.pipeline import (
@@ -162,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
         "ocr_layout": _ocr_layout,
+        "media_features": _media_features,
+        "media_thumbnails": _media_thumbnails,
+        "video_frames": _video_frames,
     }
     try:
         from ocrs_ray.ops import registry as ops_registry

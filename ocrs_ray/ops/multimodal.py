@@ -1,0 +1,214 @@
+"""Multimodal column operators: decode, feature-extract, resize,
+frame-sample over opaque binary media payloads.
+
+Media rows are (media_ref, image: binary, height, width, channels,
+format) — the typed-metadata-plus-opaque-binary layout the 100 TB
+corpus uses (SURVEY.md §1.2). All stages are actor-pool `map_batches`
+so per-actor state (codec tables, resize kernels) builds once.
+
+Codec support in this container:
+- "raw8-hwc" decodes for real (numpy frombuffer, zero parsing);
+- PNG/JPEG decode is gated behind a PIL import-try and raises
+  NotImplementedError otherwise (the Ray-side plumbing — schema, batch
+  size, actor signature, output layout — is identical and tested);
+- audio/video have no corpus payloads here: `audio_features` raises
+  NotImplementedError for real codecs and `video_frame_sample`
+  documents its contract over a deterministic fake frame stream so the
+  distributed shape (actor pool, per-row fan-out to frame rows) is
+  real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..pipeline import decode_media
+from ..resize import resize_bilinear
+
+__all__ = [
+    "read_media",
+    "media_features",
+    "media_thumbnails",
+    "video_frame_sample",
+    "audio_features",
+]
+
+MEDIA_COLUMNS = ["media_ref", "image", "height", "width", "channels", "format"]
+
+
+def read_media(media_path: str) -> rd.Dataset:
+    return rd.read_parquet(media_path, columns=MEDIA_COLUMNS)
+
+
+def _payloads(batch: pa.Table):
+    refs = batch.column("media_ref").to_pylist()
+    blobs = batch.column("image").to_pylist()
+    hs = batch.column("height").to_pylist()
+    ws = batch.column("width").to_pylist()
+    cs = batch.column("channels").to_pylist()
+    fmts = batch.column("format").to_pylist()
+    for ref, payload in zip(refs, zip(blobs, hs, ws, cs, fmts)):
+        yield ref, payload
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + per-image feature vector.
+
+    Features are plain numpy stats (mean/std/edge density/aspect) —
+    deterministic, no model weights; a real embedding model drops into
+    the same `__init__`-loads-weights / `__call__`-per-batch shape.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, means, stds, edges, aspects, pixels = [], [], [], [], [], []
+        for ref, payload in _payloads(batch):
+            img = decode_media(payload).astype(np.float32)
+            grey = img.mean(axis=2) if img.ndim == 3 else img
+            gy, gx = np.gradient(grey)
+            refs.append(ref)
+            means.append(float(grey.mean()))
+            stds.append(float(grey.std()))
+            edges.append(float(np.hypot(gx, gy).mean()))
+            aspects.append(float(grey.shape[1] / grey.shape[0]))
+            pixels.append(int(grey.size))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "mean_intensity": pa.array(means, type=pa.float64()),
+                "std_intensity": pa.array(stds, type=pa.float64()),
+                "edge_density": pa.array(edges, type=pa.float64()),
+                "aspect_ratio": pa.array(aspects, type=pa.float64()),
+                "n_pixels": pa.array(pixels, type=pa.int64()),
+            }
+        )
+
+
+def media_features(media_path: str) -> rd.Dataset:
+    return read_media(media_path).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+class MediaThumbnailer:
+    """Actor-pool stage: decode -> bilinear resize -> re-encode raw8.
+
+    Output rows keep the opaque-binary + typed-metadata layout so the
+    thumbnail table is itself a valid media table (composable).
+    """
+
+    def __init__(self, out_h: int = 32, out_w: int = 32):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, blobs, hs, ws, cs, fmts = [], [], [], [], [], []
+        for ref, payload in _payloads(batch):
+            img = decode_media(payload)
+            chans = img.shape[2] if img.ndim == 3 else 1
+            plane = img if img.ndim == 2 else img[:, :, 0]
+            thumb = resize_bilinear(
+                plane.astype(np.float32), self.out_h, self.out_w
+            )
+            out = np.clip(np.rint(thumb), 0, 255).astype(np.uint8)
+            refs.append(ref)
+            blobs.append(out.tobytes())
+            hs.append(self.out_h)
+            ws.append(self.out_w)
+            cs.append(1)
+            fmts.append("raw8-hwc")
+            del chans
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "image": pa.array(blobs, type=pa.binary()),
+                "height": pa.array(hs, type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+                "channels": pa.array(cs, type=pa.int32()),
+                "format": pa.array(fmts, type=pa.string()),
+            }
+        )
+
+
+def media_thumbnails(media_path: str, out_h: int = 32, out_w: int = 32) -> rd.Dataset:
+    return read_media(media_path).map_batches(
+        MediaThumbnailer,
+        fn_constructor_args=(out_h, out_w),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: one video row -> N sampled frame rows.
+
+    Real video decode needs a codec library absent from this container,
+    so payloads with format "raw8-hwc" are treated as a deterministic
+    fake "video" whose frame t is the image rolled by t rows — the
+    per-row fan-out (flat_map shape), frame indexing, and output schema
+    are the real distributed plumbing; a cv2/av decoder swaps into
+    `_frames` without touching the Ray side.
+    """
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def _frames(self, payload) -> list[np.ndarray]:
+        fmt = payload[4]
+        if fmt == "raw8-hwc":
+            img = decode_media(payload)
+            return [np.roll(img, t, axis=0) for t in range(self.n_frames)]
+        raise NotImplementedError(
+            f"video decode for format {fmt!r} requires a codec library "
+            "not present in this environment"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, blobs, hs, ws = [], [], [], [], []
+        for ref, payload in _payloads(batch):
+            for t, frame in enumerate(self._frames(payload)):
+                refs.append(ref)
+                idxs.append(t)
+                blobs.append(frame.tobytes())
+                hs.append(frame.shape[0])
+                ws.append(frame.shape[1])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "frame_index": pa.array(idxs, type=pa.int32()),
+                "frame": pa.array(blobs, type=pa.binary()),
+                "height": pa.array(hs, type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+            }
+        )
+
+
+def video_frame_sample(media_path: str, n_frames: int = 4) -> rd.Dataset:
+    return read_media(media_path).map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(n_frames,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def audio_features(media_path: str) -> rd.Dataset:
+    """Audio feature extraction: STUB. No audio payloads or codec
+    libraries exist in this container; the stage raises on first batch.
+    The schema contract is (media_ref, duration_s, rms, zero_crossings).
+    """
+
+    def extract(batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library not present "
+            "in this environment"
+        )
+
+    return read_media(media_path).map_batches(extract, batch_format="pyarrow")

@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "orders_customer_join": relational.orders_customer_join,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
     }
 
@@ -115,6 +116,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type = 'signup') "
             "SELECT p.event_id AS purchase_event_id, p.user_id, s.signup_event_id "
             "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts"
+        ),
+        "orders_customer_join": (
+            "SELECT c.c_nationkey, "
+            "CAST(sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_total_micro, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -20,6 +20,7 @@ __all__ = [
     "events_tumbling_window",
     "events_sessionize",
     "events_asof_join",
+    "orders_customer_join",
     "lineitem_pricing_summary",
     "round_half_away",
 ]
@@ -171,6 +172,54 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
 
     return _partition_by_user(sf_dir).map_batches(
         asof, batch_format="pandas", batch_size=None
+    )
+
+
+def orders_customer_join(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join: orders x customer -> per-nation order stats.
+
+    The small side (customer key -> nation) is broadcast once with
+    `ray.put` and probed inside `map_batches` — no shuffle of the big
+    side at all, which is the right join shape whenever one side fits
+    in worker memory (SURVEY.md §2.4). The per-nation rollup then
+    shuffles only pre-aggregated partials.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    lookup_ref = ray.put(lookup)
+
+    class Probe:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            nation = batch["o_custkey"].map(self.lookup)
+            df = pd.DataFrame(
+                {
+                    "c_nationkey": nation.astype("int64"),
+                    "total_micro": round_half_away(
+                        batch["o_totalprice"].to_numpy() * MICRO
+                    ).astype("int64"),
+                    "n": np.ones(len(batch), dtype="int64"),
+                }
+            )
+            return df.groupby("c_nationkey", as_index=False).sum()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+                  concurrency=(1, 4))
+    return ds.groupby("c_nationkey").aggregate(
+        Sum("total_micro", alias_name="sum_total_micro"),
+        Sum("n", alias_name="n_orders"),
     )
 
 
