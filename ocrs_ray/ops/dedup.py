@@ -53,9 +53,12 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pandas"
     )
+    enable_hash_shuffle(ds)
     return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
 
 

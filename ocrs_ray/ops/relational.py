@@ -57,9 +57,12 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300) -> rd.Dataset:
             value_micro=("value_micro", "sum"), n=("n", "sum")
         )
 
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     ).map_batches(partial, batch_format="pandas")
+    enable_hash_shuffle(ds)
     return ds.groupby(["event_type", "window_start"]).aggregate(
         Sum("value_micro", alias_name="sum_value_micro"),
         Sum("n", alias_name="n_events"),
@@ -213,10 +216,13 @@ def orders_customer_join(sf_dir: str) -> rd.Dataset:
             )
             return df.groupby("c_nationkey", as_index=False).sum()
 
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
                   concurrency=(1, 4))
+    enable_hash_shuffle(ds)
     return ds.groupby("c_nationkey").aggregate(
         Sum("total_micro", alias_name="sum_total_micro"),
         Sum("n", alias_name="n_orders"),
@@ -229,6 +235,8 @@ def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Data
     Row filter applied at the batch level; money measures carried as
     integer micro-units through the partial + final aggregation.
     """
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
     cutoff_ts = pd.Timestamp(cutoff)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -272,6 +280,7 @@ def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Data
             "l_shipdate",
         ],
     ).map_batches(partial, batch_format="pandas")
+    enable_hash_shuffle(ds)
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty_micro", alias_name="sum_qty_micro"),
         Sum("sum_base_micro", alias_name="sum_base_micro"),

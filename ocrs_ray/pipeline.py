@@ -75,6 +75,14 @@ class OcrPipelineConfig:
     #: name of a MetricsActor to flush per-batch lineage counters to
     #: (see ocrs_ray.state.metrics); None disables flushing.
     metrics_name: str | None = None
+    #: pre-OCR skew control: LPT-balance spans across this many
+    #: partitions by estimated pixel volume, then hash-shuffle on the
+    #: bin id so no OCR partition carries a disproportionate pixel
+    #: load (north-rule "repartitioning by estimated pixel volume").
+    #: 0 disables (default: the actor pool's pull-based batch
+    #: scheduling already absorbs moderate skew; enable for
+    #: heavy-tailed media sizes where whole batches can be hot).
+    balance_partitions: int = 0
 
 
 def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -282,6 +290,65 @@ class OcrLayoutProcessor:
         )
 
 
+class PixelWeigher:
+    """Annotate flat span rows with estimated pixel volume.
+
+    Media dims come from a broadcast {media_ref: pixels} dict (built
+    from the media table's typed metadata — no payload decode). At
+    100 TB the dims column rides in the spans table at ingest or joins
+    in by media_ref; the estimate only needs to be proportional, not
+    exact (SURVEY.md §4 skew row).
+    """
+
+    def __init__(self, dims_store: Any):
+        store = (
+            ray.get(dims_store)
+            if isinstance(dims_store, ray.ObjectRef)
+            else dims_store
+        )
+        # Accept either a ready {ref: pixels} dict or a full media
+        # store (payload tuples) — derive dims without decoding.
+        first = next(iter(store.values()), None)
+        self.dims = media_dims(store) if isinstance(first, tuple) else store
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        px = [
+            self.dims.get(r, 0) if k == "media" else 0
+            for k, r in zip(kinds, refs)
+        ]
+        return batch.append_column("pixels", pa.array(px, type=pa.int64()))
+
+
+def assign_weighted_partitions(
+    batch: pa.Table, num_partitions: int, weight_col: str = "pixels"
+) -> pa.Table:
+    """LPT-bin rows of one block into `num_partitions` weight-balanced
+    bins (heaviest rows first onto the lightest bin). Per-block binning
+    composes with the cross-block hash shuffle on the bin id: each
+    block is balanced, so the union of blocks per bin is too.
+    """
+    import heapq
+
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(-w, kind="stable")
+    bins = [(0, b) for b in range(num_partitions)]
+    heapq.heapify(bins)
+    assignment = np.empty(len(w), dtype=np.int32)
+    for i in order:
+        total, b = heapq.heappop(bins)
+        assignment[i] = b
+        heapq.heappush(bins, (total + int(w[i]), b))
+    return batch.append_column("wpart", pa.array(assignment, type=pa.int32()))
+
+
+def media_dims(media_store: dict) -> dict[str, int]:
+    """{media_ref: pixel count} from a loaded media store (metadata
+    only, payload untouched)."""
+    return {ref: p[1] * p[2] for ref, p in media_store.items()}
+
+
 def reassemble_block(batch: pa.Table) -> pa.Table:
     """Re-stitch flattened span rows into per-document span lists.
 
@@ -345,7 +412,10 @@ def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
             # the map stages on a small node. Scale partitions to the
             # CPU budget (a real cluster raises this automatically).
             ctx.default_hash_shuffle_parallelism = max(8, ncpu)
-            ctx.min_hash_shuffle_aggregator_wait_time_in_s = 5
+            # Aggregators start in well under a second on a local
+            # cluster; the 300 s default (and even 5 s) adds dead time
+            # to every shuffle-bearing query.
+            ctx.min_hash_shuffle_aggregator_wait_time_in_s = 1
         return True
     except Exception:
         return False
@@ -368,6 +438,26 @@ def build_ocr_pipeline(
         media_store = ray.put(media_store)
 
     flat = spans_ds.map_batches(explode_spans, batch_format="pyarrow")
+    if cfg.balance_partitions > 0:
+        enable_hash_shuffle(flat)
+        flat = (
+            flat.map_batches(
+                PixelWeigher,
+                fn_constructor_args=(media_store,),
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            .map_batches(
+                assign_weighted_partitions,
+                fn_kwargs={"num_partitions": cfg.balance_partitions},
+                batch_format="pyarrow",
+            )
+            .repartition(cfg.balance_partitions, keys=["wpart"])
+            .map_batches(
+                lambda t: t.drop_columns(["pixels", "wpart"]),
+                batch_format="pyarrow",
+            )
+        )
     ocr = flat.map_batches(
         OcrSpanProcessor,
         fn_constructor_kwargs={
