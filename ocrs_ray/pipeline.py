@@ -83,6 +83,12 @@ class OcrPipelineConfig:
     #: scheduling already absorbs moderate skew; enable for
     #: heavy-tailed media sizes where whole batches can be hot).
     balance_partitions: int = 0
+    #: "raise" aborts the job on a bad media span (exact-parity mode);
+    #: "quarantine" emits the span with empty text, counts it in the
+    #: poison_rows metric, and keeps the job running (SURVEY.md §4:
+    #: poison-row quarantine instead of job abort — one corrupt
+    #: payload must not kill a 10^12-row run).
+    on_error: str = "raise"
 
 
 def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -175,7 +181,12 @@ class OcrSpanProcessor:
         engine_factory: Callable = make_engine,
         cache_media: bool = True,
         metrics_name: str | None = None,
+        on_error: str = "raise",
     ):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+        self.on_error = on_error
+        self.n_poison = 0
         if isinstance(media_store, ray.ObjectRef):
             self.media = ray.get(media_store)
         elif isinstance(media_store, str):
@@ -210,13 +221,32 @@ class OcrSpanProcessor:
             self.cache[ref] = text
         return text
 
+    def _ocr_or_quarantine(self, ref: str, doc_id: str) -> str:
+        if self.on_error == "raise":
+            return self._ocr_one(ref)
+        try:
+            return self._ocr_one(ref)
+        except Exception as exc:  # poison row: empty text, keep going
+            self.n_poison += 1
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "quarantined media span doc_id=%s media_ref=%s: %r", doc_id, ref, exc
+            )
+            return ""
+
     def _flush_metrics(self) -> None:
-        if self._metrics is not None and (self.n_media or self.n_pixels):
+        if self._metrics is not None and (self.n_media or self.n_pixels or self.n_poison):
             self._metrics.add.remote(
-                {"media_spans": self.n_media, "pixels": self.n_pixels}
+                {
+                    "media_spans": self.n_media,
+                    "pixels": self.n_pixels,
+                    "poison_rows": self.n_poison,
+                }
             )
             self.n_media = 0
             self.n_pixels = 0
+            self.n_poison = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind = batch.column("kind")
@@ -225,7 +255,10 @@ class OcrSpanProcessor:
             return batch
         idx = np.flatnonzero(media_mask.combine_chunks().to_numpy(zero_copy_only=False))
         refs = batch.column("media_ref").take(pa.array(idx)).to_pylist()
-        ocr_texts = [self._ocr_one(ref) for ref in refs]
+        docs = batch.column("doc_id").take(pa.array(idx)).to_pylist()
+        ocr_texts = [
+            self._ocr_or_quarantine(ref, doc) for ref, doc in zip(refs, docs)
+        ]
         self._flush_metrics()
         text = batch.column("text").to_pylist()
         for i, t in zip(idx, ocr_texts):
@@ -465,6 +498,7 @@ def build_ocr_pipeline(
             "engine_factory": cfg.engine_factory,
             "cache_media": cfg.cache_media,
             "metrics_name": cfg.metrics_name,
+            "on_error": cfg.on_error,
         },
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
