@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import dedup, relational, similarity, text
+from . import dedup, relational, sampling, similarity, text
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "orders_customer_join": relational.orders_customer_join,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        # top-k / sampling
+        "docs_topk_longest": sampling.docs_topk_longest,
+        "sample_documents": sampling.sample_documents,
     }
 
 
@@ -133,6 +136,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_rows "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY 1, 2"
+        ),
+        "docs_topk_longest": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 50"
+        ),
+        "sample_documents": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 20 = 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64 and
         # ann_topk_lsh are heuristic / sketch-based (not SQL-expressible):

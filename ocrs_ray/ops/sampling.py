@@ -1,0 +1,51 @@
+"""Top-k and deterministic sampling over the documents table.
+
+- `docs_topk_longest`: distributed top-k WITHOUT a global sort — each
+  block keeps its local top-k (vectorized argpartition), the tiny
+  candidate set reduces in one final block. `ds.sort` would be an
+  all-to-all over every row; this ships k rows per block.
+- `sample_documents`: content-deterministic sampling by md5(doc_id) —
+  reproducible across runs, partitionings, and engines (the SQL oracle
+  computes the same md5), unlike `ds.random_sample`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+__all__ = ["docs_topk_longest", "sample_documents"]
+
+
+def docs_topk_longest(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Top-k documents by n_chars (ties: doc_id ascending)."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(k)[["doc_id", "n_chars"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(local_topk, batch_format="pandas")
+    return ds.repartition(1).map_batches(
+        local_topk, batch_format="pandas", batch_size=None
+    )
+
+
+def sample_documents(sf_dir: str, one_in: int = 20) -> rd.Dataset:
+    """Keep docs where md5(doc_id) % one_in == 0 (deterministic)."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % one_in == 0
+            for d in df["doc_id"]
+        ]
+        return df.loc[np.asarray(sel), ["doc_id", "n_chars"]]
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(keep, batch_format="pandas")
