@@ -139,6 +139,30 @@ def _ocr_layout(sf_dir: str):
     )
 
 
+def _ocr_joined_flat(sf_dir: str):
+    """Flagship pipeline via the shuffle-join media path (large media
+    tables), flattened — same oracle as the broadcast path."""
+    import ray.data as rd
+
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline_joined,
+        explode_spans,
+        read_spans,
+    )
+
+    paths = _corpus_for(sf_dir)
+    spans = read_spans(paths["spans"])
+    media = rd.read_parquet(
+        paths["media"],
+        columns=["media_ref", "image", "height", "width", "channels", "format"],
+    )
+    docs = build_ocr_pipeline_joined(
+        spans, media, OcrPipelineConfig(ocr_concurrency=(1, 4), reassemble_partitions=8)
+    )
+    return docs.map_batches(explode_spans, batch_format="pyarrow")
+
+
 def _media_features(sf_dir: str):
     """Image feature extraction over the corpus media table."""
     from ocrs_ray.ops.multimodal import media_features
@@ -208,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
         "ocr_layout": _ocr_layout,
+        "ocr_joined_flat": _ocr_joined_flat,
         "media_features": _media_features,
         "media_thumbnails": _media_thumbnails,
         "video_frames": _video_frames,
@@ -228,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
     golden = os.path.join(CORPUS_BASE, "sf0.01", "expected_flat.parquet")
     sql = {
         "ocr_pipeline_flat": (
+            f'SELECT doc_id, "offset", kind, text, media_ref '
+            f"FROM read_parquet('{golden}')"
+        ),
+        "ocr_joined_flat": (
             f'SELECT doc_id, "offset", kind, text, media_ref '
             f"FROM read_parquet('{golden}')"
         ),

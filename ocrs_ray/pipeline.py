@@ -49,6 +49,8 @@ __all__ = [
     "reassemble_block",
     "read_spans",
     "build_ocr_pipeline",
+    "build_ocr_pipeline_joined",
+    "OcrInlineProcessor",
     "load_media_store",
 ]
 
@@ -321,6 +323,119 @@ class OcrLayoutProcessor:
                 ),
             }
         )
+
+
+class OcrInlineProcessor:
+    """OCR media-span rows whose payload arrived inline via a shuffle
+    join (columns image/height/width/channels/format joined onto the
+    span rows). The large-media-table counterpart of OcrSpanProcessor:
+    no broadcast store, state is just the engine."""
+
+    def __init__(
+        self,
+        engine_factory: Callable = make_engine,
+        cache_media: bool = True,
+        on_error: str = "raise",
+    ):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+        self.engine = engine_factory()
+        self.cache: dict[str, str] | None = {} if cache_media else None
+        self.on_error = on_error
+
+    def _ocr_payload(self, ref: str, payload: tuple) -> str:
+        if self.cache is not None and ref in self.cache:
+            return self.cache[ref]
+        try:
+            if payload[0] is None:
+                # Left-outer join miss: the media table has no row for
+                # this ref. Same semantics as the broadcast store miss.
+                raise KeyError(f"unresolved media_ref: {ref}")
+            img = decode_media(payload)
+            inp = self.engine.prepare_input(img, order="hwc")
+            text = self.engine.get_text(inp)
+        except Exception:
+            if self.on_error == "raise":
+                raise
+            text = ""
+        if self.cache is not None:
+            self.cache[ref] = text
+        return text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("image").to_pylist()
+        hs = batch.column("height").to_pylist()
+        ws = batch.column("width").to_pylist()
+        cs = batch.column("channels").to_pylist()
+        fmts = batch.column("format").to_pylist()
+        texts = [
+            self._ocr_payload(r, (b, h, w, c, f))
+            for r, b, h, w, c, f in zip(refs, blobs, hs, ws, cs, fmts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "offset": batch.column("offset"),
+                "kind": batch.column("kind"),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": batch.column("media_ref"),
+            }
+        )
+
+
+def build_ocr_pipeline_joined(
+    spans_ds: rd.Dataset,
+    media_ds: rd.Dataset,
+    config: OcrPipelineConfig | None = None,
+    join_partitions: int = 8,
+) -> rd.Dataset:
+    """OCR pipeline resolving media via a distributed hash join instead
+    of a broadcast store — the path for media tables that do NOT fit in
+    worker memory (SURVEY.md §2.4: `Dataset.join` on media_ref for
+    large). Text spans bypass the join entirely; only media span keys
+    and payloads shuffle. The spans input is read twice (text branch +
+    media branch) — cheaper than shipping payloads to every task when
+    the media table dominates.
+    """
+    cfg = config or OcrPipelineConfig()
+    flat = spans_ds.map_batches(explode_spans, batch_format="pyarrow")
+    enable_hash_shuffle(flat)
+    enable_hash_shuffle(media_ds)
+
+    text_rows = flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "text")), batch_format="pyarrow"
+    )
+    media_rows = flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    # LEFT join, not inner: an unresolvable media_ref must surface as
+    # an error (or quarantined empty span) exactly like the broadcast
+    # path — an inner join would silently delete the span and break
+    # span-sequence completeness.
+    joined = media_rows.join(
+        media_ds,
+        join_type="left_outer",
+        num_partitions=join_partitions,
+        on=("media_ref",),
+    )
+    ocr = joined.map_batches(
+        OcrInlineProcessor,
+        fn_constructor_kwargs={
+            "engine_factory": cfg.engine_factory,
+            "cache_media": cfg.cache_media,
+            "on_error": cfg.on_error,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.ocr_batch_size,
+        concurrency=cfg.ocr_concurrency,
+        num_cpus=cfg.ocr_num_cpus,
+    )
+    merged = text_rows.union(ocr)
+    partitioned = merged.repartition(cfg.reassemble_partitions, keys=["doc_id"])
+    return partitioned.map_batches(
+        reassemble_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 class PixelWeigher:

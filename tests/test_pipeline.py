@@ -101,3 +101,36 @@ def test_pipeline_no_reassemble_flat_output(ray_session, corpus):
         .reset_index(drop=True)
     )
     assert list(df["text"]) == list(exp["text"])
+
+
+def test_joined_pipeline_matches_broadcast(ray_session):
+    """The shuffle-join media path (large-media-table mode) produces
+    byte-identical span sequences to the broadcast path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocrs_ray.corpus import ensure_corpus
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline_joined,
+        read_spans,
+    )
+
+    paths = ensure_corpus("/tmp/ocrs_ray_join_corpus", n_docs=80, row_group_docs=20)
+    spans = read_spans(paths["spans"])
+    media = rd.read_parquet(
+        paths["media"],
+        columns=["media_ref", "image", "height", "width", "channels", "format"],
+    )
+    cfg = OcrPipelineConfig(ocr_concurrency=(1, 2), reassemble_partitions=4)
+    got = build_ocr_pipeline_joined(spans, media, cfg, join_partitions=4).to_pandas()
+    exp = pq.read_table(paths["expected_flat"]).to_pandas()
+    exp_docs = {
+        d: list(zip(g.sort_values("offset")["kind"], g.sort_values("offset")["text"]))
+        for d, g in exp.groupby("doc_id")
+    }
+    got_docs = {
+        r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+        for _, r in got.iterrows()
+    }
+    assert got_docs == exp_docs
