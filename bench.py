@@ -140,6 +140,54 @@ def run_ops_suite(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_checkpoint(num_cpus: int, n_docs: int = 8000) -> dict:
+    """Run the sharded, checkpoint-resumable job and report per-
+    partition lineage — the skew/accounting evidence (rows, media
+    spans, pixels, wall per fragment)."""
+    import shutil
+
+    from ocrs_ray.corpus import ensure_corpus
+    from ocrs_ray.pipeline import OcrPipelineConfig
+    from ocrs_ray.state import run_ocr_job
+
+    corpus_root = os.path.join(BENCH_ROOT, "ckpt")
+    paths = ensure_corpus(
+        corpus_root,
+        n_docs=n_docs,
+        n_templates=N_TEMPLATES,
+        row_group_docs=max(50, n_docs // 256),
+    )
+    out_root = os.path.join(corpus_root, "out")
+    shutil.rmtree(out_root, ignore_errors=True)
+    _init_ray(num_cpus)
+    w = max(2, min(num_cpus - 2, int(num_cpus * 0.75)))
+    cfg = OcrPipelineConfig(
+        ocr_concurrency=(w, w),
+        reassemble_partitions=max(8, num_cpus),
+        cache_media=False,
+    )
+    t0 = time.time()
+    result = run_ocr_job(
+        paths["spans"], paths["media"], out_root, config=cfg, num_shards=8
+    )
+    wall = time.time() - t0
+    lineage = result["lineage"]
+    walls = [e["wall_ms"] for e in lineage]
+    pixels = [e["pixels"] for e in lineage]
+    return {
+        "metric": "checkpointed_job_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_shards": len(lineage),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "shard_wall_ms_max_over_mean": round(max(walls) / (sum(walls) / len(walls)), 3),
+        "shard_pixels_max_over_mean": round(max(pixels) / (sum(pixels) / len(pixels)), 3),
+        "lineage": lineage,
+    }
+
+
 def run_scaling(sf_dir: str, cpus: tuple[int, int] = (4, 16)) -> dict:
     """Same headline job at N and 4N CPUs in fresh processes.
 
@@ -204,6 +252,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--checkpoint", action="store_true")
     ap.add_argument(
         "--cpus",
         default="4,16",
@@ -222,6 +271,14 @@ def main() -> None:
     if args.scaling:
         lo, hi = (int(c) for c in args.cpus.split(","))
         print(json.dumps(run_scaling(sf_dir, (lo, hi))))
+        return
+
+    if args.checkpoint:
+        result = run_checkpoint(num_cpus)
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()
         return
 
     n_docs = args.n_docs or HEADLINE_DOCS[sf_name]
