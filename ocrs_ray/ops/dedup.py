@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -161,6 +162,134 @@ def _jaccard(a: set, b: set) -> float:
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word n-gram Jaccard similarity (verification kernel)."""
     return _jaccard(set(_shingles(text_a, k)), set(_shingles(text_b, k)))
+
+
+def _prefix_rows(batch: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
+    """Emit each doc's prefix-filter shingles as (token, doc_id) rows.
+
+    Prefix filtering principle (Chaudhuri/Bayardo AllPairs): order every
+    doc's shingle set by one global total order (stable hash, tie-break
+    on the string); if jaccard(A, B) >= t then |A∩B| >= ceil(t*|A|), so
+    A and B must share a token within their first |S| - ceil(t*|S|) + 1
+    shingles. Emitting only those prefixes keeps the shuffle small while
+    candidate generation stays EXACT (no recall loss, unlike LSH).
+    """
+    toks: list[str] = []
+    docs: list[int] = []
+    for d, t in zip(batch["doc_id"], batch["text"]):
+        sh = list(set(_shingles(t, k)))
+        if not sh:
+            # Empty-shingle docs are all mutual duplicates (jaccard 1.0);
+            # route them through one sentinel bucket.
+            toks.append("\x00<empty>")
+            docs.append(d)
+            continue
+        order = np.lexsort(
+            (np.asarray(sh, dtype=object), _stable_hash_u64(sh))
+        )
+        n = len(sh)
+        plen = n - int(np.ceil(threshold * n)) + 1
+        for i in order[:plen]:
+            toks.append(sh[i])
+            docs.append(d)
+    return pd.DataFrame({"token": toks, "doc_id": np.asarray(docs, dtype="int64")})
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    documents: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """EXACT all-pairs n-gram Jaccard dedup at threshold, without the
+    O(n^2) cross join: prefix filtering (see `_prefix_rows`) generates a
+    provably complete candidate set, hash-partitioned by token so pair
+    enumeration is per-block; pairs are deduped by hash partition and
+    verified with the exact Jaccard kernel.
+
+    Unlike `minhash_lsh_pairs` (probabilistic recall), this matches the
+    brute-force oracle bit-for-bit. Texts for verification are broadcast
+    once via `ray.put` (test scale); at 100 TB the verifier becomes a
+    hash join of candidate pairs against documents on doc_id.
+    """
+    docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
+    texts: dict[int, str] = {}
+    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(
+            zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        )
+    texts_ref = ray.put(texts)
+
+    prefix = docs.map_batches(
+        _prefix_rows, fn_kwargs={"k": k, "threshold": threshold}, batch_format="pandas"
+    )
+
+    def bucket_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        b = batch.sort_values(["token", "doc_id"], kind="stable")
+        key = b["token"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        boundaries = np.flatnonzero(key[1:] != key[:-1]) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(ids)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu = np.triu_indices(n, k=1)
+            out_a.append(ids[s:e][iu[0]])
+            out_b.append(ids[s:e][iu[1]])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle(prefix)
+    candidates = prefix.repartition(8, keys=["token"]).map_batches(
+        bucket_pairs, batch_format="pandas", batch_size=None
+    )
+    unique_pairs = candidates.repartition(8, keys=["doc_a", "doc_b"]).map_batches(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    class ExactVerifier:
+        def __init__(self, ref, k, threshold):
+            self.texts = ray.get(ref)
+            self.k = k
+            # Integer threshold in micro-units: `inter/uni >= t` becomes
+            # `inter * 1e6 >= t_micro * uni`, exact in int arithmetic
+            # (matches the SQL oracle's integer comparison bit-for-bit).
+            self.t_micro = int(round(threshold * 1_000_000))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return batch[["doc_a", "doc_b"]]
+            keep = []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                sa = set(_shingles(self.texts[a], self.k))
+                sb = set(_shingles(self.texts[b], self.k))
+                inter = len(sa & sb)
+                uni = len(sa) + len(sb) - inter
+                keep.append(inter * 1_000_000 >= self.t_micro * uni)
+            return batch.loc[np.asarray(keep, dtype=bool), ["doc_a", "doc_b"]]
+
+    return unique_pairs.map_batches(
+        ExactVerifier,
+        fn_constructor_args=(texts_ref, k, threshold),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
 
 
 def minhash_lsh_pairs(

@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # similarity search
@@ -36,10 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         # windowed / temporal / grouped aggregates
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_hopping_window": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_daily_active_users": relational.events_daily_active_users,
         "orders_customer_join": relational.orders_customer_join,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "inactive_customers": relational.inactive_customers,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -95,6 +100,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping_window": (
+            "SELECT event_type, "
+            "CAST((floor(epoch(ts) / 300) - j) * 300 AS BIGINT) AS window_start, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events CROSS JOIN (VALUES (0), (1)) t(j) GROUP BY 1, 2"
+        ),
+        "events_daily_active_users": (
+            "SELECT event_type, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "q3_top_orders": (
+            "WITH c AS (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "rev AS (SELECT l.l_orderkey AS o_orderkey, "
+            "CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) "
+            "AS BIGINT)) AS BIGINT) AS revenue_micro "
+            "FROM orders o "
+            "JOIN c ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2) "
+            "SELECT o_orderkey, o_orderdate_us, revenue_micro FROM rev "
+            "ORDER BY revenue_micro DESC, o_orderkey LIMIT 10"
+        ),
+        "inactive_customers": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "ngram_jaccard_pairs": (
+            r"WITH sh AS (SELECT doc_id, list_distinct("
+            r"CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN [] "
+            r"WHEN length(regexp_extract_all(text, '\S+')) < 3 "
+            r"THEN [array_to_string(regexp_extract_all(text, '\S+'), ' ')] "
+            r"ELSE list_transform(range(1, length(regexp_extract_all(text, '\S+')) - 1), "
+            r"i -> regexp_extract_all(text, '\S+')[i] || ' ' || "
+            r"regexp_extract_all(text, '\S+')[i+1] || ' ' || "
+            r"regexp_extract_all(text, '\S+')[i+2]) END) AS sset FROM documents), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "length(list_intersect(a.sset, b.sset)) AS inter, "
+            "length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)) AS uni "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b FROM pairs WHERE 10 * inter >= 8 * uni"
         ),
         "events_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, value, "

@@ -18,10 +18,14 @@ from ray.data.aggregate import Sum
 
 __all__ = [
     "events_tumbling_window",
+    "events_hopping_window",
     "events_sessionize",
     "events_asof_join",
+    "events_daily_active_users",
     "orders_customer_join",
     "lineitem_pricing_summary",
+    "q3_top_orders",
+    "inactive_customers",
     "round_half_away",
 ]
 
@@ -287,3 +291,236 @@ def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Data
         Sum("sum_disc_micro", alias_name="sum_disc_micro"),
         Sum("n_rows", alias_name="n_rows"),
     )
+
+
+def events_hopping_window(
+    sf_dir: str, size_s: int = 600, hop_s: int = 300
+) -> rd.Dataset:
+    """Hopping (sliding) window aggregate per event_type: windows of
+    `size_s` seconds starting every `hop_s` seconds, so each event lands
+    in size/hop overlapping windows.
+
+    The fan-out happens vectorized INSIDE the batch (np.repeat/tile) and
+    is immediately collapsed by the per-batch partial aggregation, so
+    the shuffle still moves one row per (type, window) per batch — the
+    window overlap factor never multiplies shuffled bytes.
+    """
+    fanout = size_s // hop_s
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        base = epoch // hop_s
+        micro = round_half_away(batch["value"].to_numpy() * MICRO).astype("int64")
+        offs = np.arange(fanout, dtype="int64")
+        win = (np.repeat(base, fanout) - np.tile(offs, len(base))) * hop_s
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(batch["event_type"].to_numpy(), fanout),
+                "window_start": win,
+                "value_micro": np.repeat(micro, fanout),
+                "n": np.ones(len(win), dtype="int64"),
+            }
+        )
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            value_micro=("value_micro", "sum"), n=("n", "sum")
+        )
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).map_batches(partial, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    return ds.groupby(["event_type", "window_start"]).aggregate(
+        Sum("value_micro", alias_name="sum_value_micro"),
+        Sum("n", alias_name="n_events"),
+    )
+
+
+def events_daily_active_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) per (event_type, day).
+
+    Scale shape for exact distributed count-distinct: dedupe the
+    (key, user) pairs locally per batch first (cuts shuffled rows),
+    hash-shuffle ONLY the surviving pairs so each pair lands in exactly
+    one partition, dedupe per block, then ship tiny per-block partial
+    counts into the final small groupby.
+    """
+
+    def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].astype("int64") // 1_000_000 // 86400).astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "user_id": batch["user_id"],
+            }
+        )
+        return df.drop_duplicates()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        out = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_users=("user_id", "count")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    ).map_batches(local_pairs, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    deduped = ds.repartition(8, keys=["event_type", "day", "user_id"]).map_batches(
+        count_partial, batch_format="pandas", batch_size=None
+    )
+    return deduped.groupby(["event_type", "day"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+def q3_top_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> rd.Dataset:
+    """TPC-H Q3-shaped 3-table pipeline: customer (filter, broadcast) x
+    orders x lineitem -> per-order revenue -> distributed top-k.
+
+    Join shapes chosen by side size: customer(segment) is a broadcast
+    semi-filter (`ray.put` key set probed in map_batches — never
+    shuffled); orders x lineitem is big x big, so it uses Ray Data's
+    native hash `Dataset.join` which shuffles both sides by order key.
+    Revenue partials are pre-aggregated per batch before the final
+    groupby, and top-k is local-k per block + one tiny final reduce (no
+    global sort).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    # Patch the context BEFORE creating any dataset: the join's
+    # aggregator pool must be sized to the cluster or it starves the
+    # read/map tasks on small clusters (see enable_hash_shuffle).
+    enable_hash_shuffle()
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    join_partitions = max(2, min(16, ncpu))
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = frozenset(
+        ck
+        for ck, seg in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()
+        )
+        if seg == segment
+    )
+    keys_ref = ray.put(keys)
+
+    class SemiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sel = batch["o_custkey"].isin(self.keys) & (
+                batch["o_orderdate"] < cutoff_ts
+            )
+            out = batch.loc[sel, ["o_orderkey", "o_orderdate"]]
+            return out.assign(
+                o_orderdate_us=out["o_orderdate"].astype("int64")
+            )[["o_orderkey", "o_orderdate_us"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(SemiFilter, fn_constructor_args=(keys_ref,),
+                  batch_format="pandas", concurrency=(1, 2))
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] > cutoff_ts]
+        rev = round_half_away(
+            (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy() * MICRO
+        ).astype("int64")
+        df = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(), "revenue_micro": rev})
+        return df.groupby("l_orderkey", as_index=False).sum()
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    joined = orders.join(
+        lineitem,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def join_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(
+            ["o_orderkey", "o_orderdate_us"], as_index=False
+        ).agg(revenue_micro=("revenue_micro", "sum"))
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    partials = joined.map_batches(join_partial, batch_format="pandas")
+    enable_hash_shuffle(partials)
+    revenue = partials.groupby(["o_orderkey", "o_orderdate_us"]).aggregate(
+        Sum("revenue_micro", alias_name="revenue_micro")
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["revenue_micro", "o_orderkey"], ascending=[False, True])
+        return g.head(k)[["o_orderkey", "o_orderdate_us", "revenue_micro"]]
+
+    return revenue.map_batches(local_topk, batch_format="pandas").repartition(
+        1
+    ).map_batches(local_topk, batch_format="pandas", batch_size=None)
+
+
+def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
+    """Anti join: customers with NO order on/after `since`.
+
+    The distinct recent-custkey set is reduced distributedly (per-batch
+    unique -> `Dataset.unique`, which ships only deduped keys) and then
+    broadcast via `ray.put` for a shuffle-free NOT-IN probe over
+    customer. At 100 TB with a build side too large to broadcast this
+    becomes `Dataset.join(join_type="left_anti"-style)` — same probe
+    semantics, hash-partitioned instead of broadcast.
+    """
+    import ray
+
+    since_ts = pd.Timestamp(since)
+
+    def recent_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderdate"] >= since_ts]
+        return pd.DataFrame({"o_custkey": b["o_custkey"].unique()})
+
+    recent = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(recent_keys, batch_format="pandas")
+        .unique("o_custkey")
+    )
+    keys_ref = ray.put(frozenset(recent))
+
+    class AntiProbe:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sel = ~batch["c_custkey"].isin(self.keys)
+            return batch.loc[sel, ["c_custkey", "c_name"]]
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(AntiProbe, fn_constructor_args=(keys_ref,),
+                  batch_format="pandas", concurrency=(1, 2))

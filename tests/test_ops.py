@@ -262,3 +262,104 @@ def test_dedup_exact_keeps_min_doc(ray_session):
     expected = docs.groupby("text", as_index=False)["doc_id"].min()
     assert len(out) == len(expected)
     assert sorted(out["doc_id"]) == sorted(expected["doc_id"])
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    """Prefix filtering is EXACT: output == brute-force all-pairs."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.dedup import _shingles, ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(SF, threshold=0.8).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    sets = {d: set(_shingles(t, 3)) for d, t in zip(docs.doc_id, docs.text)}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a]) + len(sets[b]) - inter
+            if inter * 10 >= 8 * uni:
+                want.add((a, b))
+    assert got == want
+    assert want  # corpus must actually contain near-dups
+
+
+def test_hopping_window_covers_each_event_twice(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_hopping_window, round_half_away
+
+    out = events_hopping_window(SF, size_s=600, hop_s=300).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"]).to_pandas()
+    # size/hop = 2 windows per event.
+    assert out["n_events"].sum() == 2 * len(ev)
+    assert out["sum_value_micro"].sum() == 2 * int(
+        round_half_away(ev["value"].to_numpy() * 1_000_000).astype("int64").sum()
+    )
+    # Spot-check one (type, window) cell against pandas.
+    epoch = ev["ts"].astype("int64") // 1_000_000
+    row = out.sort_values(["event_type", "window_start"]).iloc[len(out) // 2]
+    in_win = (
+        (ev["event_type"] == row["event_type"])
+        & (epoch >= row["window_start"])
+        & (epoch < row["window_start"] + 600)
+    )
+    assert in_win.sum() == row["n_events"]
+
+
+def test_daily_active_users_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_daily_active_users
+
+    out = events_daily_active_users(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 1_000_000 // 86400
+    want = (
+        ev.groupby(["event_type", "day"])["user_id"].nunique().rename("n_users").reset_index()
+    )
+    merged = out.merge(want, on=["event_type", "day"], suffixes=("", "_want"))
+    assert len(merged) == len(want) == len(out)
+    assert (merged["n_users"] == merged["n_users_want"]).all()
+
+
+def test_q3_top_orders_native_join(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import q3_top_orders, round_half_away
+
+    out = q3_top_orders(SF, k=10).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    line = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp("1998-06-01")
+    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    o = orders[(orders.o_custkey.isin(keys)) & (orders.o_orderdate < cutoff)]
+    l = line[line.l_shipdate > cutoff].copy()
+    l["revenue_micro"] = round_half_away(
+        (l.l_extendedprice * (1.0 - l.l_discount)).to_numpy() * 1_000_000
+    ).astype("int64")
+    j = l.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+    rev = j.groupby(["o_orderkey", "o_orderdate"], as_index=False)["revenue_micro"].sum()
+    rev["o_orderdate_us"] = rev["o_orderdate"].astype("int64")
+    want = rev.sort_values(["revenue_micro", "o_orderkey"], ascending=[False, True]).head(10)
+    assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert out["revenue_micro"].tolist() == want["revenue_micro"].tolist()
+    assert out["o_orderdate_us"].tolist() == want["o_orderdate_us"].tolist()
+
+
+def test_inactive_customers_anti_join(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import inactive_customers
+
+    out = inactive_customers(SF, since="2001-01-01").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    active = set(orders.loc[orders.o_orderdate >= pd.Timestamp("2001-01-01"), "o_custkey"])
+    want = cust[~cust.c_custkey.isin(active)]
+    assert sorted(out["c_custkey"]) == sorted(want["c_custkey"])
+    assert 0 < len(out) < len(cust)
