@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         # windowed / temporal / grouped aggregates
         "events_tumbling_window": relational.events_tumbling_window,
         "events_hopping_window": relational.events_hopping_window,
@@ -200,8 +201,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT) % 20 = 0"
         ),
-        # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64 and
-        # ann_topk_lsh are heuristic / sketch-based (not SQL-expressible):
-        # rows-only for the driver, pinned by exact reference
-        # implementations in tests/test_ops.py.
+        # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
+        # ann_topk_lsh and ann_topk_ivf are heuristic / sketch-based (not
+        # SQL-expressible): rows-only for the driver, pinned by exact
+        # reference implementations / recall bounds in tests/test_ops.py.
     }

@@ -5,6 +5,11 @@
 - `ann_topk_lsh`: random-hyperplane LSH bucketing (Charikar 2002) —
   the scale path: candidates only come from matching buckets across a
   few hash tables, so each batch multiplies against a small slice.
+- `ann_topk_ivf`: IVF-flat (inverted-file) — spherical k-means
+  centroids trained once on a sample, broadcast; each batch assigns its
+  vectors to centroids and scans only the `nprobe` cells nearest each
+  query. At nprobe == nlist it degrades to exact brute force (pinned in
+  tests).
 """
 
 from __future__ import annotations
@@ -16,7 +21,13 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["load_embedding_matrix", "ann_topk_bruteforce", "ann_topk_lsh"]
+__all__ = [
+    "load_embedding_matrix",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "spherical_kmeans",
+]
 
 
 def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -192,6 +203,110 @@ def ann_topk_lsh(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         BucketScan,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    return _finalize_topk(local, k)
+
+
+def spherical_kmeans(
+    unit_vecs: np.ndarray, nlist: int, seed: int = 13, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means (cosine): seeded init, fixed
+    iteration count, centroids re-normalized each round. Empty cells
+    keep their previous centroid so nlist is stable."""
+    rng = np.random.default_rng(seed)
+    init = rng.permutation(len(unit_vecs))[:nlist]
+    cents = unit_vecs[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit_vecs @ cents.T, axis=1)
+        for c in range(nlist):
+            members = unit_vecs[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 13,
+) -> rd.Dataset:
+    """Approximate top-k via an IVF-flat index.
+
+    Train: spherical k-means on a deterministic sample (driver-side,
+    once; at 100 TB this trains on `ds.random_sample`-style hash-mod
+    sample and the centroid matrix — nlist x dim, a few MB — is the
+    ONLY broadcast state). Search: each batch computes its vectors'
+    cell assignments vectorized, and for every query scans only the
+    `nprobe` cells nearest the query; candidates reduce through the
+    same local-top-k + single-block finalize as the exact baseline.
+    Recall is tunable via nprobe; nprobe == nlist is exactly brute
+    force.
+    """
+    ids, mat = load_embedding_matrix(sf_dir)
+    unit = _unit(mat)
+    order = np.argsort(ids)
+    q_idx = order[:n_queries]
+    q_ids, q_unit = ids[q_idx], unit[q_idx]
+
+    sample = unit[np.sort(order[:train_sample])] if train_sample < len(unit) else unit
+    cents = spherical_kmeans(sample, min(nlist, len(sample)), seed=seed)
+    # Cells each query probes: nprobe nearest centroids.
+    q_cells = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
+    probe_by_cell: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in q_cells[qi]:
+            probe_by_cell.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, q_unit, cents, probe_by_cell, k))
+
+    class CellScan:
+        def __init__(self, ref):
+            (self.q_ids, self.q_unit, self.cents,
+             self.probe_by_cell, self.k) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = _unit(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            assign = np.argmax(emb @ self.cents.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for cell, qis in self.probe_by_cell.items():
+                rows = np.flatnonzero(assign == cell)
+                if not len(rows):
+                    continue
+                sims = emb[rows] @ self.q_unit[qis].T  # (rows, probes)
+                for j, qi in enumerate(qis):
+                    col = sims[:, j]
+                    mask = vid[rows] != self.q_ids[qi]
+                    cand_ids = vid[rows][mask]
+                    cand_sims = col[mask]
+                    if len(cand_ids) > self.k:
+                        part = np.argpartition(-cand_sims, self.k)[: self.k + 1]
+                        cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                    sel = np.lexsort((cand_ids, -cand_sims))[: self.k]
+                    out_q.extend([self.q_ids[qi]] * len(sel))
+                    out_n.extend(cand_ids[sel].tolist())
+                    out_s.extend(cand_sims[sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        CellScan,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         batch_size=2048,

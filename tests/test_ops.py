@@ -363,3 +363,33 @@ def test_inactive_customers_anti_join(ray_session):
     want = cust[~cust.c_custkey.isin(active)]
     assert sorted(out["c_custkey"]) == sorted(want["c_custkey"])
     assert 0 < len(out) < len(cust)
+
+
+def test_ann_ivf_full_probe_is_exact(ray_session):
+    """nprobe == nlist scans every cell -> identical to brute force."""
+    from ocrs_ray.ops.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=5).to_pandas()
+    ivf = ann_topk_ivf(SF, n_queries=5, k=5, nlist=8, nprobe=8).to_pandas()
+    cols = ["query_id", "rank", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(cols[:2]).reset_index(drop=True)[cols],
+        ivf.sort_values(cols[:2]).reset_index(drop=True)[cols],
+    )
+
+
+def test_ann_ivf_partial_probe_recall(ray_session):
+    """nprobe < nlist trades recall for scan volume; recall stays high
+    on the clustered synthetic embeddings."""
+    from ocrs_ray.ops.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10).to_pandas()
+    ivf = ann_topk_ivf(SF, n_queries=5, k=10, nlist=16, nprobe=4).to_pandas()
+    hits = 0
+    total = 0
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(ivf.loc[ivf.query_id == qid, "neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5  # embeddings are label-clustered; 4/16 cells
