@@ -48,11 +48,18 @@ def _ocr_docs(sf_dir: str):
         read_spans,
     )
 
+    import ray
+
     paths = _corpus_for(sf_dir)
     ds = read_spans(paths["spans"])
     media = load_media_store(paths["media"])
+    # Pool sized to the cluster: a fixed pool taking every CPU deadlocks
+    # small clusters (actors + shuffle aggregators + the 1-CPU read task
+    # exceed the budget; see bench.py run_headline).
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    w = max(2, min(ncpu - 2, 4))
     return build_ocr_pipeline(
-        ds, media, OcrPipelineConfig(ocr_concurrency=4, reassemble_partitions=8)
+        ds, media, OcrPipelineConfig(ocr_concurrency=w, reassemble_partitions=8)
     )
 
 
@@ -108,6 +115,36 @@ def _ocr_doc_stats(sf_dir: str):
         )
 
     return docs.map_batches(doc_counts, batch_format="pyarrow")
+
+
+def _ocr_doc_text(sf_dir: str):
+    """Document-level plain-text sink: span texts joined with newlines
+    in offset order — the Ray-side equivalent of the reference's
+    one-shot `get_text` (ocrs/src/lib.rs:290-300 joins recognized lines
+    with '\\n'; here the join runs per document over the reassembled
+    span sequence). Fully vectorized: pyarrow `binary_join` over the
+    already-sorted span lists, no extra shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _ocr_docs(sf_dir)
+
+    def join_text(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        # reassemble_block already sorted each span list by offset.
+        texts = pc.list_flatten(spans).field("text")
+        offsets = pa.ListArray.from_arrays(spans.offsets, texts)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "doc_text": pc.binary_join(offsets, "\n"),
+            }
+        )
+
+    return docs.map_batches(join_text, batch_format="pyarrow")
 
 
 def _ocr_layout(sf_dir: str):
@@ -231,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_pipeline_flat": _ocr_flat,
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
+        "ocr_doc_text": _ocr_doc_text,
         "ocr_layout": _ocr_layout,
         "ocr_joined_flat": _ocr_joined_flat,
         "media_features": _media_features,
@@ -267,6 +305,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_doc_stats": (
             f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
             f"CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media "
+            f"FROM read_parquet('{golden}') GROUP BY doc_id"
+        ),
+        "ocr_doc_text": (
+            f"SELECT doc_id, string_agg(text, chr(10) ORDER BY \"offset\") AS doc_text "
             f"FROM read_parquet('{golden}') GROUP BY doc_id"
         ),
     }

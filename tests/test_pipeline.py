@@ -134,3 +134,44 @@ def test_joined_pipeline_matches_broadcast(ray_session):
         for _, r in got.iterrows()
     }
     assert got_docs == exp_docs
+
+
+def test_doc_text_sink_matches_golden(ray_session, corpus):
+    """Document-level plain-text sink (the reference's get_text shape,
+    ocrs/src/lib.rs:290-300): span texts joined with '\n' in offset
+    order, per document."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_spans(corpus["spans"])
+    media = load_media_store(corpus["media"])
+    docs = build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2, reassemble_partitions=4)
+    )
+
+    def join_text(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        texts = pc.list_flatten(spans).field("text")
+        lists = pa.ListArray.from_arrays(spans.offsets, texts)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "doc_text": pc.binary_join(lists, "\n")}
+        )
+
+    got = (
+        docs.map_batches(join_text, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp_flat = pq.read_table(corpus["expected_flat"]).to_pandas()
+    want = (
+        exp_flat.sort_values(["doc_id", "offset"])
+        .groupby("doc_id")["text"]
+        .agg("\n".join)
+        .rename("doc_text")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want)
