@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "inactive_customers": relational.inactive_customers,
+        "supplier_region_rollup": relational.supplier_region_rollup,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -135,6 +136,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "supplier_region_rollup": (
+            "SELECT r.r_name, "
+            "CAST(sum(CAST(round(s.s_acctbal * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_acctbal_micro, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers "
+            "FROM supplier s "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY 1"
         ),
         "ngram_jaccard_pairs": (
             r"WITH sh AS (SELECT doc_id, list_distinct("

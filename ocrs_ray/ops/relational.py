@@ -26,6 +26,7 @@ __all__ = [
     "lineitem_pricing_summary",
     "q3_top_orders",
     "inactive_customers",
+    "supplier_region_rollup",
     "round_half_away",
 ]
 
@@ -524,3 +525,64 @@ def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(AntiProbe, fn_constructor_args=(keys_ref,),
                   batch_format="pandas", concurrency=(1, 2))
+
+
+def supplier_region_rollup(sf_dir: str) -> rd.Dataset:
+    """Dimension-chain broadcast join: supplier x nation x region ->
+    per-region supplier stats.
+
+    The two dimension tables are pre-joined driver-side into ONE
+    nationkey -> region_name lookup (dims are tiny by definition) and
+    broadcast once; the fact scan probes it per batch. This is the
+    star-schema shape at any scale: only the fact table streams, the
+    shuffle carries one partial row per (region, block).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    r_name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    nat_to_region = {
+        nk: r_name[rk]
+        for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(nat_to_region)
+
+    class Probe:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "r_name": batch["s_nationkey"].map(self.lookup),
+                    "acctbal_micro": round_half_away(
+                        batch["s_acctbal"].to_numpy() * MICRO
+                    ).astype("int64"),
+                    "n": np.ones(len(batch), dtype="int64"),
+                }
+            )
+            return df.groupby("r_name", as_index=False).sum()
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+                  concurrency=(1, 2))
+    enable_hash_shuffle(ds)
+    return ds.groupby("r_name").aggregate(
+        Sum("acctbal_micro", alias_name="sum_acctbal_micro"),
+        Sum("n", alias_name="n_suppliers"),
+    )

@@ -393,3 +393,26 @@ def test_ann_ivf_partial_probe_recall(ray_session):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.5  # embeddings are label-clustered; 4/16 cells
+
+
+def test_supplier_region_rollup(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import round_half_away, supplier_region_rollup
+
+    out = supplier_region_rollup(SF).to_pandas().sort_values("r_name").reset_index(drop=True)
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    j = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    j["micro"] = round_half_away(j["s_acctbal"].to_numpy() * 1_000_000).astype("int64")
+    want = (
+        j.groupby("r_name", as_index=False)
+        .agg(sum_acctbal_micro=("micro", "sum"), n_suppliers=("s_suppkey", "count"))
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    want["n_suppliers"] = want["n_suppliers"].astype("int64")
+    pd.testing.assert_frame_equal(out[["r_name", "sum_acctbal_micro", "n_suppliers"]], want)
