@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "inactive_customers": relational.inactive_customers,
         "supplier_region_rollup": relational.supplier_region_rollup,
+        "events_value_quantiles": relational.events_value_quantiles,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -136,6 +137,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "events_value_quantiles": (
+            "SELECT event_type, "
+            "CAST(quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.5) "
+            "AS BIGINT) AS p50_micro, "
+            "CAST(quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.95) "
+            "AS BIGINT) AS p95_micro, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1"
         ),
         "supplier_region_rollup": (
             "SELECT r.r_name, "

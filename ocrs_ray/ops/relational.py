@@ -27,6 +27,7 @@ __all__ = [
     "q3_top_orders",
     "inactive_customers",
     "supplier_region_rollup",
+    "events_value_quantiles",
     "round_half_away",
 ]
 
@@ -585,4 +586,57 @@ def supplier_region_rollup(sf_dir: str) -> rd.Dataset:
     return ds.groupby("r_name").aggregate(
         Sum("acctbal_micro", alias_name="sum_acctbal_micro"),
         Sum("n", alias_name="n_suppliers"),
+    )
+
+
+def events_value_quantiles(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """Exact grouped quantiles (p50/p95) of event value per event_type.
+
+    One hash shuffle co-locates each group, then the per-block kernel is
+    a single vectorized sort. Quantile convention matches SQL
+    `quantile_disc`: sorted element at index ceil(q*n)-1, computed on
+    integer micro-units so the oracle compares bit-exactly. Group
+    cardinality is bounded (event types), so whole-group blocks are the
+    right shape; unbounded groups would switch to a mergeable sketch
+    (t-digest) with the same pipeline shape.
+    """
+
+    def to_micro(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "value_micro": round_half_away(
+                    batch["value"].to_numpy() * MICRO
+                ).astype("int64"),
+            }
+        )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "p50_micro": pd.Series([], dtype="int64"),
+                    "p95_micro": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        out = []
+        for etype, g in df.groupby("event_type"):
+            v = np.sort(g["value_micro"].to_numpy())
+            n = len(v)
+            pick = lambda q: int(v[int(np.ceil(q * n)) - 1])
+            out.append((etype, pick(0.5), pick(0.95), n))
+        return pd.DataFrame(
+            out, columns=["event_type", "p50_micro", "p95_micro", "n_events"]
+        ).astype({"p50_micro": "int64", "p95_micro": "int64", "n_events": "int64"})
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(to_micro, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=["event_type"]).map_batches(
+        quantiles, batch_format="pandas", batch_size=None
     )

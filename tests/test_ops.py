@@ -416,3 +416,24 @@ def test_supplier_region_rollup(ray_session):
     )
     want["n_suppliers"] = want["n_suppliers"].astype("int64")
     pd.testing.assert_frame_equal(out[["r_name", "sum_acctbal_micro", "n_suppliers"]], want)
+
+
+def test_events_value_quantiles_exact(ray_session):
+    """Distributed grouped quantiles == single-process numpy reference
+    using the quantile_disc convention (sorted[ceil(q*n)-1])."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_value_quantiles, round_half_away
+
+    out = events_value_quantiles(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    ev["micro"] = round_half_away(ev["value"].to_numpy() * 1_000_000).astype("int64")
+    rows = []
+    for etype, g in ev.groupby("event_type"):
+        v = np.sort(g["micro"].to_numpy())
+        n = len(v)
+        rows.append(
+            (etype, int(v[int(np.ceil(0.5 * n)) - 1]), int(v[int(np.ceil(0.95 * n)) - 1]), n)
+        )
+    want = pd.DataFrame(rows, columns=["event_type", "p50_micro", "p95_micro", "n_events"])
+    pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
