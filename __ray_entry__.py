@@ -44,20 +44,22 @@ def _ocr_docs(sf_dir: str):
     from ocrs_ray.pipeline import (
         OcrPipelineConfig,
         build_ocr_pipeline,
+        cluster_ncpu,
         load_media_store,
         read_spans,
     )
-
-    import ray
 
     paths = _corpus_for(sf_dir)
     ds = read_spans(paths["spans"])
     media = load_media_store(paths["media"])
     # Pool sized to the cluster: a fixed pool taking every CPU deadlocks
     # small clusters (actors + shuffle aggregators + the 1-CPU read task
-    # exceed the budget; see bench.py run_headline).
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    w = max(2, min(ncpu - 2, 4))
+    # exceed the budget; see bench.py run_headline). Floor of 1, never
+    # 2 — at ncpu<=3 a second actor IS the deadlock. Conservative
+    # pre-init fallback (4 CPUs -> 2 actors) since the driver contract
+    # guarantees init happened, but a wrong guess must not hang.
+    ncpu = cluster_ncpu(default=4)
+    w = max(1, min(ncpu - 2, 4))
     return build_ocr_pipeline(
         ds, media, OcrPipelineConfig(ocr_concurrency=w, reassemble_partitions=8)
     )
@@ -135,12 +137,22 @@ def _ocr_doc_text(sf_dir: str):
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
         # reassemble_block already sorted each span list by offset.
+        # Offsets are re-derived from list lengths rather than taken
+        # from spans.offsets: list_flatten compacts null/sliced lists,
+        # so the raw offsets buffer can misalign against its output.
+        import numpy as np
+
         texts = pc.list_flatten(spans).field("text")
-        offsets = pa.ListArray.from_arrays(spans.offsets, texts)
+        lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lengths)]), type=pa.int32()
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "doc_text": pc.binary_join(offsets, "\n"),
+                "doc_text": pc.binary_join(
+                    pa.ListArray.from_arrays(offsets, texts), "\n"
+                ),
             }
         )
 

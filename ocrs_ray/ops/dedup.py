@@ -164,6 +164,68 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return _jaccard(set(_shingles(text_a, k)), set(_shingles(text_b, k)))
 
 
+def _broadcast_texts(docs: rd.Dataset):
+    """Collect doc_id -> text and broadcast once via ray.put (test
+    scale); at 100 TB verification becomes a hash join of candidate
+    pairs against documents on doc_id instead."""
+    texts: dict[int, str] = {}
+    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(
+            zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        )
+    return ray.put(texts)
+
+
+_EMPTY_PAIRS = {
+    "doc_a": pd.Series([], dtype="int64"),
+    "doc_b": pd.Series([], dtype="int64"),
+}
+
+
+def _pairs_in_key_groups(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """All (doc_a, doc_b) pairs within each key group of this block.
+
+    The preceding hash repartition on the key co-locates each group;
+    pairs are generated per run of the sorted block (vectorized
+    triangle indices), not per-group Ray tasks.
+    """
+    if batch.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    b = batch.sort_values([*key_cols, "doc_id"], kind="stable")
+    key = b[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        key = key + "|" + b[c].astype(str)
+    key = key.to_numpy()
+    ids = b["doc_id"].to_numpy()
+    boundaries = np.flatnonzero(key[1:] != key[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(ids)]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        iu = np.triu_indices(n, k=1)
+        out_a.append(ids[s:e][iu[0]])
+        out_b.append(ids[s:e][iu[1]])
+    if not out_a:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def _dedup_pairs(candidates: rd.Dataset, partitions: int = 8) -> rd.Dataset:
+    """A pair can surface from many groups: hash-partition on the pair
+    and drop duplicates per block (globally correct — a given pair
+    always lands in the same partition)."""
+    return candidates.repartition(partitions, keys=["doc_a", "doc_b"]).map_batches(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
 def _prefix_rows(batch: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
     """Emit each doc's prefix-filter shingles as (token, doc_id) rows.
 
@@ -213,55 +275,22 @@ def ngram_jaccard_pairs(
     hash join of candidate pairs against documents on doc_id.
     """
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
-    texts: dict[int, str] = {}
-    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(
-            zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
-        )
-    texts_ref = ray.put(texts)
+    texts_ref = _broadcast_texts(docs)
 
     prefix = docs.map_batches(
         _prefix_rows, fn_kwargs={"k": k, "threshold": threshold}, batch_format="pandas"
     )
 
-    def bucket_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-            )
-        b = batch.sort_values(["token", "doc_id"], kind="stable")
-        key = b["token"].to_numpy()
-        ids = b["doc_id"].to_numpy()
-        boundaries = np.flatnonzero(key[1:] != key[:-1]) + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [len(ids)]])
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            iu = np.triu_indices(n, k=1)
-            out_a.append(ids[s:e][iu[0]])
-            out_b.append(ids[s:e][iu[1]])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
-
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     enable_hash_shuffle(prefix)
     candidates = prefix.repartition(8, keys=["token"]).map_batches(
-        bucket_pairs, batch_format="pandas", batch_size=None
-    )
-    unique_pairs = candidates.repartition(8, keys=["doc_a", "doc_b"]).map_batches(
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        _pairs_in_key_groups,
+        fn_kwargs={"key_cols": ["token"]},
         batch_format="pandas",
         batch_size=None,
     )
+    unique_pairs = _dedup_pairs(candidates)
 
     class ExactVerifier:
         def __init__(self, ref, k, threshold):
@@ -304,11 +333,7 @@ def minhash_lsh_pairs(
     """
     cfg = cfg or MinHashConfig()
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
-    # Broadcast doc texts for verification.
-    texts = {}
-    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
+    texts_ref = _broadcast_texts(docs)
 
     sigs = docs.map_batches(
         MinHasher, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 2)
@@ -317,51 +342,16 @@ def minhash_lsh_pairs(
         _band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
 
-    def bucket_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
-        """All candidate pairs within each LSH bucket of this block.
-
-        The preceding hash repartition on band_hash co-locates each
-        bucket; pairs are generated per run of the sorted block
-        (vectorized triangle indices), not per-group Ray tasks.
-        """
-        if batch.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        b = batch.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
-        key = b["band_id"].astype(str) + "|" + b["band_hash"]
-        ids = b["doc_id"].to_numpy()
-        boundaries = np.flatnonzero(key.to_numpy()[1:] != key.to_numpy()[:-1]) + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [len(ids)]])
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            iu = np.triu_indices(n, k=1)
-            out_a.append(ids[s:e][iu[0]])
-            out_b.append(ids[s:e][iu[1]])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
-
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     enable_hash_shuffle(bands)
     candidates = bands.repartition(8, keys=["band_hash"]).map_batches(
-        bucket_pairs_block, batch_format="pandas", batch_size=None
-    )
-    # A pair can surface from many bands: hash-partition on the pair and
-    # drop duplicates per block (vectorized, globally correct since a
-    # given pair always lands in the same partition).
-    unique_pairs = candidates.repartition(8, keys=["doc_a", "doc_b"]).map_batches(
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        _pairs_in_key_groups,
+        fn_kwargs={"key_cols": ["band_id", "band_hash"]},
         batch_format="pandas",
         batch_size=None,
     )
+    unique_pairs = _dedup_pairs(candidates)
 
     class Verifier:
         def __init__(self, ref, k, threshold):

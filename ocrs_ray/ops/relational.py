@@ -307,6 +307,11 @@ def events_hopping_window(
     the shuffle still moves one row per (type, window) per batch — the
     window overlap factor never multiplies shuffled bytes.
     """
+    if size_s % hop_s != 0:
+        raise ValueError(
+            f"size_s ({size_s}) must be a multiple of hop_s ({hop_s}): "
+            "partial-overlap windows would be silently dropped otherwise"
+        )
     fanout = size_s // hop_s
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -403,14 +408,13 @@ def q3_top_orders(
 
     import ray
 
-    from ocrs_ray.pipeline import enable_hash_shuffle
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     # Patch the context BEFORE creating any dataset: the join's
     # aggregator pool must be sized to the cluster or it starves the
     # read/map tasks on small clusters (see enable_hash_shuffle).
     enable_hash_shuffle()
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    join_partitions = max(2, min(16, ncpu))
+    join_partitions = max(2, min(16, cluster_ncpu()))
 
     cutoff_ts = pd.Timestamp(cutoff)
     cust = pq.read_table(
@@ -469,8 +473,6 @@ def q3_top_orders(
         return batch.groupby(
             ["o_orderkey", "o_orderdate_us"], as_index=False
         ).agg(revenue_micro=("revenue_micro", "sum"))
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
 
     partials = joined.map_batches(join_partial, batch_format="pandas")
     enable_hash_shuffle(partials)

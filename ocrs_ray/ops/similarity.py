@@ -45,6 +45,22 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
+def _local_topk_select(
+    cand_ids: np.ndarray, cand_sims: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (-sim, id): tie-EXACT. A plain argpartition truncation
+    keeps an arbitrary subset of candidates tied at the k-th similarity,
+    which breaks the 'IVF at nprobe==nlist == brute force' invariant on
+    tied inputs; instead partition for the k-th value, keep ALL ties at
+    the threshold (still O(B)), then sort the small survivor set."""
+    if len(cand_ids) > k:
+        kth = np.partition(cand_sims, len(cand_sims) - k)[len(cand_sims) - k]
+        keep = cand_sims >= kth
+        cand_ids, cand_sims = cand_ids[keep], cand_sims[keep]
+    sel = np.lexsort((cand_ids, -cand_sims))[:k]
+    return cand_ids[sel], cand_sims[sel]
+
+
 def ann_topk_bruteforce(
     sf_dir: str, n_queries: int = 10, k: int = 10
 ) -> rd.Dataset:
@@ -75,16 +91,10 @@ def ann_topk_bruteforce(
             for qi in range(len(self.q_ids)):
                 row = sims[qi]
                 mask = vid != self.q_ids[qi]  # exclude self
-                cand_ids = vid[mask]
-                cand_sims = row[mask]
-                if len(cand_ids) > self.k:
-                    # partial select then exact sort with id tiebreak
-                    part = np.argpartition(-cand_sims, self.k)[: self.k + 1]
-                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
-                sel = np.lexsort((cand_ids, -cand_sims))[: self.k]
-                out_q.extend([self.q_ids[qi]] * len(sel))
-                out_n.extend(cand_ids[sel].tolist())
-                out_s.extend(cand_sims[sel].tolist())
+                top_ids, top_sims = _local_topk_select(vid[mask], row[mask], self.k)
+                out_q.extend([self.q_ids[qi]] * len(top_ids))
+                out_n.extend(top_ids.tolist())
+                out_s.extend(top_sims.tolist())
             return pa.table(
                 {
                     "query_id": pa.array(out_q, type=pa.int64()),
@@ -286,15 +296,12 @@ def ann_topk_ivf(
                 for j, qi in enumerate(qis):
                     col = sims[:, j]
                     mask = vid[rows] != self.q_ids[qi]
-                    cand_ids = vid[rows][mask]
-                    cand_sims = col[mask]
-                    if len(cand_ids) > self.k:
-                        part = np.argpartition(-cand_sims, self.k)[: self.k + 1]
-                        cand_ids, cand_sims = cand_ids[part], cand_sims[part]
-                    sel = np.lexsort((cand_ids, -cand_sims))[: self.k]
-                    out_q.extend([self.q_ids[qi]] * len(sel))
-                    out_n.extend(cand_ids[sel].tolist())
-                    out_s.extend(cand_sims[sel].tolist())
+                    top_ids, top_sims = _local_topk_select(
+                        vid[rows][mask], col[mask], self.k
+                    )
+                    out_q.extend([self.q_ids[qi]] * len(top_ids))
+                    out_n.extend(top_ids.tolist())
+                    out_s.extend(top_sims.tolist())
             return pa.table(
                 {
                     "query_id": pa.array(out_q, type=pa.int64()),

@@ -528,6 +528,15 @@ def reassemble_block(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": doc_ids, "spans": spans}, schema=SPANS_SCHEMA)
 
 
+def cluster_ncpu(default: int = 8) -> int:
+    """CPU budget of the current Ray cluster (fallback when Ray is not
+    yet initialized). The single source of truth for pool/partition
+    sizing — keep callers on this helper so the fallback can't diverge."""
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", default))
+    return default
+
+
 def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
     """Switch Ray Data to the hash-shuffle strategy (needed for
     key-based repartition; also the right all-to-all strategy for the
@@ -540,7 +549,7 @@ def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
     try:
         from ray.data.context import ShuffleStrategy
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ncpu = cluster_ncpu()
         contexts = [rd.DataContext.get_current()]
         if ds is not None and getattr(ds, "context", None) is not None:
             contexts.append(ds.context)

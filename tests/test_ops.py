@@ -437,3 +437,20 @@ def test_events_value_quantiles_exact(ray_session):
         )
     want = pd.DataFrame(rows, columns=["event_type", "p50_micro", "p95_micro", "n_events"])
     pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
+
+
+def test_local_topk_select_tie_exact():
+    """Candidates tied at the k-th similarity resolve by id ascending,
+    regardless of input order (the invariant that makes IVF at
+    nprobe==nlist bit-identical to brute force)."""
+    from ocrs_ray.ops.similarity import _local_topk_select
+
+    sims = np.array([0.9, 0.5, 0.5, 0.5, 0.5, 0.1])
+    ids = np.array([10, 40, 30, 20, 50, 60])
+    top_ids, top_sims = _local_topk_select(ids, sims, k=3)
+    assert top_ids.tolist() == [10, 20, 30]  # ties -> smallest ids win
+    assert top_sims.tolist() == [0.9, 0.5, 0.5]
+    # permuted input gives the identical answer
+    perm = np.array([3, 0, 5, 2, 4, 1])
+    top_ids2, _ = _local_topk_select(ids[perm], sims[perm], k=3)
+    assert top_ids2.tolist() == [10, 20, 30]

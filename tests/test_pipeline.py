@@ -150,12 +150,18 @@ def test_doc_text_sink_matches_golden(ray_session, corpus):
     )
 
     def join_text(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         t = t.combine_chunks()
         spans = t.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
         texts = pc.list_flatten(spans).field("text")
-        lists = pa.ListArray.from_arrays(spans.offsets, texts)
+        lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lengths)]), type=pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(offsets, texts)
         return pa.table(
             {"doc_id": t.column("doc_id"), "doc_text": pc.binary_join(lists, "\n")}
         )
