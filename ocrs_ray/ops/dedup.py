@@ -142,24 +142,37 @@ def minhash_signatures(sf_dir: str, cfg: MinHashConfig | None = None) -> rd.Data
 
 
 def _band_rows(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
-    sigs = batch.column("signature").to_pylist()
-    doc = batch.column("doc_id").to_pylist()
+    """Explode signatures to (band_id, band_hash, doc_id) rows.
+
+    The band hash is a vectorized FNV-1a-style uint64 mix over the
+    band's signature chunk (one pass over a (docs, bands, rows) cube) —
+    it only needs to identify EQUAL chunks; a collision merely adds a
+    candidate pair that the exact-Jaccard verifier discards.
+    """
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    sigs = np.asarray(batch.column("signature").to_pylist(), dtype=np.int64)
+    doc = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    n = len(doc)
     rows_per_band = cfg.num_perm // cfg.bands
-    band_id, band_hash, doc_id = [], [], []
-    for d, sig in zip(doc, sigs):
-        arr = np.asarray(sig, dtype=np.int64)
-        for b in range(cfg.bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            band_id.append(b)
-            band_hash.append(h)
-            doc_id.append(d)
+    cube = sigs.view(np.uint64).reshape(n, cfg.bands, rows_per_band)
+    h = np.full((n, cfg.bands), 14695981039346656037, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows_per_band):
+            h = (h ^ cube[:, :, r]) * np.uint64(1099511628211)
     return pa.table(
         {
-            "band_id": pa.array(band_id, type=pa.int32()),
-            "band_hash": band_hash,
-            "doc_id": doc_id,
+            "band_id": pa.array(
+                np.tile(np.arange(cfg.bands, dtype=np.int32), n), type=pa.int32()
+            ),
+            "band_hash": pa.array(h.view(np.int64).ravel(), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc, cfg.bands), type=pa.int64()),
         }
     )
 
