@@ -139,28 +139,37 @@ def outer_contours(labels: np.ndarray, n: int) -> list[np.ndarray]:
     """
     h, w = labels.shape
     out: list[np.ndarray] = []
-    # First pixel of each component in row-major order.
     flat = labels.ravel()
-    first_idx = np.full(n + 1, -1, dtype=np.int64)
     nz = np.flatnonzero(flat)
-    # Iterate components by scanning unique labels' first occurrence.
-    seen = np.zeros(n + 1, dtype=bool)
-    firsts: list[tuple[int, int]] = [(-1, -1)] * (n + 1)
-    for idx in nz:
-        lab = flat[idx]
-        if not seen[lab]:
-            seen[lab] = True
-            firsts[lab] = (int(idx % w), int(idx // w))
-            first_idx[lab] = idx
-            if seen[1:].all():
-                break
+    labs = flat[nz]
+    ys, xs = nz // w, nz % w
+    # First pixel of each component in row-major order (labs is already
+    # row-major, so the first occurrence per label is the start pixel).
+    uniq, first = np.unique(labs, return_index=True)
+    # Per-component bounding boxes, one vectorized pass — tracing then
+    # works on a small crop instead of a full-size mask per component.
+    x0 = np.full(n + 1, w, dtype=np.int64)
+    x1 = np.zeros(n + 1, dtype=np.int64)
+    y0 = np.full(n + 1, h, dtype=np.int64)
+    y1 = np.zeros(n + 1, dtype=np.int64)
+    np.minimum.at(x0, labs, xs)
+    np.maximum.at(x1, labs, xs)
+    np.minimum.at(y0, labs, ys)
+    np.maximum.at(y1, labs, ys)
+    first_of = dict(zip(uniq.tolist(), first.tolist()))
     for lab in range(1, n + 1):
-        comp = labels == lab
-        padded = np.zeros((h + 2, w + 2), dtype=bool)
-        padded[1:-1, 1:-1] = comp
-        fx, fy = firsts[lab]
-        pts = _trace_border(padded, (fx + 1, fy + 1))
-        out.append(pts - 1)
+        i = first_of[lab]
+        fx, fy = int(xs[i]), int(ys[i])
+        bx0, bx1 = int(x0[lab]), int(x1[lab])
+        by0, by1 = int(y0[lab]), int(y1[lab])
+        sub = labels[by0 : by1 + 1, bx0 : bx1 + 1] == lab
+        padded = np.zeros((sub.shape[0] + 2, sub.shape[1] + 2), dtype=bool)
+        padded[1:-1, 1:-1] = sub
+        pts = _trace_border(padded, (fx - bx0 + 1, fy - by0 + 1))
+        pts = pts - 1
+        pts[:, 0] += bx0
+        pts[:, 1] += by0
+        out.append(pts)
     return out
 
 

@@ -480,21 +480,33 @@ def downwards_line(l: Line) -> Line:
 
 
 def _convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain; points is (N, 2) float array of (x, y)."""
+    """Andrew's monotone chain; points is (N, 2) float array of (x, y).
+
+    The turn test is scalar python-float arithmetic, not np.cross:
+    per-2-vector numpy calls dominate the profile at this size and the
+    float64 product is bit-identical either way.
+    """
     pts = np.unique(points, axis=0)
     if len(pts) <= 2:
         return pts
     # np.unique sorts lexicographically by x then y already.
-    def half(iterable):
-        hull: list[np.ndarray] = []
-        for p in iterable:
-            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2], p - hull[-2]) <= 0:
-                hull.pop()
-            hull.append(p)
+    pairs = [(float(x), float(y)) for x, y in pts]
+
+    def half(seq):
+        hull: list[tuple[float, float]] = []
+        for px, py in seq:
+            while len(hull) >= 2:
+                ax, ay = hull[-2]
+                bx, by = hull[-1]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0:
+                    hull.pop()
+                else:
+                    break
+            hull.append((px, py))
         return hull
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(pairs)
+    upper = half(pairs[::-1])
     return np.array(lower[:-1] + upper[:-1])
 
 
@@ -575,9 +587,11 @@ def simplify_polygon(points: np.ndarray, epsilon: float) -> np.ndarray:
         if seg_len == 0:
             dists = np.hypot(mid[:, 0] - pts[lo][0], mid[:, 1] - pts[lo][1])
         else:
-            dists = (
-                np.abs(np.cross(seg[None, :], mid - pts[lo][None, :])) / seg_len
-            )
+            # |seg x (mid - lo)| / |seg|, written out — np.cross on 2-d
+            # inputs pays moveaxis/broadcast overhead per call.
+            dx = mid[:, 0] - pts[lo][0]
+            dy = mid[:, 1] - pts[lo][1]
+            dists = np.abs(seg[0] * dy - seg[1] * dx) / seg_len
         imax = int(np.argmax(dists))
         if dists[imax] > epsilon:
             k = lo + 1 + imax
@@ -606,31 +620,44 @@ def polygon_fill_rows(poly_xy: np.ndarray) -> list[tuple[int, int, int]]:
     poly = np.asarray(poly_xy, dtype=np.float64)
     if len(poly) < 3:
         return []
-    ys = poly[:, 1]
-    y_min = int(math.floor(ys.min()))
-    y_max = int(math.ceil(ys.max()))
     x1 = poly[:, 0]
     y1 = poly[:, 1]
     x2 = np.roll(x1, -1)
     y2 = np.roll(y1, -1)
-    runs: list[tuple[int, int, int]] = []
-    for y in range(y_min, y_max):
-        yc = y + 0.5
-        # Edges crossing the scanline at pixel-center height.
-        mask = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
-        if not mask.any():
-            continue
-        xa, ya, xb, yb = x1[mask], y1[mask], x2[mask], y2[mask]
-        t = (yc - ya) / (yb - ya)
-        xs = np.sort(xa + t * (xb - xa))
-        for i in range(0, len(xs) - 1, 2):
-            # Pixels with center in (xs[i], xs[i+1]): x + 0.5 > xs[i] and
-            # x + 0.5 < xs[i+1].
-            x_start = int(math.ceil(xs[i] - 0.5 + 1e-9))
-            x_end = int(math.ceil(xs[i + 1] - 0.5 - 1e-9))
-            if x_end > x_start:
-                runs.append((y, x_start, x_end))
-    return runs
+    # Vectorized over ALL (edge, scanline) crossings at once. An edge
+    # crosses scanline center yc iff min(y1,y2) <= yc < max(y1,y2)
+    # (identical to the per-row mask this replaces); the integer y range
+    # per edge is [ceil(ylo-0.5), ceil(yhi-0.5)).
+    ylo = np.minimum(y1, y2)
+    yhi = np.maximum(y1, y2)
+    y_start = np.ceil(ylo - 0.5).astype(np.int64)
+    y_end = np.ceil(yhi - 0.5).astype(np.int64)
+    counts = np.maximum(0, y_end - y_start)
+    total = int(counts.sum())
+    if total == 0:
+        return []
+    edge = np.repeat(np.arange(len(poly)), counts)
+    k = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    y = y_start[edge] + k
+    yc = y + 0.5
+    t = (yc - y1[edge]) / (y2[edge] - y1[edge])
+    xs = x1[edge] + t * (x2[edge] - x1[edge])
+    # Sort crossings by (scanline, x) and pair consecutive ones
+    # (even-odd rule). Degenerate odd-size groups drop the last
+    # unpaired crossing, as the per-row pairing loop did.
+    order = np.lexsort((xs, y))
+    y = y[order]
+    xs = xs[order]
+    starts = np.concatenate([[0], np.flatnonzero(y[1:] != y[:-1]) + 1])
+    glen = np.diff(np.concatenate([starts, [total]]))
+    rank = np.arange(total) - np.repeat(starts, glen)
+    is_a = (rank % 2 == 0) & (rank + 1 < np.repeat(glen, glen))
+    xa = xs[is_a]
+    xb = xs[np.flatnonzero(is_a) + 1]
+    x_start = np.ceil(xa - 0.5 + 1e-9).astype(np.int64)
+    x_end = np.ceil(xb - 0.5 - 1e-9).astype(np.int64)
+    keep = x_end > x_start
+    return list(zip(y[is_a][keep].tolist(), x_start[keep].tolist(), x_end[keep].tolist()))
 
 
 def polygon_is_simple(poly_xy: np.ndarray) -> bool:

@@ -417,11 +417,8 @@ def simhash64(sf_dir: str) -> rd.Dataset:
             shifts = np.arange(64, dtype=np.uint64)
             bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    val |= np.uint64(1) << np.uint64(i)
-            out.append(f"{int(val):016x}")
+            val = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out.append(f"{val:016x}")
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": out})
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
