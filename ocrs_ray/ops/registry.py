@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers,
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_distinct_users_hll": relational.events_distinct_users_hll,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -223,7 +224,8 @@ def oracle_sql() -> dict[str, str]:
             "AS UBIGINT) % 20 = 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
-        # ann_topk_lsh and ann_topk_ivf are heuristic / sketch-based (not
-        # SQL-expressible): rows-only for the driver, pinned by exact
-        # reference implementations / recall bounds in tests/test_ops.py.
+        # ann_topk_lsh, ann_topk_ivf and events_distinct_users_hll are
+        # heuristic / sketch-based (not SQL-expressible): rows-only for
+        # the driver, pinned by exact reference implementations / recall
+        # or error bounds in tests/test_ops.py.
     }

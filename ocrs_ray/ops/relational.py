@@ -28,6 +28,7 @@ __all__ = [
     "inactive_customers",
     "supplier_region_rollup",
     "events_value_quantiles",
+    "events_distinct_users_hll",
     "round_half_away",
 ]
 
@@ -641,4 +642,85 @@ def events_value_quantiles(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     enable_hash_shuffle(ds)
     return ds.repartition(partitions, keys=["event_type"]).map_batches(
         quantiles, batch_format="pandas", batch_size=None
+    )
+
+
+_HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) = 1.6%
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """HyperLogLog register vector (max leading-zero rank per bucket)."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+    if len(hashes) == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    # rank = leading zeros of the remaining 64-P bits, + 1 (cap at 64-P+1
+    # when the rest is all zeros).
+    rank = np.full(len(h), 64 - _HLL_P + 1, dtype=np.int8)
+    nz = rest != 0
+    # log2 of a uint64 via float is unsafe past 2^53; shift down first.
+    top32 = (rest[nz] >> np.uint64(32)).astype(np.uint64)
+    lz = np.where(
+        top32 != 0,
+        31 - np.floor(np.log2(top32.astype(np.float64) + 0.5)).astype(np.int64),
+        32 + 63 - np.floor(
+            np.log2((rest[nz] & np.uint64(0xFFFFFFFF)).astype(np.float64) + 0.5)
+        ).astype(np.int64) - 32,
+    )
+    rank[nz] = (lz + 1).astype(np.int8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) fix."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def events_distinct_users_hll(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """APPROXIMATE distinct users per event_type via HyperLogLog.
+
+    The mergeable-sketch shape for count-distinct when per-key user sets
+    no longer fit anywhere: each batch emits one 4096-byte register
+    vector per key (constant size regardless of row count), registers
+    merge with element-wise max after one hash shuffle, and the estimate
+    is within ~1.6% (p=12). The exact path for bounded keys is
+    `events_daily_active_users`.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        hashes = pd.util.hash_array(batch["user_id"].to_numpy()).astype(np.uint64)
+        for etype, idx in batch.groupby("event_type").groups.items():
+            pos = batch.index.get_indexer(idx)
+            out.append((etype, _hll_registers(hashes[pos]).tobytes()))
+        return pd.DataFrame(out, columns=["event_type", "registers"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type"):
+            regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+            for blob in g["registers"]:
+                regs = np.maximum(regs, np.frombuffer(blob, dtype=np.int8))
+            rows.append((etype, int(round(_hll_estimate(regs)))))
+        out = pd.DataFrame(rows, columns=["event_type", "n_users_est"])
+        out["n_users_est"] = out["n_users_est"].astype("int64")
+        return out
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(partial, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=["event_type"]).map_batches(
+        merge, batch_format="pandas", batch_size=None
     )

@@ -454,3 +454,46 @@ def test_local_topk_select_tie_exact():
     perm = np.array([3, 0, 5, 2, 4, 1])
     top_ids2, _ = _local_topk_select(ids[perm], sims[perm], k=3)
     assert top_ids2.tolist() == [10, 20, 30]
+
+
+def test_hll_rank_kernel_matches_reference():
+    """Register ranks == pure-python leading-zero reference."""
+    from ocrs_ray.ops.relational import _HLL_P, _hll_registers
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    regs = _hll_registers(hashes)
+    want = np.zeros(1 << _HLL_P, dtype=np.int8)
+    for h in hashes.tolist():
+        bucket = h >> (64 - _HLL_P)
+        rest = (h << _HLL_P) & ((1 << 64) - 1)
+        if rest == 0:
+            rank = 64 - _HLL_P + 1
+        else:
+            rank = 64 - rest.bit_length() + 1
+        want[bucket] = max(want[bucket], rank)
+    assert np.array_equal(regs, want)
+
+
+def test_hll_estimate_accuracy():
+    from ocrs_ray.ops.relational import _hll_estimate, _hll_registers
+
+    for true_n in (100, 5000, 100_000):
+        rng = np.random.default_rng(true_n)
+        # full-range uint64, like pd.util.hash_array output
+        hashes = rng.integers(0, 2**64, size=true_n, dtype=np.uint64)
+        est = _hll_estimate(_hll_registers(hashes))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_events_distinct_users_hll_close_to_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_distinct_users_hll
+
+    out = events_distinct_users_hll(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for _, row in out.iterrows():
+        true_n = exact[row["event_type"]]
+        assert abs(row["n_users_est"] - true_n) / true_n < 0.08, (row.to_dict(), true_n)
