@@ -497,3 +497,24 @@ def test_events_distinct_users_hll_close_to_exact(ray_session):
     for _, row in out.iterrows():
         true_n = exact[row["event_type"]]
         assert abs(row["n_users_est"] - true_n) / true_n < 0.08, (row.to_dict(), true_n)
+
+
+def test_registry_consistency():
+    """Every oracle key has a queries() entry and names stay stable;
+    catches registry drift when operators are added."""
+    import __ray_entry__ as em
+
+    q = em.queries()
+    sql = em.oracle_sql()
+    missing = set(sql) - set(q)
+    assert not missing, f"oracle without query: {missing}"
+    assert len(q) >= 36
+    for name, fn in q.items():
+        assert callable(fn), name
+
+
+def test_hopping_window_rejects_partial_overlap():
+    from ocrs_ray.ops.relational import events_hopping_window
+
+    with pytest.raises(ValueError, match="multiple of hop_s"):
+        events_hopping_window(SF, size_s=450, hop_s=300)
