@@ -116,3 +116,40 @@ def test_engine_get_text_end_to_end():
     # the white-rect words; the key invariant is determinism.
     text2 = engine.get_text(engine.prepare_input(image, order="chw"))
     assert text == text2
+
+
+def test_ctc_beam_sums_alignments_over_greedy():
+    """The classic CTC case: per-frame argmax picks blank, but the
+    total probability of 'label 1' summed over its alignments wins.
+    Greedy returns empty; prefix beam search returns the label."""
+    import numpy as np
+
+    from ocrs_ray.ctc import decode_beam, decode_greedy
+
+    # log P(blank)=log 0.6, log P(1)=log 0.4 on both frames.
+    frame = np.log(np.array([0.6, 0.4], dtype=np.float64))
+    scores = np.stack([frame, frame])
+    assert decode_greedy(scores) == []
+    steps = decode_beam(scores, beam_width=10)
+    assert [s.label for s in steps] == [1]
+
+
+def test_ctc_beam_matches_greedy_on_peaked_scores():
+    """Near-one-hot log-probs: beam and greedy agree (labels and the
+    collapse of repeats/blanks)."""
+    import numpy as np
+
+    from ocrs_ray.ctc import decode_beam, decode_greedy
+
+    rng = np.random.default_rng(5)
+    labels = [3, 3, 0, 2, 0, 0, 5, 5, 5, 1]
+    T, C = len(labels), 6
+    probs = np.full((T, C), 0.01)
+    for t, lab in enumerate(labels):
+        probs[t, lab] = 1.0
+    probs /= probs.sum(axis=1, keepdims=True)
+    scores = np.log(probs)
+    g = decode_greedy(scores)
+    b = decode_beam(scores, beam_width=100)
+    assert [s.label for s in g] == [3, 2, 5, 1]
+    assert [s.label for s in b] == [s.label for s in g]
