@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_range_join": relational.events_range_join,
         "events_daily_active_users": relational.events_daily_active_users,
         "orders_customer_join": relational.orders_customer_join,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -111,6 +112,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events CROSS JOIN (VALUES (0), (1)) t(j) GROUP BY 1, 2"
+        ),
+        "events_range_join": (
+            "SELECT p.event_id AS purchase_event_id, "
+            "e.event_id AS error_event_id, p.user_id "
+            "FROM events p JOIN events e ON p.user_id = e.user_id "
+            "AND p.event_type = 'purchase' AND e.event_type = 'error' "
+            "AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR"
         ),
         "events_daily_active_users": (
             "SELECT event_type, "

@@ -21,6 +21,7 @@ __all__ = [
     "events_hopping_window",
     "events_sessionize",
     "events_asof_join",
+    "events_range_join",
     "events_daily_active_users",
     "orders_customer_join",
     "lineitem_pricing_summary",
@@ -723,4 +724,62 @@ def events_distinct_users_hll(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     enable_hash_shuffle(ds)
     return ds.repartition(partitions, keys=["event_type"]).map_batches(
         merge, batch_format="pandas", batch_size=None
+    )
+
+
+def events_range_join(sf_dir: str, window_hours: int = 6) -> rd.Dataset:
+    """Range (interval) join: each purchase matched to every error event
+    of the same user within the following `window_hours`.
+
+    The other classic join Ray Data lacks natively (alongside as-of):
+    one hash shuffle co-locates users, then the per-block probe is two
+    vectorized `searchsorted` calls per side — lo/hi bounds into the
+    time-sorted error rows — plus an arange gather; no per-row loop and
+    never a cross join. Integer-microsecond comparisons keep the result
+    bit-exact vs the SQL oracle.
+    """
+    win_us = window_hours * 3600 * 1_000_000
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "purchase_event_id": pd.Series([], dtype="int64"),
+                "error_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        out = []
+        for _, g in df.groupby("user_id"):
+            p = g[g["event_type"] == "purchase"]
+            e = g[g["event_type"] == "error"].sort_values("ts", kind="stable")
+            if p.empty or e.empty:
+                continue
+            e_us = e["ts"].astype("int64").to_numpy()
+            e_ids = e["event_id"].to_numpy()
+            p_us = p["ts"].astype("int64").to_numpy()
+            p_ids = p["event_id"].to_numpy()
+            lo = np.searchsorted(e_us, p_us, side="right")
+            hi = np.searchsorted(e_us, p_us + win_us, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            pi = np.repeat(np.arange(len(p_us)), counts)
+            k = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            ei = lo[pi] + k
+            out.append(
+                pd.DataFrame(
+                    {
+                        "purchase_event_id": p_ids[pi],
+                        "error_event_id": e_ids[ei],
+                        "user_id": np.full(total, g["user_id"].iloc[0], dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return _partition_by_user(sf_dir).map_batches(
+        probe, batch_format="pandas", batch_size=None
     )

@@ -518,3 +518,22 @@ def test_hopping_window_rejects_partial_overlap():
 
     with pytest.raises(ValueError, match="multiple of hop_s"):
         events_hopping_window(SF, size_s=450, hop_s=300)
+
+
+def test_range_join_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_range_join
+
+    out = events_range_join(SF, window_hours=6).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    p = ev[ev.event_type == "purchase"]
+    e = ev[ev.event_type == "error"]
+    j = p.merge(e, on="user_id", suffixes=("_p", "_e"))
+    win = pd.Timedelta(hours=6)
+    j = j[(j.ts_e > j.ts_p) & (j.ts_e <= j.ts_p + win)]
+    want = set(zip(j.event_id_p, j.event_id_e))
+    assert set(zip(out.purchase_event_id, out.error_event_id)) == want
+    assert len(out) == len(want) > 0
