@@ -13,9 +13,31 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import dedup, relational, sampling, similarity, text
+from . import analytics, dedup, relational, sampling, similarity, text
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+#: Shared CTE body producing exact word-3-gram Jaccard >= 0.8 pairs
+#: (doc_a < doc_b) — used by both the pair oracle and the recursive
+#: connected-components oracle.
+_NGRAM_PAIRS_CTE = (
+    r"sh AS (SELECT doc_id, list_distinct("
+    r"CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN [] "
+    r"WHEN length(regexp_extract_all(text, '\S+')) < 3 "
+    r"THEN [array_to_string(regexp_extract_all(text, '\S+'), ' ')] "
+    r"ELSE list_transform(range(1, length(regexp_extract_all(text, '\S+')) - 1), "
+    r"i -> regexp_extract_all(text, '\S+')[i] || ' ' || "
+    r"regexp_extract_all(text, '\S+')[i+1] || ' ' || "
+    r"regexp_extract_all(text, '\S+')[i+2]) END) AS sset FROM documents), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "length(list_intersect(a.sset, b.sset)) AS inter, "
+    "length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)) AS uni "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+)
+
+_MD5_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -53,6 +75,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
+        # corpus analytics
+        "vocab_top_terms": analytics.vocab_top_terms,
+        "tfidf_top_terms": analytics.tfidf_top_terms,
+        "events_topk_per_group": analytics.events_topk_per_group,
+        "events_user_running_sum": analytics.events_user_running_sum,
+        "events_user_pivot": analytics.events_user_pivot,
+        "heavy_hitters_exact": analytics.heavy_hitters_exact,
+        "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
+        "stratified_sample_documents": analytics.stratified_sample_documents,
+        "dedup_clusters": analytics.dedup_clusters,
     }
 
 
@@ -167,19 +199,80 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1"
         ),
         "ngram_jaccard_pairs": (
-            r"WITH sh AS (SELECT doc_id, list_distinct("
-            r"CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN [] "
-            r"WHEN length(regexp_extract_all(text, '\S+')) < 3 "
-            r"THEN [array_to_string(regexp_extract_all(text, '\S+'), ' ')] "
-            r"ELSE list_transform(range(1, length(regexp_extract_all(text, '\S+')) - 1), "
-            r"i -> regexp_extract_all(text, '\S+')[i] || ' ' || "
-            r"regexp_extract_all(text, '\S+')[i+1] || ' ' || "
-            r"regexp_extract_all(text, '\S+')[i+2]) END) AS sset FROM documents), "
-            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "length(list_intersect(a.sset, b.sset)) AS inter, "
-            "length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)) AS uni "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            f"WITH {_NGRAM_PAIRS_CTE} "
             "SELECT doc_a, doc_b FROM pairs WHERE 10 * inter >= 8 * uni"
+        ),
+        "dedup_clusters": (
+            # Transitive closure (min-label) over the exact near-dup
+            # pair graph; singletons are their own cluster.
+            f"WITH RECURSIVE {_NGRAM_PAIRS_CTE}, "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "WHERE 10 * inter >= 8 * uni "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs "
+            "WHERE 10 * inter >= 8 * uni), "
+            "reach(src, node) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
+            "SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node"
+        ),
+        "vocab_top_terms": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token "
+            "FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM toks GROUP BY 1) "
+            "SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rank FROM ("
+            "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk "
+            "FROM tf JOIN df USING (term)) t WHERE rnk <= 3"
+        ),
+        "events_topk_per_group": (
+            "SELECT event_type, event_id, value_micro, CAST(rnk AS BIGINT) AS rank "
+            "FROM (SELECT event_type, event_id, "
+            "CAST(round(value * 1000000) AS BIGINT) AS value_micro, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY CAST(round(value * 1000000) AS BIGINT) DESC, event_id) AS rnk "
+            "FROM events) t WHERE rnk <= 3"
+        ),
+        "events_user_running_sum": (
+            "SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_micro "
+            "FROM events"
+        ),
+        "events_user_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{t}"
+                for t in analytics.EVENT_TYPES
+            )
+            + ", CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM events GROUP BY 1"
+        ),
+        "heavy_hitters_exact": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20"
+        ),
+        "stratified_sample_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            f"WHERE {_MD5_BUCKET} % (CASE "
+            + " ".join(
+                f"WHEN lang = '{lang}' THEN {rate}"
+                for lang, rate in sorted(analytics.STRATA_RATES.items())
+            )
+            + " ELSE 1 END) = 0"
         ),
         "events_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, value, "
@@ -232,8 +325,9 @@ def oracle_sql() -> dict[str, str]:
             "AS UBIGINT) % 20 = 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
-        # ann_topk_lsh, ann_topk_ivf and events_distinct_users_hll are
-        # heuristic / sketch-based (not SQL-expressible): rows-only for
-        # the driver, pinned by exact reference implementations / recall
-        # or error bounds in tests/test_ops.py.
+        # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll and
+        # heavy_hitters_sketch are heuristic / sketch-based (not
+        # SQL-expressible): rows-only for the driver, pinned by exact
+        # reference implementations / recall or error bounds in
+        # tests/test_ops.py and tests/test_analytics.py.
     }

@@ -1,0 +1,186 @@
+"""Tests for corpus-analytics operators (ocrs_ray.ops.analytics).
+
+SQL-expressible ops are checked here the same way the driver checks
+them: run the Ray pipeline AND the registered DuckDB oracle over the
+sf0.001 tables, sort, and compare values exactly. Sketch ops
+(Misra-Gries) are pinned by their error bounds and a forced-eviction
+unit test.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def run_oracle(name: str, sf_dir: str = SF) -> pd.DataFrame:
+    from ocrs_ray.ops import registry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(registry.oracle_sql()[name]).df()
+
+
+def assert_matches_oracle(name: str, out: pd.DataFrame) -> None:
+    exp = run_oracle(name)
+    cols = sorted(exp.columns)
+    assert sorted(out.columns) == cols
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(o, e, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked operators
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "vocab_top_terms",
+        "tfidf_top_terms",
+        "events_topk_per_group",
+        "events_user_running_sum",
+        "events_user_pivot",
+        "heavy_hitters_exact",
+        "stratified_sample_documents",
+        "dedup_clusters",
+    ],
+)
+def test_analytics_matches_oracle(ray_session, name):
+    from ocrs_ray.ops import registry
+
+    out = registry.queries()[name](SF).to_pandas()
+    assert_matches_oracle(name, out)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch
+
+
+def test_mg_update_forced_evictions():
+    from ocrs_ray.ops.analytics import _mg_update
+
+    counters: dict[int, int] = {}
+    # capacity 2: stream 1,1,1,2,3 -> classic MG keeps 1 with count >= 2.
+    for key in [1, 1, 1, 2, 3]:
+        _mg_update(counters, key, 1, capacity=2)
+    assert counters.get(1, 0) >= 1
+    assert len(counters) <= 2
+    # Weighted update larger than current minimum evicts and re-inserts.
+    counters = {1: 5, 2: 1}
+    _mg_update(counters, 3, 3, capacity=2)
+    assert counters[1] == 4  # decremented by min eviction round
+    assert 3 in counters and counters[3] == 2
+
+
+def test_mg_summary_is_lower_bound_within_error():
+    from ocrs_ray.ops.analytics import _mg_summarize
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.5, size=5000).astype("int64")
+    df = pd.DataFrame({"user_id": keys})
+    capacity = 64
+    summary = _mg_summarize(df, capacity)
+    exact = df.groupby("user_id").size()
+    err = len(df) / capacity
+    for uid, n in zip(summary["user_id"], summary["n"]):
+        true = int(exact.loc[uid])
+        assert n <= true
+        assert n >= true - err
+
+
+def test_heavy_hitters_sketch_contains_true_topk(ray_session):
+    from ocrs_ray.ops.analytics import heavy_hitters_exact, heavy_hitters_sketch
+
+    exact = heavy_hitters_exact(SF, k=5).to_pandas()
+    sketch = heavy_hitters_sketch(SF, k=20, capacity=256).to_pandas()
+    # capacity (256) exceeds the distinct-user count at this scale, so
+    # the sketch is exact here; the guarantee tested is containment.
+    assert set(exact["user_id"]).issubset(set(sketch["user_id"]))
+    merged = sketch.set_index("user_id")["n"]
+    full_exact = heavy_hitters_exact(SF, k=20).to_pandas().set_index("user_id")["n"]
+    for uid in exact["user_id"]:
+        assert merged.loc[uid] <= full_exact.loc[uid]
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from ocrs_ray.ops.analytics import connected_components
+
+    # Two chains, one triangle, assorted singleton-free edges.
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (5, 4)]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": np.array([e[0] for e in edges], dtype="int64"),
+                "v": np.array([e[1] for e in edges], dtype="int64"),
+            }
+        )
+    )
+    got = connected_components(ds, partitions=2)
+    want = _union_find_components(edges)
+    assert got == want
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+
+    from ocrs_ray.ops.analytics import connected_components
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"u": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
+        )
+    )
+    assert connected_components(ds, partitions=2) == {}
+
+
+def test_dedup_clusters_consistent_with_pairs(ray_session):
+    """Every near-dup pair must land in the same cluster; cluster id is
+    the component min."""
+    from ocrs_ray.ops import registry
+    from ocrs_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(SF, threshold=0.8).to_pandas()
+    clusters = registry.queries()["dedup_clusters"](SF).to_pandas()
+    label = clusters.set_index("doc_id")["cluster_id"]
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert label.loc[a] == label.loc[b]
+    # Union-find over the same edges gives identical labels for
+    # non-singletons.
+    want = _union_find_components(list(zip(pairs["doc_a"], pairs["doc_b"])))
+    for node, root in want.items():
+        assert label.loc[node] == root
