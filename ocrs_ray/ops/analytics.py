@@ -79,30 +79,52 @@ def _token_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_token_counts(df: pd.DataFrame, key: str, val: str) -> pd.DataFrame:
+    return df.groupby(key, as_index=False)[val].sum()
+
+
+def _tree_sum(ds: rd.Dataset, key: str, val: str, fanin: int = 8) -> rd.Dataset:
+    """Tree-reduce per-key sums WITHOUT a hash shuffle: coalesce partial
+    blocks (plain repartition moves whole blocks, no all-to-all), merge
+    per block, then one final single-block merge. Correct whenever the
+    distinct-key space fits in one worker's heap — true for token
+    vocabularies (bounded ~1e6) even at 100 TB corpus scale. Unbounded
+    key spaces (user ids, doc ids) must use groupby instead.
+    """
+    merged = ds.repartition(fanin).map_batches(
+        _merge_token_counts,
+        fn_kwargs={"key": key, "val": val},
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return merged.repartition(1).map_batches(
+        _merge_token_counts,
+        fn_kwargs={"key": key, "val": val},
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
 def vocab_top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Global top-k tokens by frequency (ties: token ascending).
 
-    map_batches combiner -> groupby(token) sum -> per-block top-k ->
-    single-block final top-k. The all-to-all moves only per-batch
-    partial counts; the top-k reduce ships k rows per block.
+    map_batches combiner -> tree-reduce (vocabulary is a bounded key
+    space, so no hash shuffle is needed) -> top-k on the single merged
+    block.
     """
-    from ocrs_ray.pipeline import enable_hash_shuffle
-
-    ds = _read_docs(sf_dir, ["text"]).map_batches(
-        _token_count_partial, batch_format="pandas"
+    totals = _tree_sum(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            _token_count_partial, batch_format="pandas"
+        ),
+        "token",
+        "n",
     )
-    enable_hash_shuffle(ds)
-    totals = ds.groupby("token").aggregate(Sum("n", alias_name="n"))
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["n", "token"], ascending=[False, True], kind="stable")
         return df.head(k)[["token", "n"]]
 
-    return (
-        totals.map_batches(local_topk, batch_format="pandas")
-        .repartition(1)
-        .map_batches(local_topk, batch_format="pandas", batch_size=None)
-    )
+    return totals.map_batches(local_topk, batch_format="pandas", batch_size=None)
 
 
 def _doc_term_tf(batch: pd.DataFrame) -> pd.DataFrame:
@@ -129,8 +151,8 @@ def _doc_term_tf(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def document_frequency(sf_dir: str) -> rd.Dataset:
-    """df(term) = number of documents containing the term."""
-    from ocrs_ray.pipeline import enable_hash_shuffle
+    """df(term) = number of documents containing the term. Tree-reduced
+    (bounded vocabulary), same as `vocab_top_terms`."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         tok = re.compile(TOKEN_RE)
@@ -145,9 +167,11 @@ def document_frequency(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    ds = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
-    enable_hash_shuffle(ds)
-    return ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+    return _tree_sum(
+        _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas"),
+        "term",
+        "df",
+    )
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
@@ -293,8 +317,13 @@ def events_user_pivot(sf_dir: str) -> rd.Dataset:
 
     from ocrs_ray.pipeline import enable_hash_shuffle
 
-    ds = _read_events(sf_dir, ["user_id", "event_type", "value"]).map_batches(
-        partial, batch_format="pandas"
+    # Coalesce the narrow partials before the shuffle: hash-shuffle cost
+    # scales with input block count, and the combiner already shrank the
+    # data to one row per (user, block).
+    ds = (
+        _read_events(sf_dir, ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .repartition(8)
     )
     enable_hash_shuffle(ds)
     return ds.groupby("user_id").aggregate(
@@ -323,7 +352,11 @@ def heavy_hitters_exact(sf_dir: str, k: int = 20) -> rd.Dataset:
         df = df.sort_values(["n", "user_id"], ascending=[False, True], kind="stable")
         return df.head(k)[["user_id", "n"]]
 
-    ds = _read_events(sf_dir, ["user_id"]).map_batches(partial, batch_format="pandas")
+    ds = (
+        _read_events(sf_dir, ["user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .repartition(8)
+    )
     enable_hash_shuffle(ds)
     counts = ds.groupby("user_id").aggregate(Sum("n", alias_name="n"))
     return (
@@ -488,18 +521,48 @@ def _canonical_edges(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def connected_components(
-    edges: rd.Dataset, partitions: int = 8, max_rounds: int = 64
-) -> dict[int, int]:
-    """Distributed connected components over an edge Dataset with
-    columns (u:int64, v:int64). Returns {node: component_min} for every
-    node incident to an edge (singletons are their own component and
-    never enter the edge set).
+def _union_find(u: np.ndarray, v: np.ndarray) -> dict[int, int]:
+    """Min-root union-find over an edge list (path-halving)."""
+    parent: dict[int, int] = {}
 
-    Alternating large-star / small-star: each half-round is one
-    hash-partition by "u" + per-block star rewrite — no joins, no
-    global state, O(log n) rounds. The per-round driver check is a
-    single tiny aggregate (edge-set checksum), not a data pull.
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # Path compression for x itself.
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            hi, lo = (ra, rb) if ra > rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    edges: rd.Dataset,
+    partitions: int = 8,
+    max_rounds: int = 64,
+    local_threshold: int = 2_000_000,
+) -> dict[int, int]:
+    """Connected components over an edge Dataset with columns
+    (u:int64, v:int64). Returns {node: component_min} for every node
+    incident to an edge (singletons are their own component and never
+    enter the edge set).
+
+    Hybrid, as production dedup pipelines do it: the near-dup edge set
+    is orders of magnitude smaller than the corpus, so when it fits on
+    one node (<= local_threshold edges after dedup) a single union-find
+    pass finishes in one task — no iteration. Above the threshold it
+    falls back to alternating large-star / small-star (Kiveris et al.,
+    SoCC'14): each half-round is one hash-partition by "u" + per-block
+    star rewrite — no joins, no global state, O(log n) rounds. The
+    per-round driver check is a tiny edge-set checksum, not a data
+    pull.
     """
     from ocrs_ray.pipeline import enable_hash_shuffle
 
@@ -510,7 +573,17 @@ def connected_components(
         mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
         return int(mix.sum(dtype=np.uint64)), len(df)
 
-    cur = edges.map_batches(_canonical_edges, batch_format="pandas")
+    cur = edges.map_batches(_canonical_edges, batch_format="pandas").materialize()
+    if cur.count() <= local_threshold:
+        tbl = cur.to_pandas()
+        if tbl.empty:
+            return {}
+        # _canonical_edges emits both directions; u > v rows carry each
+        # undirected edge exactly once.
+        sel = tbl["u"].to_numpy() > tbl["v"].to_numpy()
+        return _union_find(
+            tbl["u"].to_numpy(dtype="int64")[sel], tbl["v"].to_numpy(dtype="int64")[sel]
+        )
     prev_sig = None
     for _ in range(max_rounds):
         for phase in ("large", "small"):

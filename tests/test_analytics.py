@@ -150,9 +150,11 @@ def test_connected_components_matches_union_find(ray_session):
             }
         )
     )
-    got = connected_components(ds, partitions=2)
     want = _union_find_components(edges)
-    assert got == want
+    # Local union-find path (small edge set).
+    assert connected_components(ds, partitions=2) == want
+    # Distributed star-contraction path (forced).
+    assert connected_components(ds, partitions=2, local_threshold=0) == want
 
 
 def test_connected_components_empty(ray_session):
