@@ -38,6 +38,7 @@ __all__ = [
     "heavy_hitters_sketch",
     "stratified_sample_documents",
     "dedup_clusters",
+    "embedding_clusters",
     "connected_components",
 ]
 
@@ -658,5 +659,44 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
             )
 
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        Relabel, fn_constructor_args=(map_ref,), batch_format="pandas", concurrency=(1, 2)
+    )
+
+
+def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """Cluster assignment over the embedding near-duplicate graph:
+    every vector labeled with the min vec_id of its connected component
+    under cosine-similarity >= threshold (exact edges from
+    `embedding_neardup_pairs`). Same hybrid CC + broadcast-relabel
+    shape as `dedup_clusters`, over a different modality."""
+    from .dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(sf_dir, threshold=threshold).map_batches(
+        lambda df: df.rename(columns={"vec_a": "u", "vec_b": "v"}),
+        batch_format="pandas",
+    )
+    mapping = connected_components(pairs)
+    map_ref = ray.put(mapping)
+
+    class Relabel:
+        def __init__(self, ref):
+            self.roots = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].astype("int64")
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cluster_id": np.fromiter(
+                        (self.roots.get(int(d), int(d)) for d in ids),
+                        dtype="int64",
+                        count=len(ids),
+                    ),
+                }
+            )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
         Relabel, fn_constructor_args=(map_ref,), batch_format="pandas", concurrency=(1, 2)
     )

@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
         "stratified_sample_documents": analytics.stratified_sample_documents,
         "dedup_clusters": analytics.dedup_clusters,
+        "embedding_clusters": analytics.embedding_clusters,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
     }
 
 
@@ -215,6 +217,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
             "SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node"
+        ),
+        "embedding_clusters": (
+            "WITH RECURSIVE prs AS (SELECT a.vec_id AS u, b.vec_id AS v "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+            "edges AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs), "
+            "reach(src, node) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
+            "SELECT node AS vec_id, CAST(min(src) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
         ),
         "vocab_top_terms": (

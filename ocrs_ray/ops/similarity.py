@@ -27,6 +27,7 @@ __all__ = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "spherical_kmeans",
+    "kmeans_embeddings",
 ]
 
 
@@ -321,3 +322,111 @@ def ann_topk_ivf(
     )
 
     return _finalize_topk(local, k)
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5, seed: int = 13
+) -> rd.Dataset:
+    """Distributed Lloyd's k-means over the full embeddings table.
+
+    The iterative broadcast-and-reduce pattern: each round the k x dim
+    centroid matrix (the ONLY driver-held state, a few KB) is broadcast
+    via `ray.put`; `map_batches` computes per-batch partial statistics
+    (cluster -> sum vector, count) vectorized; partials reduce on the
+    driver in a deterministic order (sorted by batch min vec_id) so the
+    float summation — and therefore the trained centroids — is
+    reproducible run-to-run. The corpus itself streams every round and
+    is never materialized.
+
+    Init: seeded permutation of a deterministic head sample (same idiom
+    as `spherical_kmeans`). Final pass emits (vec_id, cluster_id).
+    Iterative — not SQL-expressible; invariants pinned in tests.
+    """
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, max(k * 64, 512))
+    hmat = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = hmat[rng.permutation(len(hmat))[:k]].copy()
+
+    def read() -> rd.Dataset:
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def partial_stats(batch: pa.Table, ref) -> pa.Table:
+        c = ray.get(ref)
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        # Squared euclidean distance argmin (ties -> lowest cluster id).
+        d2 = (emb**2).sum(1)[:, None] - 2 * emb @ c.T + (c**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        rows_c, rows_n = [], []
+        sums = []
+        for ci in np.unique(assign):
+            members = emb[assign == ci]
+            rows_c.append(int(ci))
+            rows_n.append(len(members))
+            sums.append(members.sum(axis=0))
+        return pa.table(
+            {
+                "cluster": pa.array(rows_c, type=pa.int64()),
+                "n": pa.array(rows_n, type=pa.int64()),
+                "sum": pa.array([s.tolist() for s in sums], type=pa.list_(pa.float64())),
+                "batch_min_vec": pa.array(
+                    [int(vid.min())] * len(rows_c), type=pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = (
+            read()
+            .map_batches(
+                partial_stats, fn_kwargs={"ref": ref}, batch_format="pyarrow",
+                batch_size=2048,
+            )
+            .to_pandas()
+        )
+        parts = parts.sort_values(["cluster", "batch_min_vec"], kind="stable")
+        new = cents.copy()
+        for ci, grp in parts.groupby("cluster", sort=True):
+            total = np.sum(np.stack(grp["sum"].to_numpy()), axis=0)
+            n = int(grp["n"].sum())
+            if n:
+                new[int(ci)] = total / n
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            d2 = (
+                (emb**2).sum(1)[:, None]
+                - 2 * emb @ self.cents.T
+                + (self.cents**2).sum(1)[None, :]
+            )
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid, type=pa.int64()),
+                    "cluster_id": pa.array(
+                        np.argmin(d2, axis=1).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+    return read().map_batches(
+        Assign,
+        fn_constructor_args=(final_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )

@@ -186,3 +186,63 @@ def test_dedup_clusters_consistent_with_pairs(ray_session):
     want = _union_find_components(list(zip(pairs["doc_a"], pairs["doc_b"])))
     for node, root in want.items():
         assert label.loc[node] == root
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering
+
+
+def test_embedding_clusters_matches_oracle(ray_session):
+    from ocrs_ray.ops import registry
+
+    out = registry.queries()["embedding_clusters"](SF).to_pandas()
+    assert_matches_oracle("embedding_clusters", out)
+
+
+def test_kmeans_embeddings_invariants(ray_session):
+    from ocrs_ray.ops.similarity import kmeans_embeddings, load_embedding_matrix
+
+    out = kmeans_embeddings(SF, k=8, iters=3).to_pandas()
+    ids, mat = load_embedding_matrix(SF)
+    assert len(out) == len(ids)
+    assert set(out["vec_id"]) == set(ids)
+    assert out["cluster_id"].between(0, 7).all()
+    assert out["cluster_id"].nunique() > 1
+    # Determinism: identical run -> identical assignment.
+    out2 = kmeans_embeddings(SF, k=8, iters=3).to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmeans_assignment_is_nearest_centroid(ray_session):
+    """Each point's label must be the argmin-distance centroid of the
+    final model — verified by retraining the same deterministic
+    iterations locally in numpy."""
+    from ocrs_ray.ops.similarity import kmeans_embeddings, load_embedding_matrix
+
+    k, iters, seed = 4, 2, 13
+    out = (
+        kmeans_embeddings(SF, k=k, iters=iters, seed=seed)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, mat = load_embedding_matrix(SF)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    # Local reference: same init, full-batch Lloyd's.
+    head = mat[np.argsort(ids)][: max(k * 64, 512)]
+    rng = np.random.default_rng(seed)
+    cents = head[rng.permutation(len(head))[:k]].copy()
+    for _ in range(iters):
+        d2 = (mat**2).sum(1)[:, None] - 2 * mat @ cents.T + (cents**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = mat[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    d2 = (mat**2).sum(1)[:, None] - 2 * mat @ cents.T + (cents**2).sum(1)[None, :]
+    want = np.argmin(d2, axis=1)
+    got = out.set_index("vec_id").loc[ids, "cluster_id"].to_numpy()
+    assert (got == want).mean() > 0.95  # float reduce-order tolerance
