@@ -16,7 +16,6 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -64,20 +63,34 @@ def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _count_tokens(texts, per_doc_unique: bool = False) -> dict[str, int]:
+    """Token counts over an iterable of texts (TOKEN_RE over lower()).
+    With per_doc_unique, each doc contributes 1 per distinct token
+    (document frequency); otherwise raw occurrences. The single
+    tokenizer shared by every word-level operator — keep it in sync
+    with the SQL oracles' regexp."""
+    tok = re.compile(TOKEN_RE)
+    counts: dict[str, int] = {}
+    for text in texts:
+        found = tok.findall(text.lower())
+        for t in set(found) if per_doc_unique else found:
+            counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def _counts_frame(counts: dict[str, int], key: str, val: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            key: list(counts.keys()),
+            val: np.fromiter(counts.values(), dtype="int64", count=len(counts)),
+        }
+    )
+
+
 def _token_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
     """One (token, n) row per distinct token per batch — the combiner
     that keeps the vocabulary shuffle tiny."""
-    tok = re.compile(TOKEN_RE)
-    counts: dict[str, int] = {}
-    for text in batch["text"]:
-        for t in tok.findall(text.lower()):
-            counts[t] = counts.get(t, 0) + 1
-    return pd.DataFrame(
-        {
-            "token": list(counts.keys()),
-            "n": np.fromiter(counts.values(), dtype="int64", count=len(counts)),
-        }
-    )
+    return _counts_frame(_count_tokens(batch["text"]), "token", "n")
 
 
 def _merge_token_counts(df: pd.DataFrame, key: str, val: str) -> pd.DataFrame:
@@ -131,14 +144,11 @@ def vocab_top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
 def _doc_term_tf(batch: pd.DataFrame) -> pd.DataFrame:
     """Per-(doc, term) term frequency; docs never span batches, so this
     is exact without any shuffle."""
-    tok = re.compile(TOKEN_RE)
     doc_ids: list[int] = []
     terms: list[str] = []
     tfs: list[int] = []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        counts: dict[str, int] = {}
-        for t in tok.findall(text.lower()):
-            counts[t] = counts.get(t, 0) + 1
+        counts = _count_tokens([text])
         doc_ids.extend([doc_id] * len(counts))
         terms.extend(counts.keys())
         tfs.extend(counts.values())
@@ -156,16 +166,8 @@ def document_frequency(sf_dir: str) -> rd.Dataset:
     (bounded vocabulary), same as `vocab_top_terms`."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tok = re.compile(TOKEN_RE)
-        counts: dict[str, int] = {}
-        for text in batch["text"]:
-            for t in set(tok.findall(text.lower())):
-                counts[t] = counts.get(t, 0) + 1
-        return pd.DataFrame(
-            {
-                "term": list(counts.keys()),
-                "df": np.fromiter(counts.values(), dtype="int64", count=len(counts)),
-            }
+        return _counts_frame(
+            _count_tokens(batch["text"], per_doc_unique=True), "term", "df"
         )
 
     return _tree_sum(
@@ -408,8 +410,11 @@ def heavy_hitters_sketch(sf_dir: str, k: int = 20, capacity: int = 256) -> rd.Da
     """Misra-Gries heavy hitters (sketch): per-block MG summaries are
     themselves mergeable by MG, so the reduce ships ≤ capacity rows per
     block instead of the full key space. Counts are lower bounds with
-    error ≤ total/capacity; with capacity ≫ k the true top-k keys are
-    guaranteed present (pinned in tests vs the exact operator).
+    error ≤ total/capacity; a key is GUARANTEED to survive only when
+    its true count exceeds total/capacity (the standard MG bound) — on
+    near-uniform distributions tail keys of the true top-k can be
+    evicted, which is the accepted trade-off of the sketch. Error
+    bounds and the eviction path are pinned in tests.
 
     Not SQL-expressible (sketch semantics): rows-only for the driver.
     """
@@ -445,16 +450,10 @@ def stratified_sample_documents(sf_dir: str) -> rd.Dataset:
     """
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from .sampling import md5_bucket
+
         rates = df["lang"].map(STRATA_RATES).fillna(1).astype("int64").to_numpy()
-        h = np.fromiter(
-            (
-                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-                for d in df["doc_id"]
-            ),
-            dtype="int64",
-            count=len(df),
-        )
-        return df.loc[h % rates == 0, ["doc_id", "lang", "n_chars"]]
+        return df.loc[md5_bucket(df["doc_id"]) % rates == 0, ["doc_id", "lang", "n_chars"]]
 
     return _read_docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pandas"
@@ -574,8 +573,11 @@ def connected_components(
         mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
         return int(mix.sum(dtype=np.uint64)), len(df)
 
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     cur = edges.map_batches(_canonical_edges, batch_format="pandas").materialize()
-    if cur.count() <= local_threshold:
+    # count() is directed (both directions emitted): 2x undirected edges.
+    if cur.count() <= 2 * local_threshold:
         tbl = cur.to_pandas()
         if tbl.empty:
             return {}
@@ -609,6 +611,11 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({len(tbl)} directed edges remaining)"
+        )
     # Converged: every component is a star u -> min. Undirected dedup
     # gives the (node, root) mapping directly.
     hi = np.maximum(tbl["u"].to_numpy(), tbl["v"].to_numpy())
@@ -620,6 +627,44 @@ def connected_components(
     for root in set(mapping.values()):
         mapping.setdefault(root, root)
     return mapping
+
+
+class _Relabel:
+    """Broadcast (node -> component root) relabel: rows keep their own
+    id as the label when absent from the map (singleton components)."""
+
+    def __init__(self, ref, id_col: str):
+        self.roots = ray.get(ref)
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].astype("int64")
+        return pd.DataFrame(
+            {
+                self.id_col: ids,
+                "cluster_id": np.fromiter(
+                    (self.roots.get(int(d), int(d)) for d in ids),
+                    dtype="int64",
+                    count=len(ids),
+                ),
+            }
+        )
+
+
+def _cluster_assign(
+    pairs: rd.Dataset, ids: rd.Dataset, id_col: str
+) -> rd.Dataset:
+    """CC over `pairs` (u, v), then broadcast-relabel every row of
+    `ids`: the star map holds only nodes inside dup components, so
+    singletons never shuffle."""
+    mapping = connected_components(pairs)
+    map_ref = ray.put(mapping)
+    return ids.map_batches(
+        _Relabel,
+        fn_constructor_args=(map_ref, id_col),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
@@ -638,29 +683,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         lambda df: df.rename(columns={"doc_a": "u", "doc_b": "v"}),
         batch_format="pandas",
     )
-    mapping = connected_components(pairs)
-    map_ref = ray.put(mapping)
-
-    class Relabel:
-        def __init__(self, ref):
-            self.roots = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["doc_id"].astype("int64")
-            return pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "cluster_id": np.fromiter(
-                        (self.roots.get(int(d), int(d)) for d in ids),
-                        dtype="int64",
-                        count=len(ids),
-                    ),
-                }
-            )
-
-    return _read_docs(sf_dir, ["doc_id"]).map_batches(
-        Relabel, fn_constructor_args=(map_ref,), batch_format="pandas", concurrency=(1, 2)
-    )
+    return _cluster_assign(pairs, _read_docs(sf_dir, ["doc_id"]), "doc_id")
 
 
 def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
@@ -675,28 +698,5 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
         lambda df: df.rename(columns={"vec_a": "u", "vec_b": "v"}),
         batch_format="pandas",
     )
-    mapping = connected_components(pairs)
-    map_ref = ray.put(mapping)
-
-    class Relabel:
-        def __init__(self, ref):
-            self.roots = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["vec_id"].astype("int64")
-            return pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cluster_id": np.fromiter(
-                        (self.roots.get(int(d), int(d)) for d in ids),
-                        dtype="int64",
-                        count=len(ids),
-                    ),
-                }
-            )
-
-    return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-    ).map_batches(
-        Relabel, fn_constructor_args=(map_ref,), batch_format="pandas", concurrency=(1, 2)
-    )
+    ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return _cluster_assign(pairs, ids, "vec_id")

@@ -336,8 +336,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_documents": (
             "SELECT doc_id, n_chars FROM documents "
-            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
-            "AS UBIGINT) % 20 = 0"
+            f"WHERE {_MD5_BUCKET} % 20 = 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll and

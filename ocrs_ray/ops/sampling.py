@@ -18,7 +18,18 @@ import pandas as pd
 
 import ray.data as rd
 
-__all__ = ["docs_topk_longest", "sample_documents"]
+__all__ = ["docs_topk_longest", "sample_documents", "md5_bucket"]
+
+
+def md5_bucket(ids) -> np.ndarray:
+    """First-8-hex-digit md5 bucket of str(id): the content-derived
+    hash shared by every deterministic sampler, matching the SQL
+    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+        dtype="int64",
+        count=len(ids),
+    )
 
 
 def docs_topk_longest(sf_dir: str, k: int = 50) -> rd.Dataset:
@@ -40,11 +51,8 @@ def sample_documents(sf_dir: str, one_in: int = 20) -> rd.Dataset:
     """Keep docs where md5(doc_id) % one_in == 0 (deterministic)."""
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        sel = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % one_in == 0
-            for d in df["doc_id"]
-        ]
-        return df.loc[np.asarray(sel), ["doc_id", "n_chars"]]
+        sel = md5_bucket(df["doc_id"]) % one_in == 0
+        return df.loc[sel, ["doc_id", "n_chars"]]
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]

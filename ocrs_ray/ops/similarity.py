@@ -335,8 +335,10 @@ def kmeans_embeddings(
     (cluster -> sum vector, count) vectorized; partials reduce on the
     driver in a deterministic order (sorted by batch min vec_id) so the
     float summation — and therefore the trained centroids — is
-    reproducible run-to-run. The corpus itself streams every round and
-    is never materialized.
+    reproducible run-to-run GIVEN the same block/batch boundaries (same
+    input files and batch_size; a different blocking regroups the float
+    additions, which can drift centroids by ulps). The corpus itself
+    streams every round and is never materialized.
 
     Init: seeded permutation of a deterministic head sample (same idiom
     as `spherical_kmeans`). Final pass emits (vec_id, cluster_id).
@@ -344,10 +346,21 @@ def kmeans_embeddings(
     """
     import pyarrow.parquet as pq
 
-    head = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, max(k * 64, 512))
-    hmat = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
+    # Init sample: stream row groups until enough rows — never loads
+    # the full table on the driver.
+    want = max(k * 64, 512)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    frames = []
+    got = 0
+    for rb in pf.iter_batches(batch_size=want, columns=["embedding"]):
+        frames.append(rb)
+        got += rb.num_rows
+        if got >= want:
+            break
+    hmat = np.array(
+        [e for rb in frames for e in rb.column("embedding").to_pylist()][:want],
+        dtype=np.float64,
+    )
     rng = np.random.default_rng(seed)
     cents = hmat[rng.permutation(len(hmat))[:k]].copy()
 
@@ -358,6 +371,15 @@ def kmeans_embeddings(
 
     def partial_stats(batch: pa.Table, ref) -> pa.Table:
         c = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sum": pa.array([], type=pa.list_(pa.float64())),
+                    "batch_min_vec": pa.array([], type=pa.int64()),
+                }
+            )
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         # Squared euclidean distance argmin (ties -> lowest cluster id).
