@@ -1,0 +1,270 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The reference pins behavior with seeded randomized tests; these go
+further and assert algebraic invariants over generated inputs for the
+kernels whose correctness the pipeline leans on hardest: CTC decoding,
+rect geometry, min-area rects, union-find, and the Misra-Gries sketch.
+No Ray session required — everything here is kernel-level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# CTC
+
+
+def _naive_ctc_greedy(scores: np.ndarray) -> list[tuple[int, int]]:
+    """Independent re-derivation of best-path decoding: argmax per
+    frame, collapse runs, drop blanks, keep first frame of each run."""
+    labels = [int(np.argmax(row)) for row in scores]
+    out = []
+    prev = None
+    for t, lab in enumerate(labels):
+        if lab != 0 and lab != prev:
+            out.append((t, lab))
+        prev = lab
+    return out
+
+
+@st.composite
+def score_matrices(draw):
+    t = draw(st.integers(min_value=0, max_value=24))
+    c = draw(st.integers(min_value=2, max_value=6))
+    vals = draw(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=t * c,
+            max_size=t * c,
+        )
+    )
+    return np.array(vals, dtype=np.float32).reshape(t, c)
+
+
+@given(score_matrices())
+@settings(max_examples=200, deadline=None)
+def test_ctc_greedy_matches_naive(scores):
+    from ocrs_ray.ctc import decode_greedy
+
+    got = [(s.pos, s.label) for s in decode_greedy(scores)]
+    assert got == _naive_ctc_greedy(scores)
+
+
+@given(score_matrices())
+@settings(max_examples=100, deadline=None)
+def test_ctc_greedy_invariants(scores):
+    from ocrs_ray.ctc import decode_greedy
+
+    steps = decode_greedy(scores)
+    poses = [s.pos for s in steps]
+    assert poses == sorted(poses)
+    assert len(set(poses)) == len(poses)
+    assert all(s.label != 0 for s in steps)
+    assert all(0 <= s.pos < len(scores) for s in steps)
+
+
+@given(score_matrices(), st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_ctc_beam_invariants(scores, width):
+    from ocrs_ray.ctc import decode_beam
+
+    # Work in log-prob space (beam expects normalized-ish scores).
+    if len(scores):
+        logp = scores - scores.max(axis=1, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
+    else:
+        logp = scores
+    steps = decode_beam(logp, beam_width=width)
+    poses = [s.pos for s in steps]
+    assert poses == sorted(poses)
+    assert all(s.label != 0 for s in steps)
+    assert all(0 <= s.pos < len(scores) for s in steps)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=16),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=100, deadline=None)
+def test_ctc_beam_equals_greedy_on_onehot(path, width):
+    """For (near-)deterministic frame distributions the best path IS
+    the best labeling, so beam search at any width must agree with
+    greedy."""
+    from ocrs_ray.ctc import decode_beam, decode_greedy
+
+    c = 6
+    scores = np.full((len(path), c), -20.0)
+    for t, lab in enumerate(path):
+        scores[t, lab] = 0.0
+    greedy = [(s.pos, s.label) for s in decode_greedy(scores)]
+    beam = [(s.pos, s.label) for s in decode_beam(scores, beam_width=width)]
+    assert [l for _, l in beam] == [l for _, l in greedy]
+
+
+# ---------------------------------------------------------------------------
+# Rect geometry
+
+
+rect_ints = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def rects(draw):
+    from ocrs_ray.geometry import Rect
+
+    t, l = draw(rect_ints), draw(rect_ints)
+    h = draw(st.integers(min_value=0, max_value=40))
+    w = draw(st.integers(min_value=0, max_value=40))
+    return Rect(t, l, t + h, l + w)
+
+
+@given(rects(), rects())
+@settings(max_examples=200, deadline=None)
+def test_rect_iou_union_properties(a, b):
+    assert a.iou(b) == b.iou(a)
+    assert 0.0 <= a.iou(b) <= 1.0
+    u = a.union(b)
+    assert u.contains(a) and u.contains(b)
+    assert a.intersection_area(b) == b.intersection_area(a)
+    assert a.intersection_area(b) <= min(a.area(), b.area())
+    # intersects() is consistent with a positive-area overlap for
+    # non-degenerate rects.
+    if a.intersection_area(b) > 0:
+        assert a.intersects(b)
+
+
+@given(rects())
+@settings(max_examples=100, deadline=None)
+def test_rect_self_identities(a):
+    assert a.iou(a) in (0.0, 1.0)  # 0 only for zero-area rects
+    assert a.union(a) == a
+    assert a.intersection_area(a) == a.area()
+
+
+# ---------------------------------------------------------------------------
+# Min-area rect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_min_area_rect_contains_all_points(pts):
+    from ocrs_ray.geometry import Point, min_area_rect
+
+    rr = min_area_rect([Point(x, y) for x, y in pts])
+    assert rr is not None
+    # Every input point lies inside the rect: project onto the rect's
+    # axes and compare to half-extents (with float tolerance).
+    up = np.array([rr.up_x, rr.up_y])
+    perp = np.array([-rr.up_y, rr.up_x])
+    c = np.array([rr.cx, rr.cy])
+    arr = np.array(pts, dtype=np.float64) - c
+    eps = 1e-6 * (1 + np.abs(arr).max())
+    assert np.all(np.abs(arr @ perp) <= rr.w / 2 + eps)
+    assert np.all(np.abs(arr @ up) <= rr.h / 2 + eps)
+
+
+@given(
+    st.lists(
+        st.tuples(rect_ints, rect_ints),
+        min_size=3,
+        max_size=24,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_min_area_rect_no_larger_than_aabb(pts):
+    """The oriented min-area rect is optimal, so it can never exceed
+    the axis-aligned bounding box: area(min_rect) <= area(AABB)."""
+    from ocrs_ray.geometry import Point, min_area_rect
+
+    rr = min_area_rect([Point(x, y) for x, y in pts])
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    aabb_area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    assert rr.area() <= aabb_area + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Union-find (connected components local path)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_union_find_matches_bfs(edges):
+    from ocrs_ray.ops.analytics import _union_find
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    got = _union_find(u, v)
+    # BFS reference.
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, queue = {start}, [start]
+        while queue:
+            n = queue.pop()
+            for m in adj[n]:
+                if m not in comp:
+                    comp.add(m)
+                    queue.append(m)
+        root = min(comp)
+        for n in comp:
+            want[n] = root
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_bounds_hold_on_any_stream(stream, capacity):
+    import pandas as pd
+
+    from ocrs_ray.ops.analytics import _mg_summarize
+
+    df = pd.DataFrame({"user_id": np.array(stream, dtype=np.int64)})
+    summary = _mg_summarize(df, capacity)
+    assert len(summary) <= capacity
+    exact = df.groupby("user_id").size()
+    err = len(stream) / capacity
+    for uid, n in zip(summary["user_id"], summary["n"]):
+        true = int(exact.loc[uid])
+        assert n <= true, "MG estimate must be a lower bound"
+        assert n >= true - err, "MG error bound violated"
+    # Survival guarantee: every key with count > n/capacity is present.
+    for uid, true in exact.items():
+        if true > err:
+            assert uid in set(summary["user_id"])
