@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import analytics, dedup, relational, sampling, similarity, text
+from . import analytics, dedup, relational, sampling, similarity, sketch, text
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": analytics.dedup_clusters,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        # mergeable sketches
+        "events_value_tdigest": sketch.events_value_tdigest,
+        "active_customers_bloom": sketch.active_customers_bloom,
     }
 
 
