@@ -48,6 +48,8 @@ __all__ = [
     "OcrLayoutProcessor",
     "reassemble_block",
     "read_spans",
+    "read_spans_lance",
+    "write_spans",
     "build_ocr_pipeline",
     "build_ocr_pipeline_joined",
     "OcrInlineProcessor",
@@ -66,6 +68,12 @@ class OcrPipelineConfig:
     ocr_concurrency: Any = 4
     #: CPUs reserved per OCR actor.
     ocr_num_cpus: float = 1.0
+    #: GPUs reserved per OCR actor (north-star: detection/recognition
+    #: weights live in GPU actor pools on a real cluster). 0 keeps the
+    #: stage CPU-only — the only mode testable in this sandbox; >0 maps
+    #: the SAME pipeline onto GPU actors (fractional values pack
+    #: multiple actors per device).
+    ocr_num_gpus: float = 0.0
     #: number of hash partitions for the reassembly shuffle. Scale to
     #: ~2-4x total cores; at cluster scale, to total cores across nodes.
     reassemble_partitions: int = 16
@@ -100,6 +108,33 @@ def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
     enable_hash_shuffle()
     validate_schema(pq.ParquetFile(_first_file(path)).schema_arrow, SPANS_SCHEMA, "spans")
     return rd.read_parquet(path, columns=columns)
+
+
+def read_spans_lance(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read the spans table from a Lance dataset (the north-star input
+    format: fragment-aligned random access + column pruning), falling
+    back to parquet when pylance is not installed (this sandbox).
+    `ray.data.read_lance` streams fragments exactly like read_parquet
+    streams row groups, so the rest of the pipeline is format-agnostic.
+    """
+    try:
+        import lance  # noqa: F401  (optional dependency)
+
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        return read_spans(path, columns)
+
+
+def write_spans(ds: rd.Dataset, path: str) -> None:
+    """Write the output spans table — Lance when available (fragment
+    commits give the checkpoint granularity the resume path keys on),
+    else partitioned parquet (same resumability via file-per-shard)."""
+    try:
+        import lance  # noqa: F401
+
+        ds.write_lance(path)
+    except (ImportError, AttributeError):
+        ds.write_parquet(path)
 
 
 def _first_file(path: str) -> str:
@@ -628,6 +663,7 @@ def build_ocr_pipeline(
         batch_size=cfg.ocr_batch_size,
         concurrency=cfg.ocr_concurrency,
         num_cpus=cfg.ocr_num_cpus,
+        **({"num_gpus": cfg.ocr_num_gpus} if cfg.ocr_num_gpus > 0 else {}),
     )
     if not reassemble:
         return ocr
