@@ -110,30 +110,45 @@ def read_spans(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
+def _lance_available() -> bool:
+    """Capability probe (no execution wrapped in except): pylance
+    importable AND this Ray version exposes the Lance IO surface."""
+    try:
+        import lance  # noqa: F401  (optional dependency)
+    except ImportError:
+        return False
+    return hasattr(rd, "read_lance")
+
+
 def read_spans_lance(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read the spans table from a Lance dataset (the north-star input
     format: fragment-aligned random access + column pruning), falling
     back to parquet when pylance is not installed (this sandbox).
     `ray.data.read_lance` streams fragments exactly like read_parquet
     streams row groups, so the rest of the pipeline is format-agnostic.
+    Mirrors the `read_spans` contract: hash shuffle enabled BEFORE
+    dataset creation (contexts snapshot at creation) and the declared
+    schema validated at read time, not deep inside explode_spans.
     """
-    try:
-        import lance  # noqa: F401  (optional dependency)
+    if _lance_available():
+        import lance
 
+        enable_hash_shuffle()
+        validate_schema(lance.dataset(path).schema, SPANS_SCHEMA, "spans")
         return rd.read_lance(path, columns=columns)
-    except ImportError:
-        return read_spans(path, columns)
+    return read_spans(path, columns)
 
 
 def write_spans(ds: rd.Dataset, path: str) -> None:
     """Write the output spans table — Lance when available (fragment
     commits give the checkpoint granularity the resume path keys on),
-    else partitioned parquet (same resumability via file-per-shard)."""
-    try:
-        import lance  # noqa: F401
-
+    else partitioned parquet (same resumability via file-per-shard).
+    Format is chosen by capability probe BEFORE execution so an
+    exception raised inside an upstream UDF propagates instead of
+    silently re-executing the pipeline into a mixed-format directory."""
+    if _lance_available() and hasattr(ds, "write_lance"):
         ds.write_lance(path)
-    except (ImportError, AttributeError):
+    else:
         ds.write_parquet(path)
 
 
@@ -145,6 +160,13 @@ def _first_file(path: str) -> str:
             for f in sorted(files):
                 if f.endswith(".parquet"):
                     return os.path.join(root, f)
+        if any(f.endswith(".lance") for f in os.listdir(path)) or os.path.isdir(
+            os.path.join(path, "data")
+        ):
+            raise RuntimeError(
+                f"{path} looks like a Lance dataset but pylance is not "
+                "installed; install it or re-write the table as parquet"
+            )
     return path
 
 
@@ -465,6 +487,7 @@ def build_ocr_pipeline_joined(
         batch_size=cfg.ocr_batch_size,
         concurrency=cfg.ocr_concurrency,
         num_cpus=cfg.ocr_num_cpus,
+        **({"num_gpus": cfg.ocr_num_gpus} if cfg.ocr_num_gpus > 0 else {}),
     )
     merged = text_rows.union(ocr)
     partitioned = merged.repartition(cfg.reassemble_partitions, keys=["doc_id"])

@@ -181,3 +181,43 @@ def test_doc_text_sink_matches_golden(ray_session, corpus):
         .reset_index()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_read_spans_lance_parquet_fallback(ray_session, tmp_path):
+    """Without pylance installed the Lance-gated source/sink must run
+    the exact parquet pipeline, end to end."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.corpus import ensure_corpus
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        _lance_available,
+        build_ocr_pipeline,
+        load_media_store,
+        read_spans_lance,
+        write_spans,
+    )
+
+    assert not _lance_available()  # this sandbox has no pylance
+    paths = ensure_corpus(str(tmp_path / "corpus"), n_docs=30, n_templates=16,
+                          row_group_docs=10)
+    ds = read_spans_lance(paths["spans"])
+    media = load_media_store(paths["media"])
+    out = build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=(1, 1), reassemble_partitions=2)
+    )
+    out_dir = str(tmp_path / "out")
+    write_spans(out, out_dir)
+    got = pq.read_table(out_dir)
+    assert got.num_rows == 30
+
+
+def test_first_file_rejects_lance_dir_without_pylance(tmp_path):
+    from ocrs_ray.pipeline import _first_file
+
+    d = tmp_path / "tbl.lance"
+    d.mkdir()
+    (d / "data").mkdir()
+    (d / "file.lance").write_bytes(b"")
+    with pytest.raises(RuntimeError, match="pylance"):
+        _first_file(str(d))
