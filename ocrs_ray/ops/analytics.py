@@ -33,6 +33,8 @@ __all__ = [
     "events_topk_per_group",
     "events_user_running_sum",
     "events_user_pivot",
+    "events_user_lag_diff",
+    "docs_length_histogram",
     "heavy_hitters_exact",
     "heavy_hitters_sketch",
     "stratified_sample_documents",
@@ -700,3 +702,63 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     )
     ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return _cluster_assign(pairs, ids, "vec_id")
+
+
+def events_user_lag_diff(sf_dir: str) -> rd.Dataset:
+    """Per-user deltas between consecutive events (the LAG window
+    function): time since previous event and value change. Same
+    one-shuffle-then-vectorized shape as `events_user_running_sum`;
+    each user's first event has no predecessor and is omitted (matches
+    the SQL oracle's WHERE lag IS NOT NULL)."""
+    from .relational import _partition_by_user
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "dt_us": pd.Series([], dtype="int64"),
+                    "dvalue_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        ts_us = df["ts"].astype("int64")
+        micro = pd.Series(
+            round_half_away(df["value"].to_numpy() * MICRO).astype("int64"),
+            index=df.index,
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "dt_us": ts_us - ts_us.shift(),
+                "dvalue_micro": micro - micro.shift(),
+            }
+        )
+        return out.loc[same_user].astype(
+            {"dt_us": "int64", "dvalue_micro": "int64"}
+        ).reset_index(drop=True)
+
+    return _partition_by_user(sf_dir).map_batches(
+        lag, batch_format="pandas", batch_size=None
+    )
+
+
+def docs_length_histogram(sf_dir: str, bucket: int = 100) -> rd.Dataset:
+    """Histogram of document lengths in `bucket`-char bins. Bounded key
+    space (max_len/bucket bins) -> tree-reduced like the vocabulary."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bins = (batch["n_chars"] // bucket * bucket).astype("int64")
+        g = bins.value_counts().sort_index()
+        return pd.DataFrame(
+            {"bucket_start": g.index.to_numpy(), "n_docs": g.to_numpy().astype("int64")}
+        )
+
+    return _tree_sum(
+        _read_docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pandas"),
+        "bucket_start",
+        "n_docs",
+    )

@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": analytics.dedup_clusters,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        "events_user_lag_diff": analytics.events_user_lag_diff,
+        "docs_length_histogram": analytics.docs_length_histogram,
         # mergeable sketches
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,
@@ -278,6 +280,19 @@ def oracle_sql() -> dict[str, str]:
             )
             + ", CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
             "AS sum_value_micro FROM events GROUP BY 1"
+        ),
+        "events_user_lag_diff": (
+            "SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS dt_us, "
+            "CAST(CAST(round(value * 1000000) AS BIGINT) - "
+            "CAST(round(lag(value) OVER w * 1000000) AS BIGINT) AS BIGINT) "
+            "AS dvalue_micro "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "QUALIFY lag(ts) OVER w IS NOT NULL"
+        ),
+        "docs_length_histogram": (
+            "SELECT CAST(n_chars // 100 * 100 AS BIGINT) AS bucket_start, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
         ),
         "heavy_hitters_exact": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "

@@ -55,6 +55,8 @@ def assert_matches_oracle(name: str, out: pd.DataFrame) -> None:
         "heavy_hitters_exact",
         "stratified_sample_documents",
         "dedup_clusters",
+        "events_user_lag_diff",
+        "docs_length_histogram",
     ],
 )
 def test_analytics_matches_oracle(ray_session, name):
