@@ -188,6 +188,7 @@ def generate_corpus(
     n_templates: int = 64,
     seed: int = DEFAULT_SEED,
     row_group_docs: int = 2000,
+    large_frac: float = 0.05,
 ) -> dict[str, str]:
     """Write the corpus (spans + media + expected goldens) under `root`.
 
@@ -197,7 +198,9 @@ def generate_corpus(
     """
     os.makedirs(root, exist_ok=True)
     paths = corpus_paths(root)
-    media = gen_media_templates(n_templates=n_templates, seed=seed)
+    media = gen_media_templates(
+        n_templates=n_templates, seed=seed, large_frac=large_frac
+    )
     spans, expected = _gen_docs(n_docs, media, seed)
     pq.write_table(media, paths["media"])
     pq.write_table(spans, paths["spans"], row_group_size=row_group_docs)
