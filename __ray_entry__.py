@@ -46,7 +46,7 @@ def _ocr_docs(sf_dir: str):
         build_ocr_pipeline,
         cluster_ncpu,
         load_media_store,
-        read_spans,
+        read_spans_lance as read_spans,
     )
 
     paths = _corpus_for(sf_dir)
@@ -169,7 +169,7 @@ def _ocr_layout(sf_dir: str):
         OcrLayoutProcessor,
         explode_spans,
         load_media_store,
-        read_spans,
+        read_spans_lance as read_spans,
     )
 
     paths = _corpus_for(sf_dir)
@@ -197,7 +197,7 @@ def _ocr_joined_flat(sf_dir: str):
         OcrPipelineConfig,
         build_ocr_pipeline_joined,
         explode_spans,
-        read_spans,
+        read_spans_lance as read_spans,
     )
 
     paths = _corpus_for(sf_dir)
@@ -264,7 +264,7 @@ def entry() -> Any:
         OcrPipelineConfig,
         build_ocr_pipeline,
         load_media_store,
-        read_spans,
+        read_spans_lance as read_spans,
     )
 
     paths = _corpus_for("sf0.001")

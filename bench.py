@@ -81,7 +81,7 @@ def run_headline(
         OcrPipelineConfig,
         build_ocr_pipeline,
         load_media_store,
-        read_spans,
+        read_spans_lance as read_spans,
     )
 
     paths = ensure_corpus(
