@@ -241,14 +241,15 @@ def _pairs_in_key_groups(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFra
     )
 
 
-def _dedup_pairs(candidates: rd.Dataset, partitions: int = 8) -> rd.Dataset:
-    """A pair can surface from many groups: hash-partition on the pair
-    and drop duplicates per block (globally correct — a given pair
-    always lands in the same partition)."""
-    return candidates.repartition(partitions, keys=["doc_a", "doc_b"]).map_batches(
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        batch_format="pandas",
-        batch_size=None,
+def _local_dedup(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    return df.drop_duplicates(cols)
+
+
+def _dedup_small(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Global dedup of an already-small row set in one block — used on
+    VERIFIED pairs, after verification, never on raw candidates."""
+    return ds.repartition(1).map_batches(
+        _local_dedup, fn_kwargs={"cols": cols}, batch_format="pandas", batch_size=None
     )
 
 
@@ -292,8 +293,9 @@ def ngram_jaccard_pairs(
     """EXACT all-pairs n-gram Jaccard dedup at threshold, without the
     O(n^2) cross join: prefix filtering (see `_prefix_rows`) generates a
     provably complete candidate set, hash-partitioned by token so pair
-    enumeration is per-block; pairs are deduped by hash partition and
-    verified with the exact Jaccard kernel.
+    enumeration is per-block; candidates dedup locally per block, verify
+    with the exact Jaccard kernel, and the small verified set dedups
+    globally in one block (dedup-late: no all-to-all on candidates).
 
     Unlike `minhash_lsh_pairs` (probabilistic recall), this matches the
     brute-force oracle bit-for-bit. Texts for verification are broadcast
@@ -310,13 +312,25 @@ def ngram_jaccard_pairs(
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     enable_hash_shuffle(prefix)
-    candidates = prefix.repartition(8, keys=["token"]).map_batches(
+    # Dedup-late strategy: a pair can surface once per shared prefix
+    # token. Rather than a second all-to-all keyed on the pair, dedup
+    # locally per block (free), verify the still-slightly-duplicated
+    # candidates (verify is a broadcast-dict lookup, and the duplicate
+    # factor is bounded by the prefix length), and globally dedup only
+    # the verified survivors — a tiny set — in one block. Saves a full
+    # hash shuffle over the candidate set, which at corpus scale is the
+    # largest intermediate in this pipeline.
+    unique_pairs = prefix.repartition(8, keys=["token"]).map_batches(
         _pairs_in_key_groups,
         fn_kwargs={"key_cols": ["token"]},
         batch_format="pandas",
         batch_size=None,
+    ).map_batches(
+        _local_dedup,
+        fn_kwargs={"cols": ["doc_a", "doc_b"]},
+        batch_format="pandas",
+        batch_size=None,
     )
-    unique_pairs = _dedup_pairs(candidates)
 
     class ExactVerifier:
         def __init__(self, ref, k, threshold):
@@ -339,12 +353,13 @@ def ngram_jaccard_pairs(
                 keep.append(inter * 1_000_000 >= self.t_micro * uni)
             return batch.loc[np.asarray(keep, dtype=bool), ["doc_a", "doc_b"]]
 
-    return unique_pairs.map_batches(
+    verified = unique_pairs.map_batches(
         ExactVerifier,
         fn_constructor_args=(texts_ref, k, threshold),
         batch_format="pandas",
         concurrency=(1, 2),
     )
+    return _dedup_small(verified, ["doc_a", "doc_b"])
 
 
 def minhash_lsh_pairs(
@@ -371,13 +386,20 @@ def minhash_lsh_pairs(
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     enable_hash_shuffle(bands)
-    candidates = bands.repartition(8, keys=["band_hash"]).map_batches(
+    # Dedup-late (see ngram_jaccard_pairs): local per-block dedup, then
+    # global dedup of the small verified set — duplicate factor bounded
+    # by the number of matching bands.
+    unique_pairs = bands.repartition(8, keys=["band_hash"]).map_batches(
         _pairs_in_key_groups,
         fn_kwargs={"key_cols": ["band_id", "band_hash"]},
         batch_format="pandas",
         batch_size=None,
+    ).map_batches(
+        _local_dedup,
+        fn_kwargs={"cols": ["doc_a", "doc_b"]},
+        batch_format="pandas",
+        batch_size=None,
     )
-    unique_pairs = _dedup_pairs(candidates)
 
     class Verifier:
         def __init__(self, ref, k, threshold):
@@ -394,12 +416,13 @@ def minhash_lsh_pairs(
             out = batch[batch["jaccard"] >= self.threshold]
             return out[["doc_a", "doc_b", "jaccard"]]
 
-    return unique_pairs.map_batches(
+    verified = unique_pairs.map_batches(
         Verifier,
         fn_constructor_args=(texts_ref, cfg.shingle_size, cfg.jaccard_threshold),
         batch_format="pandas",
         concurrency=(1, 2),
     )
+    return _dedup_small(verified, ["doc_a", "doc_b"])
 
 
 def simhash64(sf_dir: str) -> rd.Dataset:
