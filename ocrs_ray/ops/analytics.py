@@ -35,6 +35,7 @@ __all__ = [
     "events_user_pivot",
     "events_user_lag_diff",
     "docs_length_histogram",
+    "bm25_topk",
     "heavy_hitters_exact",
     "heavy_hitters_sketch",
     "stratified_sample_documents",
@@ -761,4 +762,86 @@ def docs_length_histogram(sf_dir: str, bucket: int = 100) -> rd.Dataset:
         _read_docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pandas"),
         "bucket_start",
         "n_docs",
+    )
+
+
+def bm25_topk(
+    sf_dir: str,
+    query: str = "the quick brown fox",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """BM25 top-k document retrieval for a free-text query.
+
+    Corpus statistics (document frequency, doc count, average length)
+    come from one distributed pass and broadcast with the tokenized
+    query; scoring is then embarrassingly parallel per batch, and the
+    global top-k reduces through the usual local-top-k pattern (k rows
+    per block, no sort). Per-doc scores are pure functions of the doc
+    and the broadcast stats, so results are identical across
+    blockings/cluster sizes. Float scores -> rows-only for the driver;
+    pinned against a local reference in tests.
+    """
+    stats = document_frequency(sf_dir).to_pandas()
+    df_map = dict(zip(stats["term"], stats["df"].astype(int)))
+    tok = re.compile(TOKEN_RE)
+    q_terms = sorted(set(tok.findall(query.lower())))
+
+    corpus = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda d: pd.DataFrame(
+            {"n": [len(d)], "chars": [int(d["n_chars"].sum())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n_docs = int(corpus["n"].sum())
+    avg_len = corpus["chars"].sum() / max(n_docs, 1)
+    # Robertson-Sparck Jones idf with 0.5 smoothing, floored at 0.
+    idf = {
+        t: max(0.0, np.log((n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        for t in q_terms
+    }
+    ref = ray.put((q_terms, idf, avg_len, k1, b))
+
+    class Score:
+        def __init__(self, bref):
+            self.q_terms, self.idf, self.avg_len, self.k1, self.b = ray.get(bref)
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_id, out_s = [], []
+            for doc_id, text, n_chars in zip(
+                batch["doc_id"], batch["text"], batch["n_chars"]
+            ):
+                counts: dict[str, int] = {}
+                for t in self.tok.findall(text.lower()):
+                    if t in self.idf:
+                        counts[t] = counts.get(t, 0) + 1
+                if not counts:
+                    continue
+                norm = self.k1 * (1 - self.b + self.b * n_chars / self.avg_len)
+                s = sum(
+                    self.idf[t] * c * (self.k1 + 1) / (c + norm)
+                    for t, c in counts.items()
+                )
+                out_id.append(doc_id)
+                out_s.append(s)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_id, dtype="int64"),
+                    "score": np.asarray(out_s, dtype="float64"),
+                }
+            )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+        return df.head(k)[["doc_id", "score"]]
+
+    scored = _read_docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        Score, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+    )
+    return (
+        scored.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
     )

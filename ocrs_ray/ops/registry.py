@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "events_user_lag_diff": analytics.events_user_lag_diff,
         "docs_length_histogram": analytics.docs_length_histogram,
+        "bm25_topk": analytics.bm25_topk,
         # mergeable sketches
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,

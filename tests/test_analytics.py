@@ -248,3 +248,45 @@ def test_kmeans_assignment_is_nearest_centroid(ray_session):
     want = np.argmin(d2, axis=1)
     got = out.set_index("vec_id").loc[ids, "cluster_id"].to_numpy()
     assert (got == want).mean() > 0.95  # float reduce-order tolerance
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+
+def test_bm25_topk_matches_local_reference(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.analytics import TOKEN_RE, bm25_topk
+
+    query = "the quick brown fox"
+    k1, b, k = 1.2, 0.75, 10
+    out = bm25_topk(SF, query=query, k=k, k1=k1, b=b).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"]).to_pandas()
+    tok = re.compile(TOKEN_RE)
+    toks = docs["text"].map(lambda t: tok.findall(t.lower()))
+    q_terms = sorted(set(tok.findall(query.lower())))
+    n_docs = len(docs)
+    avg_len = docs["n_chars"].sum() / n_docs
+    dfm = {t: int(sum(t in set(ts) for ts in toks)) for t in q_terms}
+    idf = {
+        t: max(0.0, np.log((n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5))) for t in q_terms
+    }
+    rows = []
+    for doc_id, ts, n_chars in zip(docs["doc_id"], toks, docs["n_chars"]):
+        counts = {t: ts.count(t) for t in q_terms if t in ts}
+        if not counts:
+            continue
+        norm = k1 * (1 - b + b * n_chars / avg_len)
+        s = sum(idf[t] * c * (k1 + 1) / (c + norm) for t, c in counts.items())
+        rows.append((doc_id, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    want = pd.DataFrame(rows[:k], columns=["doc_id", "score"])
+    got = out.reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+    # Scores are returned best-first.
+    assert (got["score"].diff().dropna() <= 1e-12).all()
