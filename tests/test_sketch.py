@@ -46,7 +46,8 @@ def test_tdigest_quantile_within_rank_error(values, q):
     s = np.sort(arr)
     lo = s[max(0, int(np.floor((q - 0.05) * (len(s) - 1))))]
     hi = s[min(len(s) - 1, int(np.ceil((q + 0.05) * (len(s) - 1))))]
-    assert lo <= est <= hi
+    tol = 1e-9 * (1 + np.abs(arr).max())  # centroid means round in floats
+    assert lo - tol <= est <= hi + tol
 
 
 def test_tdigest_mergeability():
