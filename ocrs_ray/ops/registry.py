@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
+        "part_type_revenue": relational.part_type_revenue,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -195,6 +196,14 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS p95_micro, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "part_type_revenue": (
+            "SELECT p.p_type, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) "
+            "AS BIGINT)) AS BIGINT) AS sum_revenue_micro, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY 1"
         ),
         "supplier_region_rollup": (
             "SELECT r.r_name, "

@@ -28,6 +28,7 @@ __all__ = [
     "q3_top_orders",
     "inactive_customers",
     "supplier_region_rollup",
+    "part_type_revenue",
     "events_value_quantiles",
     "events_distinct_users_hll",
     "round_half_away",
@@ -782,4 +783,52 @@ def events_range_join(sf_dir: str, window_hours: int = 6) -> rd.Dataset:
 
     return _partition_by_user(sf_dir).map_batches(
         probe, batch_format="pandas", batch_size=None
+    )
+
+
+def part_type_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14-shaped rollup: discounted lineitem revenue per part
+    type. Broadcast hash join (part key -> type is the small side, sent
+    once via `ray.put`) probed inside `map_batches`; the big lineitem
+    side never shuffles — only the per-type partials (a handful of rows
+    per batch) reach the groupby."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    lookup_ref = ray.put(
+        dict(zip(part.column("p_partkey").to_pylist(), part.column("p_type").to_pylist()))
+    )
+
+    class Probe:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rev = batch["l_extendedprice"].to_numpy() * (
+                1.0 - batch["l_discount"].to_numpy()
+            )
+            df = pd.DataFrame(
+                {
+                    "p_type": batch["l_partkey"].map(self.lookup),
+                    "revenue_micro": round_half_away(rev * MICRO).astype("int64"),
+                    "n": np.ones(len(batch), dtype="int64"),
+                }
+            )
+            return df.groupby("p_type", as_index=False).sum()
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    enable_hash_shuffle(ds)
+    return ds.groupby("p_type").aggregate(
+        Sum("revenue_micro", alias_name="sum_revenue_micro"),
+        Sum("n", alias_name="n_items"),
     )

@@ -57,6 +57,7 @@ def assert_matches_oracle(name: str, out: pd.DataFrame) -> None:
         "dedup_clusters",
         "events_user_lag_diff",
         "docs_length_histogram",
+        "part_type_revenue",
     ],
 )
 def test_analytics_matches_oracle(ray_session, name):
