@@ -783,29 +783,45 @@ def bm25_topk(
     blockings/cluster sizes. Float scores -> rows-only for the driver;
     pinned against a local reference in tests.
     """
-    stats = document_frequency(sf_dir).to_pandas()
-    df_map = dict(zip(stats["term"], stats["df"].astype(int)))
     tok = re.compile(TOKEN_RE)
     q_terms = sorted(set(tok.findall(query.lower())))
 
-    corpus = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
-        lambda d: pd.DataFrame(
-            {"n": [len(d)], "chars": [int(d["n_chars"].sum())]}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    n_docs = int(corpus["n"].sum())
-    avg_len = corpus["chars"].sum() / max(n_docs, 1)
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # One pass: per-query-term df + doc count + char sum per block.
+        # df is restricted to the query's terms, so the reduce payload
+        # is len(q_terms)+2 numbers per block regardless of vocabulary.
+        dfs = {t: 0 for t in q_terms}
+        for text in batch["text"]:
+            seen = set(tok.findall(text.lower()))
+            for t in q_terms:
+                if t in seen:
+                    dfs[t] += 1
+        row = {f"df_{t}": [dfs[t]] for t in q_terms}
+        row["n"] = [len(batch)]
+        row["chars"] = [int(batch["n_chars"].sum())]
+        return pd.DataFrame(row)
+
+    stats = (
+        _read_docs(sf_dir, ["text", "n_chars"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_docs = int(stats["n"])
+    avg_len = stats["chars"] / max(n_docs, 1)
     # Robertson-Sparck Jones idf with 0.5 smoothing, floored at 0.
     idf = {
-        t: max(0.0, np.log((n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        t: max(
+            0.0,
+            np.log((n_docs - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5)),
+        )
         for t in q_terms
     }
-    ref = ray.put((q_terms, idf, avg_len, k1, b))
+    ref = ray.put((idf, avg_len, k1, b))
 
     class Score:
         def __init__(self, bref):
-            self.q_terms, self.idf, self.avg_len, self.k1, self.b = ray.get(bref)
+            self.idf, self.avg_len, self.k1, self.b = ray.get(bref)
             self.tok = re.compile(TOKEN_RE)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -820,9 +836,12 @@ def bm25_topk(
                 if not counts:
                     continue
                 norm = self.k1 * (1 - self.b + self.b * n_chars / self.avg_len)
+                # Sorted-term summation keeps the float total
+                # bit-identical regardless of token order in the doc
+                # (ties in the top-k then break deterministically).
                 s = sum(
-                    self.idf[t] * c * (self.k1 + 1) / (c + norm)
-                    for t, c in counts.items()
+                    self.idf[t] * counts[t] * (self.k1 + 1) / (counts[t] + norm)
+                    for t in sorted(counts)
                 )
                 out_id.append(doc_id)
                 out_s.append(s)

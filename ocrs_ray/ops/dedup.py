@@ -245,10 +245,17 @@ def _local_dedup(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return df.drop_duplicates(cols)
 
 
-def _dedup_small(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
-    """Global dedup of an already-small row set in one block — used on
-    VERIFIED pairs, after verification, never on raw candidates."""
-    return ds.repartition(1).map_batches(
+def _dedup_small(ds: rd.Dataset, cols: list[str], partitions: int = 8) -> rd.Dataset:
+    """Global dedup of the VERIFIED pair set (after verification, never
+    raw candidates): hash-partition on the pair so each pair lands in
+    exactly one block, dedup per block. The shuffle payload is the
+    verified set — normally tiny, but hash-partitioned (not a single
+    block) so a pathological corpus with an m-doc duplicate clique and
+    its m^2/2 surviving pairs still spreads across workers."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=cols).map_batches(
         _local_dedup, fn_kwargs={"cols": cols}, batch_format="pandas", batch_size=None
     )
 
@@ -313,13 +320,13 @@ def ngram_jaccard_pairs(
 
     enable_hash_shuffle(prefix)
     # Dedup-late strategy: a pair can surface once per shared prefix
-    # token. Rather than a second all-to-all keyed on the pair, dedup
-    # locally per block (free), verify the still-slightly-duplicated
-    # candidates (verify is a broadcast-dict lookup, and the duplicate
-    # factor is bounded by the prefix length), and globally dedup only
-    # the verified survivors — a tiny set — in one block. Saves a full
-    # hash shuffle over the candidate set, which at corpus scale is the
-    # largest intermediate in this pipeline.
+    # token. Rather than an all-to-all over the full candidate set,
+    # dedup locally per block (free), verify the still-slightly-
+    # duplicated candidates (re-verification is bounded by the prefix
+    # length and amortized by the per-actor shingle memo), and hash-
+    # dedup only the verified survivors — the shuffle payload drops
+    # from the candidate set (the largest intermediate in this
+    # pipeline at corpus scale) to the verified pair set.
     unique_pairs = prefix.repartition(8, keys=["token"]).map_batches(
         _pairs_in_key_groups,
         fn_kwargs={"key_cols": ["token"]},
@@ -340,14 +347,25 @@ def ngram_jaccard_pairs(
             # `inter * 1e6 >= t_micro * uni`, exact in int arithmetic
             # (matches the SQL oracle's integer comparison bit-for-bit).
             self.t_micro = int(round(threshold * 1_000_000))
+            # Per-actor shingle-set memo: docs recur across pairs (and
+            # duplicated candidates recur across blocks under the
+            # dedup-late strategy), so re-shingling is the dominant
+            # verify cost without this.
+            self._memo: dict[int, frozenset] = {}
+
+        def _sh(self, doc: int) -> frozenset:
+            s = self._memo.get(doc)
+            if s is None:
+                s = frozenset(_shingles(self.texts[doc], self.k))
+                self._memo[doc] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if batch.empty:
                 return batch[["doc_a", "doc_b"]]
             keep = []
             for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa = set(_shingles(self.texts[a], self.k))
-                sb = set(_shingles(self.texts[b], self.k))
+                sa, sb = self._sh(a), self._sh(b)
                 inter = len(sa & sb)
                 uni = len(sa) + len(sb) - inter
                 keep.append(inter * 1_000_000 >= self.t_micro * uni)
@@ -406,10 +424,18 @@ def minhash_lsh_pairs(
             self.texts = ray.get(ref)
             self.k = k
             self.threshold = threshold
+            self._memo: dict[int, frozenset] = {}
+
+        def _sh(self, doc: int) -> frozenset:
+            s = self._memo.get(doc)
+            if s is None:
+                s = frozenset(_shingles(self.texts[doc], self.k))
+                self._memo[doc] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             jac = [
-                ngram_jaccard(self.texts[a], self.texts[b], self.k)
+                _jaccard(self._sh(a), self._sh(b))
                 for a, b in zip(batch["doc_a"], batch["doc_b"])
             ]
             batch = batch.assign(jaccard=jac)

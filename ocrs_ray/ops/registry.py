@@ -367,9 +367,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_MD5_BUCKET} % 20 = 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
-        # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll and
-        # heavy_hitters_sketch are heuristic / sketch-based (not
-        # SQL-expressible): rows-only for the driver, pinned by exact
-        # reference implementations / recall or error bounds in
-        # tests/test_ops.py and tests/test_analytics.py.
+        # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,
+        # heavy_hitters_sketch, kmeans_embeddings, events_value_tdigest,
+        # active_customers_bloom and bm25_topk are heuristic / sketch /
+        # iterative / float-scored (not SQL-expressible bit-exactly):
+        # rows-only for the driver, pinned by exact reference
+        # implementations, recall/error bounds, or 1e-12 score parity in
+        # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
     }
