@@ -268,3 +268,88 @@ def test_mg_bounds_hold_on_any_stream(stream, capacity):
     for uid, true in exact.items():
         if true > err:
             assert uid in set(summary["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Preprocess (greyscale normalize)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_prepare_image_range_and_shape(h, w, c, seed):
+    from ocrs_ray.preprocess import BLACK_VALUE, prepare_image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = prepare_image(img, order="hwc")
+    assert out.shape == (1, h, w)
+    assert out.dtype == np.float32
+    assert np.all(out >= BLACK_VALUE - 1e-6)
+    assert np.all(out <= BLACK_VALUE + 1 + 1e-6)
+    # Uniform-value image -> uniform output (weights sum to 1).
+    flat = np.full((h, w, c), 128, dtype=np.uint8)
+    ref = prepare_image(flat, order="hwc")
+    assert np.allclose(ref, ref.flat[0])
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_prepare_image_layout_equivalence(h, w, c, seed):
+    """HWC and CHW layouts of the same pixels must normalize
+    identically."""
+    from ocrs_ray.preprocess import prepare_image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    a = prepare_image(img, order="hwc")
+    b = prepare_image(np.ascontiguousarray(img.transpose(2, 0, 1)), order="chw")
+    np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Layout (line grouping partition property)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # left
+            st.integers(min_value=0, max_value=200),  # top
+            st.integers(min_value=5, max_value=60),   # width
+            st.integers(min_value=5, max_value=20),   # height
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_find_text_lines_partitions_words(boxes):
+    """Every word lands in exactly one line; no line is empty; lines
+    appear in (roughly) reading order by their vertical position."""
+    from ocrs_ray.geometry import Point, RectF, RotatedRect
+    from ocrs_ray.layout import find_text_lines
+
+    words = [
+        RotatedRect.from_rect(RectF(t, l, t + hh, l + ww))
+        for l, t, ww, hh in boxes
+    ]
+    lines = find_text_lines(words)
+    assert all(len(line) > 0 for line in lines)
+    flat = [w for line in lines for w in line]
+    assert len(flat) == len(words)
+    # Identity partition: every input object appears exactly once.
+    assert {id(w) for w in flat} == {id(w) for w in words}
+    # Within each line, words are ordered left-to-right by left edge.
+    for line in lines:
+        lefts = [w.bounding_rect().left for w in line]
+        assert lefts == sorted(lefts)
