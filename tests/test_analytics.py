@@ -44,27 +44,8 @@ def assert_matches_oracle(name: str, out: pd.DataFrame) -> None:
 # Oracle-checked operators
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "vocab_top_terms",
-        "tfidf_top_terms",
-        "events_topk_per_group",
-        "events_user_running_sum",
-        "events_user_pivot",
-        "heavy_hitters_exact",
-        "stratified_sample_documents",
-        "dedup_clusters",
-        "events_user_lag_diff",
-        "docs_length_histogram",
-        "part_type_revenue",
-    ],
-)
-def test_analytics_matches_oracle(ray_session, name):
-    from ocrs_ray.ops import registry
-
-    out = registry.queries()[name](SF).to_pandas()
-    assert_matches_oracle(name, out)
+# Oracle parity for every SQL-expressible op (including all analytics
+# ops) is covered exhaustively by tests/test_oracle_sweep.py.
 
 
 # ---------------------------------------------------------------------------
