@@ -209,13 +209,23 @@ def generate_corpus(
 
 
 def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
-    """Idempotent generate: reuse an existing corpus of the right size."""
+    """Idempotent generate: reuse an existing corpus only when EVERY
+    generation parameter matches (recorded in a params manifest) — a
+    row-count-only check would silently serve stale data after a
+    seed/large_frac/template change."""
+    import json
+
     paths = corpus_paths(root)
+    manifest = os.path.join(root, "corpus_params.json")
+    params = {"n_docs": n_docs, **{k: kwargs[k] for k in sorted(kwargs)}}
     try:
         if all(os.path.exists(p) for p in paths.values()):
-            meta = pq.ParquetFile(paths["spans"]).metadata
-            if meta.num_rows == n_docs:
-                return paths
+            with open(manifest) as f:
+                if json.load(f) == params:
+                    return paths
     except Exception:
         pass
-    return generate_corpus(root, n_docs, **kwargs)
+    out = generate_corpus(root, n_docs, **kwargs)
+    with open(manifest, "w") as f:
+        json.dump(params, f)
+    return out
