@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "part_type_revenue": relational.part_type_revenue,
+        "events_funnel": relational.events_funnel,
+        "user_retention": relational.user_retention,
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
@@ -196,6 +198,27 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS p95_micro, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3"
+        ),
+        "user_retention": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events) "
+            "SELECT a.day, CAST(count(*) AS BIGINT) AS n_retained "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND b.day = a.day + 7 GROUP BY 1"
         ),
         "part_type_revenue": (
             "SELECT p.p_type, "

@@ -29,6 +29,8 @@ __all__ = [
     "inactive_customers",
     "supplier_region_rollup",
     "part_type_revenue",
+    "events_funnel",
+    "user_retention",
     "events_value_quantiles",
     "events_distinct_users_hll",
     "round_half_away",
@@ -831,4 +833,86 @@ def part_type_revenue(sf_dir: str) -> rd.Dataset:
     return ds.groupby("p_type").aggregate(
         Sum("revenue_micro", alias_name="sum_revenue_micro"),
         Sum("n", alias_name="n_items"),
+    )
+
+
+def events_funnel(
+    sf_dir: str, stages: tuple[str, ...] = ("signup", "click", "purchase")
+) -> rd.Dataset:
+    """Ordered funnel: users reaching each stage, where stage i+1 must
+    occur at-or-after the user's first qualifying stage-i event.
+
+    One hash shuffle on user_id; per-block the funnel is a vectorized
+    per-user chain of first-at-or-after lookups; only the per-stage
+    partial counts (len(stages) rows per block) leave the block.
+    """
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(stages), dtype="int64")
+        if not df.empty:
+            df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            for _, grp in df.groupby("user_id", sort=False):
+                cutoff = None
+                for i, stage in enumerate(stages):
+                    sel = grp[grp["event_type"] == stage]
+                    if cutoff is not None:
+                        sel = sel[sel["ts"] >= cutoff]
+                    if sel.empty:
+                        break
+                    cutoff = sel["ts"].iloc[0]
+                    counts[i] += 1
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(stages) + 1, dtype="int64"),
+                "stage_name": list(stages),
+                "n_users": counts,
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["stage", "stage_name"], as_index=False)["n_users"].sum()
+        return out.sort_values("stage").reset_index(drop=True)
+
+    return (
+        _partition_by_user(sf_dir)
+        .map_batches(funnel, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def user_retention(sf_dir: str, horizon_days: int = 7) -> rd.Dataset:
+    """Day-over-horizon retention: for each day, how many users active
+    that day were also active exactly `horizon_days` later.
+
+    Per-user day sets are local after the user_id shuffle; the day-key
+    space is bounded by the corpus time range, so the partial counts
+    tree-reduce without a second shuffle.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="int64"),
+                    "n_retained": pd.Series([], dtype="int64"),
+                }
+            )
+        days = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        d = pd.DataFrame({"user_id": df["user_id"], "day": days}).drop_duplicates()
+        nxt = d.assign(day=d["day"] - horizon_days)
+        hit = d.merge(nxt, on=["user_id", "day"])
+        g = hit.groupby("day", as_index=False).size()
+        return pd.DataFrame(
+            {"day": g["day"].astype("int64"), "n_retained": g["size"].astype("int64")}
+        )
+
+    from ocrs_ray.ops.analytics import _tree_sum
+
+    return _tree_sum(
+        _partition_by_user(sf_dir).map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ),
+        "day",
+        "n_retained",
     )
