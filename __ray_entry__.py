@@ -72,6 +72,41 @@ def _ocr_flat(sf_dir: str):
     return _ocr_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
 
 
+def _ocr_flat_beam(sf_dir: str):
+    """Flagship pipeline with prefix-beam CTC decoding (beam width 100,
+    mirroring the reference CLI default at
+    /root/reference/ocrs-cli/src/main.rs:403-407). Rows-only for the
+    driver: the fake recognition model emits raw (non-log-softmax)
+    scores, whose near-uniform posteriors make sum-over-alignments beam
+    search legitimately diverge from the greedy best path — same as the
+    reference, whose fake-model tests only exercise greedy. The beam
+    decoder itself is pinned by unit + property tests (beam == greedy
+    on one-hot inputs; hand-computed posteriors in tests/)."""
+    from ocrs_ray.corpus import make_engine
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline,
+        cluster_ncpu,
+        explode_spans,
+        load_media_store,
+        read_spans_lance as read_spans,
+    )
+
+    paths = _corpus_for(sf_dir)
+    ds = read_spans(paths["spans"])
+    media = load_media_store(paths["media"])
+    ncpu = cluster_ncpu(default=4)
+    w = max(1, min(ncpu - 2, 4))
+    cfg = OcrPipelineConfig(
+        ocr_concurrency=w,
+        reassemble_partitions=8,
+        engine_factory=lambda: make_engine(decode_method="beam"),
+    )
+    return build_ocr_pipeline(ds, media, cfg).map_batches(
+        explode_spans, batch_format="pyarrow"
+    )
+
+
 def _ocr_media_spans(sf_dir: str):
     """OCR'd media spans only (kind == 'media')."""
     import pyarrow.compute as pc
@@ -278,6 +313,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "ocr_pipeline_flat": _ocr_flat,
+        "ocr_pipeline_flat_beam": _ocr_flat_beam,
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
         "ocr_doc_text": _ocr_doc_text,
