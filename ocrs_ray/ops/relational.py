@@ -848,19 +848,21 @@ def events_funnel(
     """
 
     def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized over stages, never over users: each stage is a
+        # filter + merge-on-user + per-user min.
         counts = np.zeros(len(stages), dtype="int64")
-        if not df.empty:
-            df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-            for _, grp in df.groupby("user_id", sort=False):
-                cutoff = None
-                for i, stage in enumerate(stages):
-                    sel = grp[grp["event_type"] == stage]
-                    if cutoff is not None:
-                        sel = sel[sel["ts"] >= cutoff]
-                    if sel.empty:
-                        break
-                    cutoff = sel["ts"].iloc[0]
-                    counts[i] += 1
+        cutoff = None  # Series: user_id -> first time reaching prev stage
+        for i, stage in enumerate(stages):
+            sel = df.loc[df["event_type"] == stage, ["user_id", "ts"]]
+            if cutoff is not None:
+                sel = sel.merge(
+                    cutoff.rename("cutoff"), left_on="user_id", right_index=True
+                )
+                sel = sel.loc[sel["ts"] >= sel["cutoff"], ["user_id", "ts"]]
+            if sel.empty:
+                break
+            cutoff = sel.groupby("user_id")["ts"].min()
+            counts[i] = len(cutoff)
         return pd.DataFrame(
             {
                 "stage": np.arange(1, len(stages) + 1, dtype="int64"),
