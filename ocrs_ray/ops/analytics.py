@@ -25,7 +25,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from .relational import MICRO, round_half_away
+from .relational import MICRO, round_half_away, tree_sum
 
 __all__ = [
     "vocab_top_terms",
@@ -96,30 +96,10 @@ def _token_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
     return _counts_frame(_count_tokens(batch["text"]), "token", "n")
 
 
-def _merge_token_counts(df: pd.DataFrame, key: str, val: str) -> pd.DataFrame:
-    return df.groupby(key, as_index=False)[val].sum()
-
-
 def _tree_sum(ds: rd.Dataset, key: str, val: str, fanin: int = 8) -> rd.Dataset:
-    """Tree-reduce per-key sums WITHOUT a hash shuffle: coalesce partial
-    blocks (plain repartition moves whole blocks, no all-to-all), merge
-    per block, then one final single-block merge. Correct whenever the
-    distinct-key space fits in one worker's heap — true for token
-    vocabularies (bounded ~1e6) even at 100 TB corpus scale. Unbounded
-    key spaces (user ids, doc ids) must use groupby instead.
-    """
-    merged = ds.repartition(fanin).map_batches(
-        _merge_token_counts,
-        fn_kwargs={"key": key, "val": val},
-        batch_format="pandas",
-        batch_size=None,
-    )
-    return merged.repartition(1).map_batches(
-        _merge_token_counts,
-        fn_kwargs={"key": key, "val": val},
-        batch_format="pandas",
-        batch_size=None,
-    )
+    """Single-key/-value wrapper over relational.tree_sum (see its
+    docstring for the bounded-key-space correctness argument)."""
+    return tree_sum(ds, [key], [val], fanin=fanin)
 
 
 def vocab_top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:

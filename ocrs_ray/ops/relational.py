@@ -44,12 +44,38 @@ def round_half_away(v: np.ndarray) -> np.ndarray:
     return np.sign(v) * np.floor(np.abs(v) + 0.5)
 
 
+def _merge_sums(df: pd.DataFrame, keys: list[str], vals: list[str]) -> pd.DataFrame:
+    return df.groupby(keys, as_index=False)[vals].sum()
+
+
+def tree_sum(
+    ds: rd.Dataset, keys: list[str], vals: list[str], fanin: int = 8
+) -> rd.Dataset:
+    """Tree-reduce per-key sums WITHOUT a hash shuffle: coalesce partial
+    blocks (plain repartition moves whole blocks, no all-to-all), merge
+    per block, then one final single-block merge. Correct whenever the
+    distinct-key space fits in one worker's heap — true for token
+    vocabularies (bounded ~1e6) and calendar-bounded window keys even at
+    100 TB corpus scale. Unbounded key spaces (user ids, doc ids) must
+    use groupby instead.
+    """
+    kw = {"keys": list(keys), "vals": list(vals)}
+    merged = ds.repartition(fanin).map_batches(
+        _merge_sums, fn_kwargs=kw, batch_format="pandas", batch_size=None
+    )
+    return merged.repartition(1).map_batches(
+        _merge_sums, fn_kwargs=kw, batch_format="pandas", batch_size=None
+    )
+
+
 def events_tumbling_window(sf_dir: str, window_s: int = 300) -> rd.Dataset:
     """Tumbling-window aggregate per event_type.
 
     Events are batch data here (Ray Data has no event-time streaming);
     the window key is floor(epoch/window). Value sums are integer
-    micro-units.
+    micro-units. The (event_type, window_start) key space is calendar-
+    bounded (types x windows in the data's time range, independent of
+    row count), so the partials tree-reduce without a hash shuffle.
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -60,23 +86,19 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300) -> rd.Dataset:
             {
                 "event_type": batch["event_type"],
                 "window_start": win * window_s,
-                "value_micro": micro,
-                "n": np.ones(len(batch), dtype="int64"),
+                "sum_value_micro": micro,
+                "n_events": np.ones(len(batch), dtype="int64"),
             }
         )
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
-            value_micro=("value_micro", "sum"), n=("n", "sum")
-        )
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
+        return df.groupby(["event_type", "window_start"], as_index=False)[
+            ["sum_value_micro", "n_events"]
+        ].sum()
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     ).map_batches(partial, batch_format="pandas")
-    enable_hash_shuffle(ds)
-    return ds.groupby(["event_type", "window_start"]).aggregate(
-        Sum("value_micro", alias_name="sum_value_micro"),
-        Sum("n", alias_name="n_events"),
+    return tree_sum(
+        ds, ["event_type", "window_start"], ["sum_value_micro", "n_events"]
     )
 
 
@@ -309,8 +331,10 @@ def events_hopping_window(
 
     The fan-out happens vectorized INSIDE the batch (np.repeat/tile) and
     is immediately collapsed by the per-batch partial aggregation, so
-    the shuffle still moves one row per (type, window) per batch — the
-    window overlap factor never multiplies shuffled bytes.
+    downstream stages see one row per (type, window) per batch — the
+    window overlap factor never multiplies moved bytes. Like the
+    tumbling window, the key space is calendar-bounded, so the partials
+    tree-reduce without a hash shuffle.
     """
     if size_s % hop_s != 0:
         raise ValueError(
@@ -329,23 +353,19 @@ def events_hopping_window(
             {
                 "event_type": np.repeat(batch["event_type"].to_numpy(), fanout),
                 "window_start": win,
-                "value_micro": np.repeat(micro, fanout),
-                "n": np.ones(len(win), dtype="int64"),
+                "sum_value_micro": np.repeat(micro, fanout),
+                "n_events": np.ones(len(win), dtype="int64"),
             }
         )
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
-            value_micro=("value_micro", "sum"), n=("n", "sum")
-        )
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
+        return df.groupby(["event_type", "window_start"], as_index=False)[
+            ["sum_value_micro", "n_events"]
+        ].sum()
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     ).map_batches(partial, batch_format="pandas")
-    enable_hash_shuffle(ds)
-    return ds.groupby(["event_type", "window_start"]).aggregate(
-        Sum("value_micro", alias_name="sum_value_micro"),
-        Sum("n", alias_name="n_events"),
+    return tree_sum(
+        ds, ["event_type", "window_start"], ["sum_value_micro", "n_events"]
     )
 
 
