@@ -537,3 +537,51 @@ def test_range_join_matches_pandas(ray_session):
     want = set(zip(j.event_id_p, j.event_id_e))
     assert set(zip(out.purchase_event_id, out.error_event_id)) == want
     assert len(out) == len(want) > 0
+
+
+def test_funnel_stage_attrition(ray_session, tmp_path):
+    """Funnel on a crafted skewed table where each stage loses users
+    (the sf tables' funnel is saturated — every user completes all
+    stages, so it can't catch ordering/attrition bugs). Compared
+    against the registered DuckDB oracle on the same table.
+    """
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.registry import oracle_sql
+    from ocrs_ray.ops.relational import events_funnel
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 300, n).astype("int64"),
+            "event_type": rng.choice(
+                ["signup", "click", "purchase", "view"], n, p=[0.15, 0.35, 0.1, 0.4]
+            ),
+            "ts": pd.to_datetime(rng.integers(0, 10_000_000, n), unit="s"),
+            "value": rng.random(n),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+
+    out = events_funnel(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = (
+        con.execute(oracle_sql()["events_funnel"])
+        .df()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_users"]) == list(exp["n_users"])
+    # The crafted table must actually discriminate: strict attrition.
+    assert out["n_users"].iloc[0] > out["n_users"].iloc[2]
