@@ -23,7 +23,6 @@ import pandas as pd
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .relational import MICRO, round_half_away, tree_sum
 
@@ -287,10 +286,14 @@ def events_user_running_sum(sf_dir: str) -> rd.Dataset:
 
 def events_user_pivot(sf_dir: str) -> rd.Dataset:
     """Per-user event counts pivoted across the (closed) event-type set
-    plus total value. Partial pivot per batch, then groupby(user) sums
-    the already-narrow partials.
+    plus total value. Partial pivot per batch, then a keyed repartition
+    co-locates each user's narrow partials and one vectorized per-block
+    groupby-sum finishes — the same shuffle volume as a hash aggregate
+    but without the aggregate-actor machinery (which costs seconds of
+    fixed overhead on small partial sets).
     """
     cols = [f"n_{t}" for t in EVENT_TYPES]
+    vals = cols + ["sum_value_micro"]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         micro = round_half_away(batch["value"].to_numpy() * MICRO).astype("int64")
@@ -301,20 +304,17 @@ def events_user_pivot(sf_dir: str) -> rd.Dataset:
         agg["sum_value_micro"] = ("value_micro", "sum")
         return df.groupby("user_id", as_index=False).agg(**agg)
 
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)[vals].sum()
+
     from ocrs_ray.pipeline import enable_hash_shuffle
 
-    # Coalesce the narrow partials before the shuffle: hash-shuffle cost
-    # scales with input block count, and the combiner already shrank the
-    # data to one row per (user, block).
-    ds = (
-        _read_events(sf_dir, ["user_id", "event_type", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .repartition(8)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas"
     )
     enable_hash_shuffle(ds)
-    return ds.groupby("user_id").aggregate(
-        *[Sum(c, alias_name=c) for c in cols],
-        Sum("sum_value_micro", alias_name="sum_value_micro"),
+    return ds.repartition(8, keys=["user_id"]).map_batches(
+        merge, batch_format="pandas", batch_size=None
     )
 
 
@@ -325,7 +325,9 @@ def events_user_pivot(sf_dir: str) -> rd.Dataset:
 
 def heavy_hitters_exact(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Exact top-k users by event count (ties: user_id ascending):
-    per-batch combiner -> groupby sum -> block top-k -> final top-k."""
+    per-batch combiner -> keyed repartition (each user's partials land
+    in one block, so block top-k is globally valid) -> block merge+top-k
+    -> final top-k on the <= 8k surviving rows."""
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -338,15 +340,16 @@ def heavy_hitters_exact(sf_dir: str, k: int = 20) -> rd.Dataset:
         df = df.sort_values(["n", "user_id"], ascending=[False, True], kind="stable")
         return df.head(k)[["user_id", "n"]]
 
-    ds = (
-        _read_events(sf_dir, ["user_id"])
-        .map_batches(partial, batch_format="pandas")
-        .repartition(8)
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(df.groupby("user_id", as_index=False)["n"].sum())
+
+    ds = _read_events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas"
     )
     enable_hash_shuffle(ds)
-    counts = ds.groupby("user_id").aggregate(Sum("n", alias_name="n"))
     return (
-        counts.map_batches(local_topk, batch_format="pandas")
+        ds.repartition(8, keys=["user_id"])
+        .map_batches(merge_topk, batch_format="pandas", batch_size=None)
         .repartition(1)
         .map_batches(local_topk, batch_format="pandas", batch_size=None)
     )
