@@ -499,19 +499,29 @@ def q3_top_orders(
             ["o_orderkey", "o_orderdate_us"], as_index=False
         ).agg(revenue_micro=("revenue_micro", "sum"))
 
-    partials = joined.map_batches(join_partial, batch_format="pandas")
-    enable_hash_shuffle(partials)
-    revenue = partials.groupby(["o_orderkey", "o_orderdate_us"]).aggregate(
-        Sum("revenue_micro", alias_name="revenue_micro")
-    )
-
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(["revenue_micro", "o_orderkey"], ascending=[False, True])
         return g.head(k)[["o_orderkey", "o_orderdate_us", "revenue_micro"]]
 
-    return revenue.map_batches(local_topk, batch_format="pandas").repartition(
-        1
-    ).map_batches(local_topk, batch_format="pandas", batch_size=None)
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(
+            df.groupby(["o_orderkey", "o_orderdate_us"], as_index=False)[
+                "revenue_micro"
+            ].sum()
+        )
+
+    # The join already co-partitions by order key, but one partition may
+    # emit several blocks, so a key can straddle block boundaries. A
+    # keyed repartition of the per-block partials (tiny: one row per
+    # order per block) re-co-locates them; block merge+top-k is then
+    # globally valid and only k rows per block reach the final reduce.
+    partials = joined.map_batches(join_partial, batch_format="pandas")
+    return (
+        partials.repartition(join_partitions, keys=["o_orderkey"])
+        .map_batches(merge_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
 
 
 def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
