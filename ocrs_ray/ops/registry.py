@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
+        "events_daily_active_users_hll": relational.events_daily_active_users_hll,
         "part_type_revenue": relational.part_type_revenue,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,
+        # events_daily_active_users_hll,
         # heavy_hitters_sketch, kmeans_embeddings, events_value_tdigest,
         # active_customers_bloom and bm25_topk are heuristic / sketch /
         # iterative / float-scored (not SQL-expressible bit-exactly):

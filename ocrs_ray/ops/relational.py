@@ -33,6 +33,7 @@ __all__ = [
     "user_retention",
     "events_value_quantiles",
     "events_distinct_users_hll",
+    "events_daily_active_users_hll",
     "round_half_away",
 ]
 
@@ -44,12 +45,18 @@ def round_half_away(v: np.ndarray) -> np.ndarray:
     return np.sign(v) * np.floor(np.abs(v) + 0.5)
 
 
-def _merge_sums(df: pd.DataFrame, keys: list[str], vals: list[str]) -> pd.DataFrame:
-    return df.groupby(keys, as_index=False)[vals].sum()
+def _merge_sums(
+    df: pd.DataFrame, keys: list[str], vals: list[str], agg: str = "sum"
+) -> pd.DataFrame:
+    return df.groupby(keys, as_index=False)[vals].agg(agg)
 
 
 def tree_sum(
-    ds: rd.Dataset, keys: list[str], vals: list[str], fanin: int = 8
+    ds: rd.Dataset,
+    keys: list[str],
+    vals: list[str],
+    fanin: int = 8,
+    agg: str = "sum",
 ) -> rd.Dataset:
     """Tree-reduce per-key sums WITHOUT a hash shuffle: coalesce partial
     blocks (plain repartition moves whole blocks, no all-to-all), merge
@@ -57,9 +64,10 @@ def tree_sum(
     distinct-key space fits in one worker's heap — true for token
     vocabularies (bounded ~1e6) and calendar-bounded window keys even at
     100 TB corpus scale. Unbounded key spaces (user ids, doc ids) must
-    use groupby instead.
+    use groupby instead. `agg` is any associative+commutative pandas
+    reduction ("sum", "max", "min").
     """
-    kw = {"keys": list(keys), "vals": list(vals)}
+    kw = {"keys": list(keys), "vals": list(vals), "agg": agg}
     merged = ds.repartition(fanin).map_batches(
         _merge_sums, fn_kwargs=kw, batch_format="pandas", batch_size=None
     )
@@ -682,16 +690,12 @@ def events_value_quantiles(sf_dir: str, partitions: int = 8) -> rd.Dataset:
 _HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) = 1.6%
 
 
-def _hll_registers(hashes: np.ndarray) -> np.ndarray:
-    """HyperLogLog register vector (max leading-zero rank per bucket)."""
-    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
-    if len(hashes) == 0:
-        return regs
+def _hll_bucket_rank(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash HLL (bucket, rank): bucket = top P bits, rank = leading
+    zeros of the remaining 64-P bits + 1 (capped when all-zero)."""
     h = hashes.astype(np.uint64)
     bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = h << np.uint64(_HLL_P)
-    # rank = leading zeros of the remaining 64-P bits, + 1 (cap at 64-P+1
-    # when the rest is all zeros).
     rank = np.full(len(h), 64 - _HLL_P + 1, dtype=np.int8)
     nz = rest != 0
     # log2 of a uint64 via float is unsafe past 2^53; shift down first.
@@ -704,6 +708,15 @@ def _hll_registers(hashes: np.ndarray) -> np.ndarray:
         ).astype(np.int64) - 32,
     )
     rank[nz] = (lz + 1).astype(np.int8)
+    return bucket, rank
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """HyperLogLog register vector (max leading-zero rank per bucket)."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+    if len(hashes) == 0:
+        return regs
+    bucket, rank = _hll_bucket_rank(hashes)
     np.maximum.at(regs, bucket, rank)
     return regs
 
@@ -758,6 +771,57 @@ def events_distinct_users_hll(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     return ds.repartition(partitions, keys=["event_type"]).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+def events_daily_active_users_hll(sf_dir: str) -> rd.Dataset:
+    """APPROXIMATE daily active users per (event_type, day) — the
+    grouped count-distinct at corpus scale, where the exact op
+    (`events_daily_active_users`) must shuffle every distinct
+    (type, day, user) triple.
+
+    Sparse mergeable HLL: each batch emits one (key, bucket, max-rank)
+    row per occupied register — never a dense 4 KiB blob per key, so
+    tiny groups cost rows, not registers. Partials max-reduce through
+    `tree_sum(agg="max")` (the (type, day, bucket) key space is
+    calendar-bounded x 4096, independent of row count), and the final
+    single-block pass densifies each group's registers and applies the
+    standard estimator with the linear-counting small-range fix.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64") // 1_000_000
+        day = (epoch // 86400).astype("int64")
+        hashes = pd.util.hash_array(batch["user_id"].to_numpy()).astype(np.uint64)
+        bucket, rank = _hll_bucket_rank(hashes)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": day.to_numpy(),
+                "bucket": bucket,
+                "rank": rank.astype("int64"),
+            }
+        )
+        return df.groupby(["event_type", "day", "bucket"], as_index=False)[
+            "rank"
+        ].max()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (etype, day), g in df.groupby(["event_type", "day"]):
+            regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+            regs[g["bucket"].to_numpy()] = g["rank"].to_numpy()
+            rows.append((etype, int(day), int(round(_hll_estimate(regs)))))
+        return pd.DataFrame(
+            rows, columns=["event_type", "day", "n_users_est"]
+        ).astype({"day": "int64", "n_users_est": "int64"})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    ).map_batches(partial, batch_format="pandas")
+    merged = tree_sum(
+        ds, ["event_type", "day", "bucket"], ["rank"], agg="max"
+    )
+    return merged.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 
 def events_range_join(sf_dir: str, window_hours: int = 6) -> rd.Dataset:

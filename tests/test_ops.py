@@ -499,6 +499,27 @@ def test_events_distinct_users_hll_close_to_exact(ray_session):
         assert abs(row["n_users_est"] - true_n) / true_n < 0.08, (row.to_dict(), true_n)
 
 
+def test_events_daily_active_users_hll_close_to_exact(ray_session):
+    """Grouped sparse-HLL estimate within error bound of the exact
+    per-(event_type, day) distinct-user count, for every group."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.relational import events_daily_active_users_hll
+
+    out = events_daily_active_users_hll(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "user_id"]
+    ).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 1_000_000 // 86400
+    exact = ev.groupby(["event_type", "day"])["user_id"].nunique()
+    assert len(out) == len(exact)
+    for _, row in out.iterrows():
+        true_n = exact[(row["event_type"], row["day"])]
+        # small groups are exact via linear counting; 8% covers the rest
+        tol = max(0.08 * true_n, 3)
+        assert abs(row["n_users_est"] - true_n) <= tol, (row.to_dict(), true_n)
+
+
 def test_registry_consistency():
     """Every oracle key has a queries() entry and names stay stable;
     catches registry drift when operators are added."""
