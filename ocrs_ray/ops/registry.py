@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "events_daily_active_users_hll": relational.events_daily_active_users_hll,
+        "customer_order_counts": relational.customer_order_counts,
         "part_type_revenue": relational.part_type_revenue,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
@@ -169,6 +170,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1, 2"
+        ),
+        "customer_order_counts": (
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY c.c_custkey) t GROUP BY c_count"
         ),
         "q3_top_orders": (
             "WITH c AS (SELECT c_custkey FROM customer "

@@ -34,6 +34,7 @@ __all__ = [
     "events_value_quantiles",
     "events_distinct_users_hll",
     "events_daily_active_users_hll",
+    "customer_order_counts",
     "round_half_away",
 ]
 
@@ -529,6 +530,71 @@ def q3_top_orders(
         .map_batches(merge_topk, batch_format="pandas", batch_size=None)
         .repartition(1)
         .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def customer_order_counts(
+    sf_dir: str, exclude_priority: str = "1-URGENT"
+) -> rd.Dataset:
+    """TPC-H Q13-shaped left-outer-join distribution: how many customers
+    placed exactly N qualifying orders (the ON-clause filter excludes
+    one priority class), INCLUDING the zero-order customers the outer
+    join exists to keep.
+
+    Scale shape: the outer join is never materialized. Orders reduce to
+    per-customer counts (per-batch partial -> keyed repartition + block
+    merge; custkey is unbounded so the shuffle stays but ships one row
+    per customer per block, not one per order). The count histogram is
+    a bounded key space (max orders/customer is a small constant), so it
+    tree-reduces shuffle-free, and the zero bucket is recovered by
+    arithmetic: |customer| (a metadata-only parquet count) minus the
+    number of matched customers. Assumes o_custkey -> c_custkey
+    referential integrity (TPC-H guarantees it); with orphan keys the
+    matched counts would need a hash semi-join against customer first.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    # Context is snapshotted at dataset creation: the keyed repartition
+    # needs the hash-shuffle strategy set BEFORE read_parquet.
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    n_customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderpriority"] != exclude_priority]
+        out = b.groupby("o_custkey", as_index=False).size()
+        out.columns = ["c_custkey", "c_count"]
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_custkey", as_index=False)["c_count"].sum()
+
+    def histogram(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_count", as_index=False).size()
+        out.columns = ["c_count", "custdist"]
+        return out
+
+    def add_zero_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        unmatched = n_customers - int(df["custdist"].sum())
+        if unmatched > 0:
+            zero = pd.DataFrame({"c_count": [0], "custdist": [unmatched]})
+            df = pd.concat([df, zero], ignore_index=True)
+        return df.astype({"c_count": "int64", "custdist": "int64"})
+
+    counts = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .repartition(npart, keys=["c_custkey"])
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .map_batches(histogram, batch_format="pandas", batch_size=None)
+    )
+    merged = tree_sum(counts, ["c_count"], ["custdist"])
+    return merged.map_batches(
+        add_zero_bucket, batch_format="pandas", batch_size=None
     )
 
 
