@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "events_daily_active_users_hll": relational.events_daily_active_users_hll,
         "customer_order_counts": relational.customer_order_counts,
+        "orders_with_returns": relational.orders_with_returns,
         "part_type_revenue": relational.part_type_revenue,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
@@ -179,6 +180,15 @@ def oracle_sql() -> dict[str, str]:
             "ON c.c_custkey = o.o_custkey "
             "AND o.o_orderpriority <> '1-URGENT' "
             "GROUP BY c.c_custkey) t GROUP BY c_count"
+        ),
+        "orders_with_returns": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+            "GROUP BY 1"
         ),
         "q3_top_orders": (
             "WITH c AS (SELECT c_custkey FROM customer "

@@ -35,6 +35,7 @@ __all__ = [
     "events_distinct_users_hll",
     "events_daily_active_users_hll",
     "customer_order_counts",
+    "orders_with_returns",
     "round_half_away",
 ]
 
@@ -596,6 +597,70 @@ def customer_order_counts(
     return merged.map_batches(
         add_zero_bucket, batch_format="pandas", batch_size=None
     )
+
+
+def orders_with_returns(
+    sf_dir: str, start: str = "1997-01-01", end: str = "1998-01-01"
+) -> rd.Dataset:
+    """TPC-H Q4-shaped exact big x big semi-join: count orders per
+    priority (within a date window) that have at least one returned
+    lineitem (l_returnflag = 'R').
+
+    The qualifying-orderkey set is proportional to the order count, so
+    it can NEVER be broadcast (contrast `active_customers_bloom`, whose
+    Bloom probe is approximate, and `inactive_customers`, whose build
+    side is small). EXISTS is made exact by deduplicating the build
+    side globally BEFORE the join — per-batch drop_duplicates, keyed
+    repartition, per-block dedupe — so the inner hash join emits each
+    order at most once. The final per-priority count is a bounded key
+    space (5 priorities) and tree-reduces shuffle-free.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    start_ts, end_ts = pd.Timestamp(start), pd.Timestamp(end)
+
+    def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = (batch["o_orderdate"] >= start_ts) & (batch["o_orderdate"] < end_ts)
+        return batch.loc[sel, ["o_orderkey", "o_orderpriority"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    def returned_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_returnflag"] == "R"]
+        return b[["l_orderkey"]].drop_duplicates()
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    returned = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        )
+        .map_batches(returned_keys, batch_format="pandas")
+        .repartition(npart, keys=["l_orderkey"])
+        .map_batches(dedupe, batch_format="pandas", batch_size=None)
+    )
+
+    joined = orders.join(
+        returned,
+        join_type="inner",
+        num_partitions=npart,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("o_orderpriority", as_index=False).size()
+        out.columns = ["o_orderpriority", "order_count"]
+        return out.astype({"order_count": "int64"})
+
+    partials = joined.map_batches(count_partial, batch_format="pandas")
+    return tree_sum(partials, ["o_orderpriority"], ["order_count"])
 
 
 def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
