@@ -609,11 +609,12 @@ def orders_with_returns(
     The qualifying-orderkey set is proportional to the order count, so
     it can NEVER be broadcast (contrast `active_customers_bloom`, whose
     Bloom probe is approximate, and `inactive_customers`, whose build
-    side is small). EXISTS is made exact by deduplicating the build
-    side globally BEFORE the join — per-batch drop_duplicates, keyed
-    repartition, per-block dedupe — so the inner hash join emits each
-    order at most once. The final per-priority count is a bounded key
-    space (5 priorities) and tree-reduces shuffle-free.
+    side is small). Ray Data's native `join_type="left_semi"` hash join
+    does exactly the EXISTS semantics — each order emitted at most once
+    regardless of how many returned lineitems it has, so no build-side
+    dedupe shuffle is needed (a per-batch local dedupe still trims the
+    shuffled volume). The per-priority count is a bounded key space
+    (5 priorities) and tree-reduces shuffle-free.
     """
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
@@ -625,30 +626,21 @@ def orders_with_returns(
         sel = (batch["o_orderdate"] >= start_ts) & (batch["o_orderdate"] < end_ts)
         return batch.loc[sel, ["o_orderkey", "o_orderpriority"]]
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
-    ).map_batches(orders_filter, batch_format="pandas")
-
     def returned_keys(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["l_returnflag"] == "R"]
         return b[["l_orderkey"]].drop_duplicates()
 
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    returned = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
-        )
-        .map_batches(returned_keys, batch_format="pandas")
-        .repartition(npart, keys=["l_orderkey"])
-        .map_batches(dedupe, batch_format="pandas", batch_size=None)
-    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(orders_filter, batch_format="pandas")
+    returned = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned_keys, batch_format="pandas")
 
     joined = orders.join(
         returned,
-        join_type="inner",
+        join_type="left_semi",
         num_partitions=npart,
         on=("o_orderkey",),
         right_on=("l_orderkey",),
