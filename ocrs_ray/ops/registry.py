@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active_users_hll": relational.events_daily_active_users_hll,
         "customer_order_counts": relational.customer_order_counts,
         "orders_with_returns": relational.orders_with_returns,
+        "part_small_quantity_revenue": relational.part_small_quantity_revenue,
         "part_type_revenue": relational.part_type_revenue,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
@@ -180,6 +181,16 @@ def oracle_sql() -> dict[str, str]:
             "ON c.c_custkey = o.o_custkey "
             "AND o.o_orderpriority <> '1-URGENT' "
             "GROUP BY c.c_custkey) t GROUP BY c_count"
+        ),
+        "part_small_quantity_revenue": (
+            "WITH s AS (SELECT l_partkey, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "count(*) AS n FROM lineitem GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_small, "
+            "CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 1000000) "
+            "AS BIGINT)), 0) AS BIGINT) AS revenue_micro "
+            "FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey "
+            "WHERE 5 * s.n * CAST(l.l_quantity AS BIGINT) < s.sum_qty"
         ),
         "orders_with_returns": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "

@@ -36,6 +36,7 @@ __all__ = [
     "events_daily_active_users_hll",
     "customer_order_counts",
     "orders_with_returns",
+    "part_small_quantity_revenue",
     "round_half_away",
 ]
 
@@ -653,6 +654,96 @@ def orders_with_returns(
 
     partials = joined.map_batches(count_partial, batch_format="pandas")
     return tree_sum(partials, ["o_orderpriority"], ["order_count"])
+
+
+def part_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17-shaped correlated scalar aggregate: total revenue and
+    row count of lineitems whose quantity is below 20% of their own
+    part's average quantity.
+
+    The per-part average cannot be broadcast (partkey cardinality grows
+    with the corpus), so the shape is aggregate-then-rejoin: per-part
+    (sum_qty, n) reduces through keyed repartition + block merge, then
+    a native hash join ships the tiny stats rows back alongside the
+    detail rows co-partitioned by partkey. The below-average test is
+    integer-exact — `5 * n * qty < sum_qty` with quantities cast to
+    int64 — so no float-associativity drift vs the SQL oracle, and the
+    final scalar tree-reduces (single bounded key).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"],
+                "sum_qty": batch["l_quantity"].astype("int64"),
+                "n": np.ones(len(batch), dtype="int64"),
+            }
+        )
+        return df.groupby("l_partkey", as_index=False).sum()
+
+    def stats_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False)[["sum_qty", "n"]].sum()
+
+    stats = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(stats_partial, batch_format="pandas")
+        .repartition(npart, keys=["l_partkey"])
+        .map_batches(stats_merge, batch_format="pandas", batch_size=None)
+    )
+
+    # Probe side collapses to per-(partkey, quantity) buckets before the
+    # join: quantities are integral and bounded, so each batch's bucket
+    # partials (count + micro-revenue) are additive — duplicate bucket
+    # rows across batches each join the part's single stats row once and
+    # sum correctly downstream, so no global bucket merge is needed.
+    def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"],
+                "qty": batch["l_quantity"].astype("int64"),
+                "n_rows": np.ones(len(batch), dtype="int64"),
+                "rev_micro": round_half_away(
+                    batch["l_extendedprice"].to_numpy() * MICRO
+                ).astype("int64"),
+            }
+        )
+        return df.groupby(["l_partkey", "qty"], as_index=False).sum()
+
+    buckets = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(bucket_partial, batch_format="pandas")
+    joined = buckets.join(
+        stats,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_partkey",),
+    )
+
+    def small_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = 5 * batch["n"] * batch["qty"] < batch["sum_qty"]
+        b = batch[sel]
+        return pd.DataFrame(
+            {
+                "tag": [0],
+                "n_small": [int(b["n_rows"].sum())],
+                "revenue_micro": [int(b["rev_micro"].sum())],
+            }
+        ).astype("int64")
+
+    partials = joined.map_batches(small_partial, batch_format="pandas")
+    merged = tree_sum(partials, ["tag"], ["n_small", "revenue_micro"])
+
+    def drop_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["n_small", "revenue_micro"]]
+
+    return merged.map_batches(drop_tag, batch_format="pandas", batch_size=None)
 
 
 def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
