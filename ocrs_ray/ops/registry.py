@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "inactive_customers": relational.inactive_customers,
+        "inactive_customers_anti_join": relational.inactive_customers_anti_join,
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -218,6 +219,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue_micro DESC, o_orderkey LIMIT 10"
         ),
         "inactive_customers": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "inactive_customers_anti_join": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"

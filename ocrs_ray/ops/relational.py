@@ -37,6 +37,7 @@ __all__ = [
     "customer_order_counts",
     "orders_with_returns",
     "part_small_quantity_revenue",
+    "inactive_customers_anti_join",
     "round_half_away",
 ]
 
@@ -785,6 +786,41 @@ def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(AntiProbe, fn_constructor_args=(keys_ref,),
                   batch_format="pandas", concurrency=(1, 2))
+
+
+def inactive_customers_anti_join(
+    sf_dir: str, since: str = "2001-01-01"
+) -> rd.Dataset:
+    """The 100-TB path for `inactive_customers`: the same NOT-EXISTS
+    semantics via Ray Data's native `join_type="left_anti"` hash join,
+    for when the recent-custkey build side is itself too large to
+    broadcast. Both sides hash-partition by custkey; per-batch build
+    dedupe trims shuffle volume (anti-join semantics don't need a
+    global dedupe). Output is identical to the broadcast variant.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    since_ts = pd.Timestamp(since)
+
+    def recent_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderdate"] >= since_ts]
+        return pd.DataFrame({"o_custkey": b["o_custkey"].unique()})
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pandas")
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return customer.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=npart,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
 
 
 def supplier_region_rollup(sf_dir: str) -> rd.Dataset:
