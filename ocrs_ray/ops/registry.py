@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "inactive_customers": relational.inactive_customers,
         "inactive_customers_anti_join": relational.inactive_customers_anti_join,
+        "lineitem_rollup": relational.lineitem_rollup,
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -222,6 +223,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "inactive_customers_anti_join": (
             "SELECT c_custkey, c_name FROM customer "
