@@ -33,6 +33,9 @@ __all__ = [
     "events_user_running_sum",
     "events_user_pivot",
     "events_user_lag_diff",
+    "events_user_first_last",
+    "events_user_moving_sum",
+    "distinct_user_event_types",
     "docs_length_histogram",
     "bm25_topk",
     "heavy_hitters_exact",
@@ -846,4 +849,108 @@ def bm25_topk(
         scored.map_batches(local_topk, batch_format="pandas")
         .repartition(1)
         .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def events_user_first_last(sf_dir: str) -> rd.Dataset:
+    """Per-user arg-min/arg-max aggregate: first and last event id in
+    (ts, event_id) order plus the event count — the FIRST/LAST (ordered
+    aggregate, a.k.a. ARG_MIN/ARG_MAX) taxonomy entry. One user_id hash
+    shuffle co-locates each user, then one vectorized per-block
+    sort + groupby first/last; no aggregate-actor machinery."""
+    from .relational import _partition_by_user
+
+    def first_last(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "first_event_id": pd.Series([], dtype="int64"),
+                    "last_event_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", as_index=False).agg(
+            first_event_id=("event_id", "first"),
+            last_event_id=("event_id", "last"),
+            n_events=("event_id", "count"),
+        )
+        return g.astype(
+            {
+                "user_id": "int64",
+                "first_event_id": "int64",
+                "last_event_id": "int64",
+                "n_events": "int64",
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        first_last, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_moving_sum(sf_dir: str, preceding: int = 2) -> rd.Dataset:
+    """Bounded ROWS-frame sliding window: SUM(value) OVER (PARTITION BY
+    user ORDER BY ts, event_id ROWS BETWEEN `preceding` PRECEDING AND
+    CURRENT ROW). Same one-shuffle-then-vectorized shape as the running
+    sum; the frame sum composes `preceding` shifted columns masked at
+    user boundaries — the loop is over the frame width (a constant),
+    never over rows."""
+    from .relational import _partition_by_user
+
+    def moving(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "mov_sum_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        micro = pd.Series(
+            round_half_away(df["value"].to_numpy() * MICRO).astype("int64")
+        )
+        user = df["user_id"].reset_index(drop=True)
+        total = micro.copy()
+        for j in range(1, preceding + 1):
+            same = user.eq(user.shift(j))
+            total = total + micro.shift(j).where(same, 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": user.astype("int64"),
+                "ts_us": df["ts"].astype("int64"),
+                "mov_sum_micro": total.astype("int64"),
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        moving, batch_format="pandas", batch_size=None
+    )
+
+
+def distinct_user_event_types(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """SELECT DISTINCT (user_id, event_type) — the set-projection
+    taxonomy entry. Per-batch local dedupe (combiner) shrinks the
+    shuffle to unique pairs per block, a keyed repartition on user_id
+    co-locates surviving duplicates, and one per-block dedupe
+    finishes — no sort, no aggregate machinery. user_id is unbounded at
+    corpus scale so the shuffle stays (a tree reduce would be wrong);
+    the combiner bounds its volume at (types x users) per block."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    ds = _read_events(sf_dir, ["user_id", "event_type"]).map_batches(
+        local_distinct, batch_format="pandas"
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=["user_id"]).map_batches(
+        local_distinct, batch_format="pandas", batch_size=None
     )

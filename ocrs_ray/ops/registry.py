@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": relational.orders_with_returns,
         "part_small_quantity_revenue": relational.part_small_quantity_revenue,
         "part_type_revenue": relational.part_type_revenue,
+        "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
         # top-k / sampling
@@ -97,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "events_user_lag_diff": analytics.events_user_lag_diff,
+        "events_user_first_last": analytics.events_user_first_last,
+        "events_user_moving_sum": analytics.events_user_moving_sum,
+        "distinct_user_event_types": analytics.distinct_user_event_types,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
         # mergeable sketches
@@ -358,6 +362,40 @@ def oracle_sql() -> dict[str, str]:
             )
             + ", CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
             "AS sum_value_micro FROM events GROUP BY 1"
+        ),
+        "q5_local_supplier_revenue": (
+            "SELECT n.n_name AS n_name, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) "
+            "AS BIGINT)) AS BIGINT) AS revenue_micro, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'MIDDLE EAST' "
+            "AND c.c_nationkey = s.s_nationkey "
+            "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY 1"
+        ),
+        "events_user_first_last": (
+            "SELECT user_id, "
+            "CAST(first(event_id ORDER BY ts, event_id) AS BIGINT) AS first_event_id, "
+            "CAST(last(event_id ORDER BY ts, event_id) AS BIGINT) AS last_event_id, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1"
+        ),
+        "events_user_moving_sum": (
+            "SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_micro "
+            "FROM events"
+        ),
+        "distinct_user_event_types": (
+            "SELECT DISTINCT user_id, event_type FROM events"
         ),
         "events_user_lag_diff": (
             "SELECT event_id, user_id, "

@@ -39,6 +39,7 @@ __all__ = [
     "part_small_quantity_revenue",
     "inactive_customers_anti_join",
     "lineitem_rollup",
+    "q5_local_supplier_revenue",
     "round_half_away",
 ]
 
@@ -1306,4 +1307,160 @@ def user_retention(sf_dir: str, horizon_days: int = 7) -> rd.Dataset:
         ),
         "day",
         "n_retained",
+    )
+
+
+def q5_local_supplier_revenue(
+    sf_dir: str,
+    region: str = "MIDDLE EAST",
+    date_from: str = "1995-01-01",
+    date_to: str = "1999-01-01",
+) -> rd.Dataset:
+    """TPC-H Q5-shaped 6-table join: revenue per nation from lineitems
+    whose customer and supplier share a nation inside one region, over
+    an order-date slice.
+
+    Join plan by side size (the shapes that hold at 100 TB):
+    region/nation and supplier are tiny dimensions -> broadcast dicts
+    (`ray.put` once, probed inside map_batches); customer
+    (custkey -> nationkey) is the same broadcast dimension
+    `orders_customer_join` uses; the ONLY shuffle is the big x big
+    lineitem x orders native hash join on the order key, with both
+    sides pre-filtered and lineitem pre-aggregated per
+    (orderkey, supplier-nation) so the join moves partial sums, not
+    raw items. The cross-dimension predicate c_nationkey = s_nationkey
+    is applied post-join on broadcast-derived columns, and the final
+    per-nation rollup has a bounded key space (25 nations) so the
+    partials tree-reduce with no second shuffle.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    join_partitions = max(2, min(16, cluster_ncpu()))
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    region_keys = {
+        rk
+        for rk, rn in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if rn == region
+    }
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nation_name = {
+        nk: nn
+        for nk, nn, nr in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+            nat.column("n_regionkey").to_pylist(),
+        )
+        if nr in region_keys
+    }
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_nation = {
+        sk: snk
+        for sk, snk in zip(
+            sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()
+        )
+        if snk in nation_name
+    }
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_nation = {
+        ck: cnk
+        for ck, cnk in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+        if cnk in nation_name  # customers outside the region can never match
+    }
+    supp_ref, cust_ref = ray.put(supp_nation), ray.put(cust_nation)
+
+    class OrderProbe:
+        def __init__(self, ref):
+            self.cust_nation = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sel = (batch["o_orderdate"] >= t_from) & (batch["o_orderdate"] < t_to)
+            b = batch.loc[sel]
+            cn = b["o_custkey"].map(self.cust_nation)
+            keep = cn.notna()
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b.loc[keep, "o_orderkey"].to_numpy(),
+                    "c_nationkey": cn[keep].astype("int64").to_numpy(),
+                }
+            )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        OrderProbe, fn_constructor_args=(cust_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    class LinePartial:
+        def __init__(self, ref):
+            self.supp_nation = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sn = batch["l_suppkey"].map(self.supp_nation)
+            keep = sn.notna()
+            b = batch.loc[keep]
+            rev = round_half_away(
+                (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy() * MICRO
+            ).astype("int64")
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "s_nationkey": sn[keep].astype("int64").to_numpy(),
+                    "revenue_micro": rev,
+                    "n_items": np.ones(len(b), dtype="int64"),
+                }
+            )
+            return df.groupby(
+                ["l_orderkey", "s_nationkey"], as_index=False
+            )[["revenue_micro", "n_items"]].sum()
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        LinePartial, fn_constructor_args=(supp_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    joined = orders.join(
+        lineitem,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def nation_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c_nationkey"] == batch["s_nationkey"]]
+        df = pd.DataFrame(
+            {
+                "n_name": b["s_nationkey"].map(nation_name).to_numpy(),
+                "revenue_micro": b["revenue_micro"].to_numpy(),
+                "n_items": b["n_items"].to_numpy(),
+            }
+        )
+        return df.groupby("n_name", as_index=False)[
+            ["revenue_micro", "n_items"]
+        ].sum()
+
+    return tree_sum(
+        joined.map_batches(nation_partial, batch_format="pandas"),
+        ["n_name"],
+        ["revenue_micro", "n_items"],
     )
