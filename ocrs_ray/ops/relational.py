@@ -255,25 +255,21 @@ def orders_customer_join(sf_dir: str) -> rd.Dataset:
             df = pd.DataFrame(
                 {
                     "c_nationkey": nation.astype("int64"),
-                    "total_micro": round_half_away(
+                    "sum_total_micro": round_half_away(
                         batch["o_totalprice"].to_numpy() * MICRO
                     ).astype("int64"),
-                    "n": np.ones(len(batch), dtype="int64"),
+                    "n_orders": np.ones(len(batch), dtype="int64"),
                 }
             )
             return df.groupby("c_nationkey", as_index=False).sum()
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
                   concurrency=(1, 4))
-    enable_hash_shuffle(ds)
-    return ds.groupby("c_nationkey").aggregate(
-        Sum("total_micro", alias_name="sum_total_micro"),
-        Sum("n", alias_name="n_orders"),
-    )
+    # Nation keys are bounded (25) regardless of order volume -> the
+    # partials tree-reduce; no hash-aggregate machinery.
+    return tree_sum(ds, ["c_nationkey"], ["sum_total_micro", "n_orders"])
 
 
 def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
@@ -909,25 +905,21 @@ def supplier_region_rollup(sf_dir: str) -> rd.Dataset:
             df = pd.DataFrame(
                 {
                     "r_name": batch["s_nationkey"].map(self.lookup),
-                    "acctbal_micro": round_half_away(
+                    "sum_acctbal_micro": round_half_away(
                         batch["s_acctbal"].to_numpy() * MICRO
                     ).astype("int64"),
-                    "n": np.ones(len(batch), dtype="int64"),
+                    "n_suppliers": np.ones(len(batch), dtype="int64"),
                 }
             )
             return df.groupby("r_name", as_index=False).sum()
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
 
     ds = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     ).map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
                   concurrency=(1, 2))
-    enable_hash_shuffle(ds)
-    return ds.groupby("r_name").aggregate(
-        Sum("acctbal_micro", alias_name="sum_acctbal_micro"),
-        Sum("n", alias_name="n_suppliers"),
-    )
+    # The region key space is bounded (5 regions) regardless of fact
+    # rows, so the partials tree-reduce — no hash-aggregate machinery.
+    return tree_sum(ds, ["r_name"], ["sum_acctbal_micro", "n_suppliers"])
 
 
 def events_value_quantiles(sf_dir: str, partitions: int = 8) -> rd.Dataset:
@@ -1204,13 +1196,11 @@ def part_type_revenue(sf_dir: str) -> rd.Dataset:
             df = pd.DataFrame(
                 {
                     "p_type": batch["l_partkey"].map(self.lookup),
-                    "revenue_micro": round_half_away(rev * MICRO).astype("int64"),
-                    "n": np.ones(len(batch), dtype="int64"),
+                    "sum_revenue_micro": round_half_away(rev * MICRO).astype("int64"),
+                    "n_items": np.ones(len(batch), dtype="int64"),
                 }
             )
             return df.groupby("p_type", as_index=False).sum()
-
-    from ocrs_ray.pipeline import enable_hash_shuffle
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1219,11 +1209,9 @@ def part_type_revenue(sf_dir: str) -> rd.Dataset:
         Probe, fn_constructor_args=(lookup_ref,), batch_format="pandas",
         concurrency=(1, 4),
     )
-    enable_hash_shuffle(ds)
-    return ds.groupby("p_type").aggregate(
-        Sum("revenue_micro", alias_name="sum_revenue_micro"),
-        Sum("n", alias_name="n_items"),
-    )
+    # p_type is a closed vocabulary (150 combinations in TPC-H),
+    # bounded by the schema rather than the row count -> tree-reduce.
+    return tree_sum(ds, ["p_type"], ["sum_revenue_micro", "n_items"])
 
 
 def events_funnel(
