@@ -42,6 +42,7 @@ __all__ = [
     "heavy_hitters_sketch",
     "stratified_sample_documents",
     "dedup_clusters",
+    "neardup_survivors",
     "embedding_clusters",
     "connected_components",
 ]
@@ -673,6 +674,24 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         batch_format="pandas",
     )
     return _cluster_assign(pairs, _read_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+def neardup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Near-dup-filtered corpus: one representative per connected
+    component of the n-gram-Jaccard graph — the apply-side of
+    `dedup_clusters`. The min-label convention makes the root itself
+    the keeper, so survivors are exactly the rows where
+    doc_id == cluster_id: a streaming filter over the relabel pass,
+    adding no shuffle beyond what the cluster assignment already does
+    (singletons keep themselves without ever leaving their block).
+    """
+
+    def roots(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["doc_id"] == df["cluster_id"], ["doc_id"]]
+
+    return dedup_clusters(sf_dir, threshold=threshold).map_batches(
+        roots, batch_format="pandas"
+    )
 
 
 def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:

@@ -28,6 +28,7 @@ from .text import read_documents
 
 __all__ = [
     "dedup_exact",
+    "dedup_survivors",
     "MinHashConfig",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -61,6 +62,33 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     )
     enable_hash_shuffle(ds)
     return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def dedup_survivors(sf_dir: str) -> rd.Dataset:
+    """The cleaned corpus after exact dedup: every document whose
+    doc_id is the keeper (min doc_id of its distinct text).
+
+    Apply-side of `dedup_exact`: a native `left_semi` hash join of the
+    full corpus against the winner-id set. Both sides scale with the
+    corpus, so nothing is broadcast; the winner side ships only ids
+    (never text), and left_semi emits each survivor exactly once with
+    no build-side dedupe shuffle (cf. `orders_with_returns`,
+    relational.py).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    winners = dedup_exact(sf_dir).map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
+    docs = read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+    return docs.join(
+        winners,
+        join_type="left_semi",
+        num_partitions=npart,
+        on=("doc_id",),
+    )
 
 
 @dataclass(frozen=True)

@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": text.winnow_fingerprints,
         # dedup
         "dedup_exact": dedup.dedup_exact,
+        "dedup_survivors": dedup.dedup_survivors,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k / sampling
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
+        "docs_split_stats": sampling.docs_split_stats,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -95,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
         "stratified_sample_documents": analytics.stratified_sample_documents,
         "dedup_clusters": analytics.dedup_clusters,
+        "neardup_survivors": analytics.neardup_survivors,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "events_user_lag_diff": analytics.events_user_lag_diff,
@@ -134,6 +137,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_survivors": (
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "WHERE d.doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
         ),
         "embedding_neardup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
@@ -306,6 +314,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
         ),
+        "neardup_survivors": (
+            # Component roots keep themselves: no smaller doc reaches
+            # them in the near-dup graph.
+            f"WITH RECURSIVE {_NGRAM_PAIRS_CTE}, "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "WHERE 10 * inter >= 8 * uni "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs "
+            "WHERE 10 * inter >= 8 * uni), "
+            "reach(src, node) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
+            "SELECT CAST(node AS BIGINT) AS doc_id "
+            "FROM reach GROUP BY node HAVING min(src) = node"
+        ),
         "embedding_clusters": (
             "WITH RECURSIVE prs AS (SELECT a.vec_id AS u, b.vec_id AS v "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -471,6 +494,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": (
             "SELECT doc_id, n_chars FROM documents "
             f"WHERE {_MD5_BUCKET} % 20 = 0"
+        ),
+        "docs_split_stats": (
+            f"SELECT CASE WHEN ({_MD5_BUCKET} >> 28) < 12 THEN 'train' "
+            f"WHEN ({_MD5_BUCKET} >> 28) < 14 THEN 'val' ELSE 'test' END "
+            "AS split, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,

@@ -18,7 +18,12 @@ import pandas as pd
 
 import ray.data as rd
 
-__all__ = ["docs_topk_longest", "sample_documents", "md5_bucket"]
+__all__ = [
+    "docs_topk_longest",
+    "sample_documents",
+    "docs_split_stats",
+    "md5_bucket",
+]
 
 
 def md5_bucket(ids) -> np.ndarray:
@@ -57,3 +62,36 @@ def sample_documents(sf_dir: str, one_in: int = 20) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     ).map_batches(keep, batch_format="pandas")
+
+
+def docs_split_stats(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test partition of the corpus, reported
+    as per-split (n_docs, sum_chars).
+
+    Assignment keys on the top hex nibble of md5(doc_id) — 12/16 train,
+    2/16 val, 2/16 test — so a document's split is a pure function of
+    its id: stable across runs, partitionings, engines, and corpus
+    growth (appending documents never reassigns existing ones, unlike
+    `ds.random_sample` or position-modulo schemes). The 3-row key space
+    is bounded by construction, so per-batch partials tree-reduce with
+    no hash shuffle at any corpus size.
+    """
+    from .relational import tree_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nibble = md5_bucket(df["doc_id"]) >> 28
+        out = pd.DataFrame(
+            {
+                "split": np.where(
+                    nibble < 12, "train", np.where(nibble < 14, "val", "test")
+                ),
+                "n_docs": np.ones(len(df), dtype="int64"),
+                "sum_chars": df["n_chars"].to_numpy(dtype="int64"),
+            }
+        )
+        return out.groupby("split", as_index=False).sum()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(partial, batch_format="pandas")
+    return tree_sum(ds, ["split"], ["n_docs", "sum_chars"])
