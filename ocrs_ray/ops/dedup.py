@@ -29,6 +29,7 @@ from .text import read_documents
 __all__ = [
     "dedup_exact",
     "dedup_survivors",
+    "eval_decontaminate",
     "MinHashConfig",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -88,6 +89,65 @@ def dedup_survivors(sf_dir: str) -> rd.Dataset:
         join_type="left_semi",
         num_partitions=npart,
         on=("doc_id",),
+    )
+
+
+def eval_decontaminate(
+    sf_dir: str, one_in: int = 20, shingle_size: int = 3
+) -> rd.Dataset:
+    """Train-eval contamination scan: flag every training document that
+    shares at least one word `shingle_size`-gram with the eval set,
+    reporting the distinct-shingle overlap count.
+
+    The eval set here is the deterministic 1-in-`one_in` md5 sample
+    (standing in for a benchmark suite — tiny relative to the corpus by
+    construction), so its distinct-shingle set is collected once on the
+    driver and broadcast via ray.put; every corpus batch probes the
+    broadcast set locally. That is the 100-TB shape: the small side
+    ships once per node, the training side streams, and no shuffle
+    happens at all. Contrast `ngram_jaccard_pairs`, which compares
+    corpus x corpus and must shuffle signatures.
+    """
+    from .sampling import md5_bucket
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        sel = md5_bucket(df["doc_id"]) % one_in == 0
+        out: set[str] = set()
+        for t in df.loc[sel, "text"]:
+            out.update(_shingles(t, shingle_size))
+        return pd.DataFrame({"shingle": pd.Series(sorted(out), dtype="object")})
+
+    # Driver-side collect is bounded by the EVAL suite's vocabulary,
+    # not the corpus — the one case where take_all is the right call.
+    ev = docs.map_batches(eval_shingles, batch_format="pandas")
+    eval_set = frozenset(r["shingle"] for r in ev.take_all())
+    ref = ray.put(eval_set)
+
+    class Probe:
+        def __init__(self, eval_ref):
+            self.shingles = ray.get(eval_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sel = md5_bucket(df["doc_id"]) % one_in != 0
+            ids: list[int] = []
+            shared: list[int] = []
+            for d, t in zip(df.loc[sel, "doc_id"], df.loc[sel, "text"]):
+                n = len(set(_shingles(t, shingle_size)) & self.shingles)
+                if n:
+                    ids.append(int(d))
+                    shared.append(n)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_shared": pd.Series(shared, dtype="int64"),
+                }
+            )
+
+    return docs.map_batches(
+        Probe, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 4),
     )
 
 

@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
+        "eval_decontaminate": dedup.eval_decontaminate,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_topk_longest": sampling.docs_topk_longest,
         "sample_documents": sampling.sample_documents,
         "docs_split_stats": sampling.docs_split_stats,
+        "docs_pack_chunks": sampling.docs_pack_chunks,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -501,6 +503,25 @@ def oracle_sql() -> dict[str, str]:
             "AS split, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "docs_pack_chunks": (
+            "SELECT doc_id, "
+            f"CAST({_MD5_BUCKET} % 8 AS BIGINT) AS pack_part, "
+            "CAST((cum - n_chars) // 4096 AS BIGINT) AS bin_id, "
+            "CAST((cum - n_chars) % 4096 AS BIGINT) AS bin_offset "
+            "FROM (SELECT doc_id, n_chars, sum(n_chars) OVER "
+            f"(PARTITION BY {_MD5_BUCKET} % 8 ORDER BY doc_id) AS cum "
+            "FROM documents) t"
+        ),
+        "eval_decontaminate": (
+            f"WITH {_NGRAM_PAIRS_CTE}, "
+            "ev AS (SELECT list_distinct(flatten(list(sset))) AS evs "
+            f"FROM sh WHERE {_MD5_BUCKET} % 20 = 0) "
+            "SELECT s.doc_id, "
+            "CAST(length(list_intersect(s.sset, ev.evs)) AS BIGINT) "
+            "AS n_shared FROM sh s CROSS JOIN ev "
+            f"WHERE {_MD5_BUCKET} % 20 <> 0 "
+            "AND length(list_intersect(s.sset, ev.evs)) > 0"
         ),
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,

@@ -22,6 +22,7 @@ __all__ = [
     "docs_topk_longest",
     "sample_documents",
     "docs_split_stats",
+    "docs_pack_chunks",
     "md5_bucket",
 ]
 
@@ -95,3 +96,64 @@ def docs_split_stats(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     ).map_batches(partial, batch_format="pandas")
     return tree_sum(ds, ["split"], ["n_docs", "sum_chars"])
+
+
+def docs_pack_chunks(
+    sf_dir: str, budget: int = 4096, partitions: int = 8
+) -> rd.Dataset:
+    """Sequence packing for training: assign every document a
+    (pack_part, bin_id, bin_offset) slot in fixed-character-budget bins
+    (concatenate-then-split packing — the GPT-style scheme where the
+    stream is chunked at budget boundaries, so bins are exactly full
+    and a document may straddle two bins).
+
+    The corpus is hash-partitioned by md5(doc_id) % partitions and each
+    partition packs independently in doc_id order — the only shape that
+    scales (a single global packing order would serialize the corpus
+    through one worker). Within a partition, a document starting at
+    running total `start` lands at bin `start // budget`, offset
+    `start % budget`. Deterministic and window-expressible, so the SQL
+    oracle is bit-exact. One keyed repartition co-locates each
+    partition (a block may hold several pack_parts when hash slots
+    collide; the per-block groupby-cumsum handles that), then the
+    packing itself is a vectorized sort + cumsum.
+    """
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(),
+                "pack_part": md5_bucket(df["doc_id"]) % partitions,
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pack_part": pd.Series([], dtype="int64"),
+                    "bin_id": pd.Series([], dtype="int64"),
+                    "bin_offset": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["pack_part", "doc_id"], kind="stable")
+        start = df.groupby("pack_part")["n_chars"].cumsum() - df["n_chars"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "pack_part": df["pack_part"].to_numpy(),
+                "bin_id": (start // budget).to_numpy(dtype="int64"),
+                "bin_offset": (start % budget).to_numpy(dtype="int64"),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(add_part, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    return ds.repartition(partitions, keys=["pack_part"]).map_batches(
+        pack, batch_format="pandas", batch_size=None
+    )
