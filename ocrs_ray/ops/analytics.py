@@ -29,6 +29,7 @@ from .relational import MICRO, round_half_away, tree_sum
 __all__ = [
     "vocab_top_terms",
     "tfidf_top_terms",
+    "lm_quality_score",
     "events_topk_per_group",
     "events_user_running_sum",
     "events_user_pivot",
@@ -125,6 +126,74 @@ def vocab_top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
         return df.head(k)[["token", "n"]]
 
     return totals.map_batches(local_topk, batch_format="pandas", batch_size=None)
+
+
+def lm_quality_score(sf_dir: str) -> rd.Dataset:
+    """CCNet-style unigram language-model quality score: per document,
+    its token count and the summed log-probability of its tokens under
+    the corpus's own unigram distribution. Low (very negative mean)
+    scores mark gibberish / rare-token soup; high scores mark
+    stopword-heavy boilerplate — the standard LM quality filter axis.
+
+    Per-token log-probs are micro-rounded BEFORE summing, so the
+    per-document total is an order-independent integer — exact under
+    any batch/partition layout and bit-comparable to the SQL oracle.
+
+    Scale shape: pass 1 builds global token counts with the
+    tree-reduced combiner (bounded vocabulary, no shuffle); the counts
+    collapse to a vocab-sized log-prob table on the driver (bounded by
+    the language, not the corpus) broadcast once via ray.put. Pass 2
+    streams the corpus through an actor pool probing the table — no
+    shuffle anywhere. Tokens unseen in pass 1 cannot occur in pass 2
+    (same corpus, same tokenizer).
+    """
+    totals = _tree_sum(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            _token_count_partial, batch_format="pandas"
+        ),
+        "token",
+        "n",
+    )
+    counts = totals.to_pandas()
+    total = int(counts["n"].sum())
+    logp_micro = dict(
+        zip(
+            counts["token"],
+            round_half_away(
+                1e6 * np.log(counts["n"].to_numpy(dtype="float64") / total)
+            ).astype("int64"),
+        )
+    )
+    ref = ray.put(logp_micro)
+
+    class Score:
+        def __init__(self, table_ref):
+            self.logp = ray.get(table_ref)
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            for d, t in zip(df["doc_id"], df["text"]):
+                found = self.tok.findall(t.lower())
+                if not found:
+                    continue
+                ids.append(int(d))
+                ns.append(len(found))
+                sums.append(int(sum(self.logp[w] for w in found)))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ns, dtype="int64"),
+                    "sum_logp_micro": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
 
 
 def _doc_term_tf(batch: pd.DataFrame) -> pd.DataFrame:

@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
+        "lm_quality_score": analytics.lm_quality_score,
         "events_topk_per_group": analytics.events_topk_per_group,
         "events_user_running_sum": analytics.events_user_running_sum,
         "events_user_pivot": analytics.events_user_pivot,
@@ -512,6 +513,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, n_chars, sum(n_chars) OVER "
             f"(PARTITION BY {_MD5_BUCKET} % 8 ORDER BY doc_id) AS cum "
             "FROM documents) t"
+        ),
+        "lm_quality_score": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t "
+            "FROM documents), "
+            "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt) "
+            "SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CAST(round(1000000 * ln(CAST(cnt.c AS DOUBLE) / tot.s)) "
+            "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
+            "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
+            "GROUP BY tok.doc_id"
         ),
         "eval_decontaminate": (
             f"WITH {_NGRAM_PAIRS_CTE}, "
