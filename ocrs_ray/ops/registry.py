@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "embedding_label_centroid": similarity.embedding_label_centroid,
         # windowed / temporal / grouped aggregates
         "events_tumbling_window": relational.events_tumbling_window,
         "events_hopping_window": relational.events_hopping_window,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sampling.sample_documents,
         "docs_split_stats": sampling.docs_split_stats,
         "docs_pack_chunks": sampling.docs_pack_chunks,
+        "docs_shuffle_rank": sampling.docs_shuffle_rank,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -513,6 +515,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, n_chars, sum(n_chars) OVER "
             f"(PARTITION BY {_MD5_BUCKET} % 8 ORDER BY doc_id) AS cum "
             "FROM documents) t"
+        ),
+        "docs_shuffle_rank": (
+            "SELECT doc_id, CAST(row_number() OVER "
+            f"(ORDER BY {_MD5_BUCKET}, doc_id) - 1 AS BIGINT) "
+            "AS shuffle_rank FROM documents"
+        ),
+        "embedding_label_centroid": (
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(dim AS BIGINT) AS dim, "
+            "CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS sum_micro, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+            "GROUP BY 1, 2"
         ),
         "lm_quality_score": (
             "WITH tok AS (SELECT doc_id, "

@@ -23,6 +23,7 @@ __all__ = [
     "sample_documents",
     "docs_split_stats",
     "docs_pack_chunks",
+    "docs_shuffle_rank",
     "md5_bucket",
 ]
 
@@ -156,4 +157,84 @@ def docs_pack_chunks(
     enable_hash_shuffle(ds)
     return ds.repartition(partitions, keys=["pack_part"]).map_batches(
         pack, batch_format="pandas", batch_size=None
+    )
+
+
+def docs_shuffle_rank(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """Deterministic global shuffle for training order: every
+    document's 0-based rank under ORDER BY (md5(doc_id), doc_id) —
+    computed WITHOUT a distributed sort.
+
+    The md5 bucket is uniform over [0, 2^32), so fixed equal RANGES of
+    the hash space are balanced partitions by construction: range
+    partitioning needs no sampling pass, and composing global ranks
+    needs only the per-range counts — a `partitions`-row exchange,
+    prefix-summed on the driver — plus a vectorized local sort inside
+    each range. `ds.sort` would sample, range-exchange, and merge every
+    row; this moves each row exactly once into its range and ships
+    `partitions` integers. Ties (32-bit md5 collisions) break by
+    doc_id, and a collision never straddles ranges (same bucket ->
+    same range), so the composition is exact.
+    """
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    from .relational import tree_sum
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        b = md5_bucket(df["doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "bucket": b,
+                "part": (b * partitions) >> 32,
+            }
+        )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"part": df["part"], "n": np.ones(len(df), dtype="int64")}
+        )
+        return out.groupby("part", as_index=False).sum()
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(add_part, batch_format="pandas")
+
+    counts = (
+        tree_sum(base.map_batches(count_partial, batch_format="pandas"),
+                 ["part"], ["n"])
+        .to_pandas()
+        .set_index("part")["n"]
+    )
+    offsets: dict[int, int] = {}
+    start = 0
+    for p in range(partitions):
+        offsets[p] = start
+        start += int(counts.get(p, 0))
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for p, g in df.groupby("part", sort=True):
+            g = g.sort_values(["bucket", "doc_id"], kind="stable")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].to_numpy(),
+                        "shuffle_rank": offsets[int(p)]
+                        + np.arange(len(g), dtype="int64"),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "shuffle_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    enable_hash_shuffle(base)
+    return base.repartition(partitions, keys=["part"]).map_batches(
+        rank_block, batch_format="pandas", batch_size=None
     )

@@ -28,6 +28,7 @@ __all__ = [
     "ann_topk_ivf",
     "spherical_kmeans",
     "kmeans_embeddings",
+    "embedding_label_centroid",
 ]
 
 
@@ -452,3 +453,37 @@ def kmeans_embeddings(
         batch_size=2048,
         concurrency=(1, 2),
     )
+
+
+def embedding_label_centroid(sf_dir: str) -> rd.Dataset:
+    """Per-label centroid accumulators over the embedding table:
+    (label, dim, sum_micro, n) — the distributed half of a class-mean /
+    prototype computation (the centroid itself is sum_micro / (1e6 * n),
+    a client-side division).
+
+    Elements are micro-rounded BEFORE summing so the partials are
+    order-independent integers, exact under any batch layout and
+    bit-comparable to the SQL oracle. The (label x dim) key space is
+    bounded by the schema, not the row count, so per-batch partials
+    tree-reduce with no shuffle — each batch contributes one
+    (labels x dims) partial regardless of how many vectors it holds.
+    """
+    from .relational import MICRO, round_half_away, tree_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype("float64")
+        micro = round_half_away(mat * MICRO).astype("int64")
+        dfm = pd.DataFrame(micro)
+        dfm["label"] = df["label"].to_numpy(dtype="int64")
+        sums = dfm.groupby("label").sum()
+        cnt = dfm.groupby("label").size().rename("n").reset_index()
+        out = sums.reset_index().melt(
+            id_vars="label", var_name="dim", value_name="sum_micro"
+        )
+        out["dim"] = out["dim"].astype("int64") + 1  # 1-based like SQL
+        return out.merge(cnt, on="label")
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pandas")
+    return tree_sum(ds, ["label", "dim"], ["sum_micro", "n"])
