@@ -120,9 +120,9 @@ def eval_decontaminate(
         return pd.DataFrame({"shingle": pd.Series(sorted(out), dtype="object")})
 
     # Driver-side collect is bounded by the EVAL suite's vocabulary,
-    # not the corpus — the one case where take_all is the right call.
+    # not the corpus — the one case where materializing is right.
     ev = docs.map_batches(eval_shingles, batch_format="pandas")
-    eval_set = frozenset(r["shingle"] for r in ev.take_all())
+    eval_set = frozenset(ev.to_pandas()["shingle"])
     ref = ray.put(eval_set)
 
     class Probe:
@@ -131,17 +131,29 @@ def eval_decontaminate(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             sel = md5_bucket(df["doc_id"]) % one_in != 0
-            ids: list[int] = []
-            shared: list[int] = []
-            for d, t in zip(df.loc[sel, "doc_id"], df.loc[sel, "text"]):
-                n = len(set(_shingles(t, shingle_size)) & self.shingles)
-                if n:
-                    ids.append(int(d))
-                    shared.append(n)
+            ids_all = df.loc[sel, "doc_id"].to_numpy(dtype="int64")
+            owners: list[int] = []
+            shingles: list[str] = []
+            for i, t in enumerate(df.loc[sel, "text"]):
+                distinct = set(_shingles(t, shingle_size))
+                owners.extend([i] * len(distinct))
+                shingles.extend(distinct)
+            if owners:
+                # One vectorized membership probe for the whole batch
+                # (C-speed hash lookups) instead of a per-doc set
+                # intersection against the big broadcast set.
+                hit = pd.Series(shingles, dtype="object").isin(self.shingles)
+                counts = np.bincount(
+                    np.asarray(owners, dtype=np.int64)[hit.to_numpy()],
+                    minlength=len(ids_all),
+                )
+            else:
+                counts = np.zeros(len(ids_all), dtype="int64")
+            keep = counts > 0
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_shared": pd.Series(shared, dtype="int64"),
+                    "doc_id": pd.Series(ids_all[keep], dtype="int64"),
+                    "n_shared": pd.Series(counts[keep], dtype="int64"),
                 }
             )
 
