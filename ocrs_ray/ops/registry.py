@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_stats": sampling.docs_split_stats,
         "docs_pack_chunks": sampling.docs_pack_chunks,
         "docs_shuffle_rank": sampling.docs_shuffle_rank,
+        "docs_length_outlier_filter": sampling.docs_length_outlier_filter,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -520,6 +521,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(row_number() OVER "
             f"(ORDER BY {_MD5_BUCKET}, doc_id) - 1 AS BIGINT) "
             "AS shuffle_rank FROM documents"
+        ),
+        "docs_length_outlier_filter": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars <= "
+            "(SELECT quantile_disc(n_chars, 0.99) FROM documents)"
         ),
         "embedding_label_centroid": (
             "SELECT CAST(label AS BIGINT) AS label, "

@@ -24,6 +24,7 @@ __all__ = [
     "docs_split_stats",
     "docs_pack_chunks",
     "docs_shuffle_rank",
+    "docs_length_outlier_filter",
     "md5_bucket",
 ]
 
@@ -238,3 +239,45 @@ def docs_shuffle_rank(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     return base.repartition(partitions, keys=["part"]).map_batches(
         rank_block, batch_format="pandas", batch_size=None
     )
+
+
+def docs_length_outlier_filter(sf_dir: str, q: float = 0.99) -> rd.Dataset:
+    """Length-outlier removal by exact global quantile, computed from a
+    value HISTOGRAM rather than a value shuffle.
+
+    n_chars has a bounded integer domain, so per-batch
+    (n_chars -> count) partials tree-reduce to one tiny block; the
+    driver reads the cutoff off the cumulative histogram
+    (quantile_disc convention: sorted element at 0-based rank
+    ceil(q*n) - 1) and the corpus streams through a broadcast
+    <= cutoff filter. No row ever shuffles — contrast
+    `events_value_quantiles`, which co-locates each group's full value
+    set and only scales while a group fits in one block. The same
+    shape handles any bounded-domain column (token counts, scores in
+    fixed micro-unit grids) at arbitrary corpus size.
+    """
+    from .relational import tree_sum
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"n_chars": df["n_chars"], "n": np.ones(len(df), dtype="int64")}
+        )
+        return out.groupby("n_chars", as_index=False).sum()
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    counts = (
+        tree_sum(base.map_batches(hist, batch_format="pandas"), ["n_chars"], ["n"])
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    n = int(counts["n"].sum())
+    k = int(np.ceil(q * n)) - 1
+    cum = counts["n"].cumsum().to_numpy()
+    cutoff = int(counts["n_chars"].to_numpy()[np.searchsorted(cum, k + 1)])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["n_chars"] <= cutoff, ["doc_id", "n_chars"]]
+
+    return base.map_batches(keep, batch_format="pandas")
