@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "content_hash": text.content_hash,
         "winnow_fingerprints": text.winnow_fingerprints,
+        "docs_repetition_stats": text.docs_repetition_stats,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
@@ -140,6 +141,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "content_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "docs_repetition_stats": (
+            # Total shingles mirror _shingles' conventions: 0 tokens ->
+            # 0, fewer than 3 tokens -> the single joined shingle.
+            f"WITH {_NGRAM_PAIRS_CTE} "
+            "SELECT d.doc_id, CAST(CASE WHEN d.ntok = 0 THEN 0 "
+            "WHEN d.ntok < 3 THEN 1 ELSE d.ntok - 2 END AS BIGINT) "
+            "AS n_shingles, "
+            "CAST(length(sh.sset) AS BIGINT) AS n_distinct "
+            "FROM (SELECT doc_id, "
+            r"length(regexp_extract_all(text, '\S+')) AS ntok "
+            "FROM documents) d JOIN sh ON d.doc_id = sh.doc_id"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"

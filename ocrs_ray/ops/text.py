@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "content_hash",
     "winnow_fingerprints",
+    "docs_repetition_stats",
     "WS_TOKEN_RE",
     "WORD_TOKEN_RE",
     "STOPWORDS",
@@ -217,4 +218,40 @@ def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
+    )
+
+
+def docs_repetition_stats(sf_dir: str, shingle_size: int = 3) -> rd.Dataset:
+    """Gopher-style within-document repetition signal: per document,
+    total vs distinct word `shingle_size`-gram counts. The duplicate
+    fraction (1 - n_distinct / n_shingles) is the classic repetition
+    filter axis; the division stays client-side so the row is
+    integer-exact against the SQL oracle.
+
+    Repetition is intra-document, so unlike the cross-document dedup
+    family this is a pure stateless map — nothing ever shuffles at any
+    corpus size.
+    """
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _shingles
+
+        ids: list[int] = []
+        total: list[int] = []
+        distinct: list[int] = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            sh = _shingles(t, shingle_size)
+            ids.append(int(d))
+            total.append(len(sh))
+            distinct.append(len(set(sh)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_shingles": pd.Series(total, dtype="int64"),
+                "n_distinct": pd.Series(distinct, dtype="int64"),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
     )
