@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_chunks": sampling.docs_pack_chunks,
         "docs_shuffle_rank": sampling.docs_shuffle_rank,
         "docs_length_outlier_filter": sampling.docs_length_outlier_filter,
+        "source_budget_sample": sampling.source_budget_sample,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -538,6 +539,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_outlier_filter": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars <= "
             "(SELECT quantile_disc(n_chars, 0.99) FROM documents)"
+        ),
+        "source_budget_sample": (
+            "WITH thr AS (SELECT source, "
+            "least(1000000, (CAST(3000 AS BIGINT) * 1000000) "
+            "// CAST(sum(n_chars) AS BIGINT)) "
+            "AS lim FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars "
+            "FROM documents d JOIN thr USING (source) "
+            "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "
+            "|| ':mix'), 1, 8)) AS UBIGINT) % 1000000 < thr.lim"
         ),
         "embedding_label_centroid": (
             "SELECT CAST(label AS BIGINT) AS label, "

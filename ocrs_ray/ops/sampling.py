@@ -25,6 +25,7 @@ __all__ = [
     "docs_pack_chunks",
     "docs_shuffle_rank",
     "docs_length_outlier_filter",
+    "source_budget_sample",
     "md5_bucket",
 ]
 
@@ -279,5 +280,56 @@ def docs_length_outlier_filter(sf_dir: str, q: float = 0.99) -> rd.Dataset:
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["n_chars"] <= cutoff, ["doc_id", "n_chars"]]
+
+    return base.map_batches(keep, batch_format="pandas")
+
+
+def source_budget_sample(sf_dir: str, budget_chars: int = 3000) -> rd.Dataset:
+    """Budget-driven mixture reweighting: subsample each source down to
+    a target character budget (the Pile/DoReMi-style mixing step where
+    over-represented sources are thinned toward a target distribution).
+
+    Pass 1 tree-reduces per-source character totals (bounded source
+    key space, no shuffle); the keep-rate per source is the INTEGER
+    threshold min(1e6, budget*1e6 // total) — integer arithmetic on
+    both sides, so no float boundary can disagree with the oracle.
+    Pass 2 streams the corpus through a salted deterministic hash
+    filter (md5(doc_id || ':mix'), salted so selection is independent
+    of the split/sample ops' hash). Expected kept chars per source ~=
+    budget; membership is a pure function of (doc_id, corpus totals).
+    """
+    from .relational import tree_sum
+
+    def totals_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"source": df["source"], "t": df["n_chars"].to_numpy(dtype="int64")}
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    totals = (
+        tree_sum(base.map_batches(totals_partial, batch_format="pandas"),
+                 ["source"], ["t"])
+        .to_pandas()
+    )
+    thr = {
+        s: min(1_000_000, (budget_chars * 1_000_000) // int(t))
+        for s, t in zip(totals["source"], totals["t"])
+    }
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        salted = np.fromiter(
+            (
+                int(hashlib.md5(f"{d}:mix".encode()).hexdigest()[:8], 16)
+                for d in df["doc_id"]
+            ),
+            dtype="int64",
+            count=len(df),
+        )
+        limit = df["source"].map(thr).to_numpy(dtype="int64")
+        sel = (salted % 1_000_000) < limit
+        return df.loc[sel, ["doc_id", "source", "n_chars"]]
 
     return base.map_batches(keep, batch_format="pandas")
