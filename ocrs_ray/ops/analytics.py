@@ -137,7 +137,12 @@ def lm_quality_score(sf_dir: str) -> rd.Dataset:
 
     Per-token log-probs are micro-rounded BEFORE summing, so the
     per-document total is an order-independent integer — exact under
-    any batch/partition layout and bit-comparable to the SQL oracle.
+    any batch/partition layout. The oracle comparison additionally
+    assumes numpy's log and DuckDB's ln round to the same micro grid:
+    they can differ by 1 ulp, so a token whose 1e6*ln(p) lands within
+    ~0.002 micro-units of a .5 boundary could flip (measured margin on
+    the test vocab: 0.037; every other micro-rounded op is structural
+    because both sides compute arithmetic-identical products).
 
     Scale shape: pass 1 builds global token counts with the
     tree-reduced combiner (bounded vocabulary, no shuffle); the counts
@@ -190,9 +195,11 @@ def lm_quality_score(sf_dir: str) -> rd.Dataset:
                 }
             )
 
+    from ocrs_ray.pipeline import cluster_ncpu
+
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         Score, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
     )
 
 

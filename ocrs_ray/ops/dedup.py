@@ -157,9 +157,11 @@ def eval_decontaminate(
                 }
             )
 
+    from ocrs_ray.pipeline import cluster_ncpu
+
     return docs.map_batches(
         Probe, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
     )
 
 

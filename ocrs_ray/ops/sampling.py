@@ -30,12 +30,18 @@ __all__ = [
 ]
 
 
-def md5_bucket(ids) -> np.ndarray:
-    """First-8-hex-digit md5 bucket of str(id): the content-derived
-    hash shared by every deterministic sampler, matching the SQL
-    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT)."""
+def md5_bucket(ids, salt: str = "") -> np.ndarray:
+    """First-8-hex-digit md5 bucket of str(id) + salt: the
+    content-derived hash shared by every deterministic sampler,
+    matching the SQL
+    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || salt), 1, 8))
+    AS UBIGINT). A non-empty salt decorrelates an op's selection from
+    the other samplers' (they all draw from the unsalted hash)."""
     return np.fromiter(
-        (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+        (
+            int(hashlib.md5((str(d) + salt).encode()).hexdigest()[:8], 16)
+            for d in ids
+        ),
         dtype="int64",
         count=len(ids),
     )
@@ -320,14 +326,7 @@ def source_budget_sample(sf_dir: str, budget_chars: int = 3000) -> rd.Dataset:
     }
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        salted = np.fromiter(
-            (
-                int(hashlib.md5(f"{d}:mix".encode()).hexdigest()[:8], 16)
-                for d in df["doc_id"]
-            ),
-            dtype="int64",
-            count=len(df),
-        )
+        salted = md5_bucket(df["doc_id"], salt=":mix")
         limit = df["source"].map(thr).to_numpy(dtype="int64")
         sel = (salted % 1_000_000) < limit
         return df.loc[sel, ["doc_id", "source", "n_chars"]]
