@@ -43,26 +43,47 @@ _MERSENNE = (1 << 61) - 1
 
 
 def dedup_exact(sf_dir: str) -> rd.Dataset:
-    """Keep the smallest doc_id per distinct text (by md5 key)."""
-    from ray.data.aggregate import Min
+    """Keep the smallest doc_id per distinct text (by md5 key).
+
+    Keyed repartition + per-block pandas min instead of the
+    hash-aggregate machinery: each md5 key's rows land in one block
+    (verified one-block-per-partition semantics), so a per-block
+    groupby-min is globally correct with the same shuffle volume and
+    none of the aggregate-actor overhead. Per-batch pre-dedupe trims
+    the shuffled rows first.
+    """
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "text_md5": [
                     hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
                 ],
-                "doc_id": batch["doc_id"],
+                "doc_id": batch["doc_id"].to_numpy(),
             }
         )
+        return out.groupby("text_md5", as_index=False)["doc_id"].min()
 
-    from ocrs_ray.pipeline import enable_hash_shuffle
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "text_md5": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.groupby("text_md5", as_index=False)["doc_id"].min()
 
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pandas"
     )
     enable_hash_shuffle(ds)
-    return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+    return ds.repartition(npart, keys=["text_md5"]).map_batches(
+        block_min, batch_format="pandas", batch_size=None
+    )
 
 
 def dedup_survivors(sf_dir: str) -> rd.Dataset:
