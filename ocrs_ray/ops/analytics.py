@@ -30,6 +30,7 @@ __all__ = [
     "vocab_top_terms",
     "tfidf_top_terms",
     "lm_quality_score",
+    "lm_bigram_score",
     "events_topk_per_group",
     "events_user_running_sum",
     "events_user_pivot",
@@ -191,6 +192,100 @@ def lm_quality_score(sf_dir: str) -> rd.Dataset:
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "n_tokens": pd.Series(ns, dtype="int64"),
+                    "sum_logp_micro": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    from ocrs_ray.pipeline import cluster_ncpu
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+    )
+
+
+def _bigram_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """One (w1, w2, n) row per distinct bigram per batch — the combiner
+    that keeps the bigram-table shuffle proportional to the observed
+    bigram vocabulary, never to raw token positions."""
+    tok = re.compile(TOKEN_RE)
+    counts: dict[tuple[str, str], int] = {}
+    for text in batch["text"]:
+        found = tok.findall(text.lower())
+        for pair in zip(found, found[1:]):
+            counts[pair] = counts.get(pair, 0) + 1
+    return pd.DataFrame(
+        {
+            "w1": [p[0] for p in counts],
+            "w2": [p[1] for p in counts],
+            "n": np.fromiter(counts.values(), dtype="int64", count=len(counts)),
+        }
+    )
+
+
+def lm_bigram_score(sf_dir: str) -> rd.Dataset:
+    """Bigram conditional LM quality score: per document, its bigram
+    count and the summed log of p(w2|w1) = c(w1,w2) / c(w1 as prefix)
+    under the corpus's own bigram statistics. The bigram axis catches
+    word-salad that the unigram score (`lm_quality_score`) cannot:
+    shuffled common words keep their unigram score but lose almost all
+    bigram mass. Docs with fewer than two tokens emit no row (they have
+    no bigrams), matching the SQL oracle's group-by over bigram rows.
+
+    Per-bigram log-probs are micro-rounded BEFORE summing, so the
+    per-document total is an order-independent integer (same exactness
+    argument — and the same 1-ulp ln caveat — as `lm_quality_score`).
+    The prefix count c(w1) counts w1's occurrences AS A BIGRAM PREFIX
+    (i.e. excluding document-final positions), so the table is
+    self-consistent: sum over w2 of p(w2|w1) is exactly 1.
+
+    Scale shape: pass 1 tree-reduces per-batch bigram partials — the
+    OBSERVED bigram vocabulary of natural language is language-bounded
+    (Heaps-sublinear, ~1e7-1e8 at web scale), far below vocab^2, but a
+    full 100 TB run should raise the fanin or swap this stage to the
+    hash-shuffle groupby plus a min-count prune if the merged table
+    outgrows one worker's heap. The collapsed log-prob table broadcasts
+    once via ray.put; pass 2 streams the corpus through an actor pool
+    probing it — no shuffle. Bigrams unseen in pass 1 cannot occur in
+    pass 2 (same corpus, same tokenizer).
+    """
+    totals = tree_sum(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            _bigram_count_partial, batch_format="pandas"
+        ),
+        ["w1", "w2"],
+        ["n"],
+    )
+    counts = totals.to_pandas()
+    prefix = counts.groupby("w1")["n"].transform("sum").to_numpy(dtype="float64")
+    logp = round_half_away(
+        1e6 * np.log(counts["n"].to_numpy(dtype="float64") / prefix)
+    ).astype("int64")
+    logp_micro = dict(zip(zip(counts["w1"], counts["w2"]), logp))
+    ref = ray.put(logp_micro)
+
+    class Score:
+        def __init__(self, table_ref):
+            self.logp = ray.get(table_ref)
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            for d, t in zip(df["doc_id"], df["text"]):
+                found = self.tok.findall(t.lower())
+                if len(found) < 2:
+                    continue
+                ids.append(int(d))
+                ns.append(len(found) - 1)
+                sums.append(
+                    int(sum(self.logp[p] for p in zip(found, found[1:])))
+                )
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bigrams": pd.Series(ns, dtype="int64"),
                     "sum_logp_micro": pd.Series(sums, dtype="int64"),
                 }
             )

@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
         "lm_quality_score": analytics.lm_quality_score,
+        "lm_bigram_score": analytics.lm_bigram_score,
         "events_topk_per_group": analytics.events_topk_per_group,
         "events_user_running_sum": analytics.events_user_running_sum,
         "events_user_pivot": analytics.events_user_pivot,
@@ -571,6 +572,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "lm_bigram_score": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t, "
+            "generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) "
+            "AS pos FROM documents), "
+            "bg AS (SELECT doc_id, "
+            "lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, t AS w2 "
+            "FROM tok QUALIFY w1 IS NOT NULL), "
+            "c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1) "
+            "SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(CAST(round(1000000 * ln(CAST(c2.n2 AS DOUBLE) / c1.n1)) "
+            "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
+            "FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2 "
+            "JOIN c1 ON bg.w1 = c1.w1 "
+            "GROUP BY bg.doc_id"
         ),
         "eval_decontaminate": (
             f"WITH {_NGRAM_PAIRS_CTE}, "
