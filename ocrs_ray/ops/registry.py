@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_small_quantity_revenue": relational.part_small_quantity_revenue,
         "part_type_revenue": relational.part_type_revenue,
         "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "part_min_price_supplier": relational.part_min_price_supplier,
+        "lineitem_qty_price_stats": relational.lineitem_qty_price_stats,
+        "segment_top_spender": relational.segment_top_spender,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
         # top-k / sampling
@@ -572,6 +576,51 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "q18_large_orders": (
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) "
+            "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+            "CAST(round(o.o_totalprice * 1000000) AS BIGINT) AS total_micro, "
+            "q.sum_qty FROM q "
+            "JOIN orders o ON q.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "part_min_price_supplier": (
+            "WITH c AS (SELECT l_partkey, l_suppkey, "
+            "CAST(round(l_extendedprice * 1000000) AS BIGINT) AS price_micro, "
+            "row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY round(l_extendedprice * 1000000), l_suppkey) AS rn "
+            "FROM lineitem) "
+            "SELECT c.l_partkey AS p_partkey, p.p_brand, "
+            "c.price_micro AS min_price_micro, "
+            "CAST(c.l_suppkey AS BIGINT) AS s_suppkey "
+            "FROM c JOIN part p ON c.l_partkey = p.p_partkey WHERE c.rn = 1"
+        ),
+        "lineitem_qty_price_stats": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_sq, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT) "
+            "* CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_price_cents "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "segment_top_spender": (
+            "WITH s AS (SELECT o_custkey, "
+            "CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS spend_micro FROM orders GROUP BY o_custkey), "
+            "r AS (SELECT c.c_mktsegment, c.c_custkey, s.spend_micro, "
+            "row_number() OVER (PARTITION BY c.c_mktsegment "
+            "ORDER BY s.spend_micro DESC, c.c_custkey) AS rn "
+            "FROM s JOIN customer c ON s.o_custkey = c.c_custkey) "
+            "SELECT c_mktsegment, c_custkey, spend_micro FROM r WHERE rn = 1"
         ),
         "lm_bigram_score": (
             "WITH tok AS (SELECT doc_id, "

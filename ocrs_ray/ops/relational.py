@@ -40,6 +40,10 @@ __all__ = [
     "inactive_customers_anti_join",
     "lineitem_rollup",
     "q5_local_supplier_revenue",
+    "q18_large_orders",
+    "part_min_price_supplier",
+    "lineitem_qty_price_stats",
+    "segment_top_spender",
     "round_half_away",
 ]
 
@@ -1451,4 +1455,305 @@ def q5_local_supplier_revenue(
         joined.map_batches(nation_partial, batch_format="pandas"),
         ["n_name"],
         ["revenue_micro", "n_items"],
+    )
+
+
+def q18_large_orders(sf_dir: str, threshold: int = 250) -> rd.Dataset:
+    """TPC-H Q18-shaped GROUP BY ... HAVING then join back: orders whose
+    total lineitem quantity exceeds `threshold`, with their customer.
+    The HAVING side is the classic "find the whales" pattern — the
+    filter can only be applied AFTER a full per-order aggregate.
+
+    Scale shape: lineitem collapses to per-order quantity sums BEFORE
+    anything joins (per-batch partial -> keyed repartition + block
+    merge; one row per order per block crosses the wire, never raw
+    lineitems). The HAVING filter then cuts that to the qualifying ~1%,
+    and two native hash joins attach orders and customer. The joins are
+    deliberately NOT broadcasts: the qualifying set is data-proportional
+    when the threshold is low, so the hash join is the shape that
+    survives 100 TB; Ray's join shuffles only the already-aggregated
+    rows. Quantities are integral in the data, so sum_qty is an exact
+    int64 on both sides.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "sum_qty": round_half_away(
+                    batch["l_quantity"].to_numpy(dtype="float64")
+                ).astype("int64"),
+            }
+        )
+        return df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+
+    def merge_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        return g[g["sum_qty"] > threshold]
+
+    qualifying = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pandas")
+        .repartition(npart, keys=["l_orderkey"])
+        .map_batches(merge_and_filter, batch_format="pandas", batch_size=None)
+    )
+
+    def orders_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "o_custkey": batch["o_custkey"].to_numpy(),
+                "total_micro": round_half_away(
+                    batch["o_totalprice"].to_numpy(dtype="float64") * MICRO
+                ).astype("int64"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(orders_proj, batch_format="pandas")
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    with_orders = qualifying.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    joined = with_orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=npart,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        # Ray's join keeps the LEFT side's key name: the order key is
+        # still l_orderkey and the customer key o_custkey after both
+        # joins.
+        out = batch[
+            ["c_name", "o_custkey", "l_orderkey", "total_micro", "sum_qty"]
+        ].rename(columns={"o_custkey": "c_custkey", "l_orderkey": "o_orderkey"})
+        return out.astype(
+            {"c_custkey": "int64", "o_orderkey": "int64", "sum_qty": "int64"}
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def part_min_price_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2-shaped argmin-per-group with join back: for every part,
+    the supplier offering its cheapest lineitem (min l_extendedprice,
+    ties broken by the smaller suppkey), annotated with the part brand.
+    The correlated-subquery MIN pattern (`price = (SELECT min(price)
+    ...)`), expressed shuffle-light.
+
+    Scale shape: the argmin is associative, so each batch keeps ONE
+    candidate row per part before the keyed repartition — the shuffle
+    ships |parts observed per batch| rows, never raw lineitems. A
+    per-block argmin after co-location is then globally exact. The part
+    table is data-proportional (it grows with the catalog), so brand
+    attachment is a native hash join, not a broadcast. Prices are exact
+    at 2 decimals in the data, so micro-units are exact int64.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def argmin_local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_partkey", "min_price_micro", "s_suppkey"], kind="stable"
+        )
+        return df.drop_duplicates("l_partkey", keep="first")
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(),
+                "min_price_micro": round_half_away(
+                    batch["l_extendedprice"].to_numpy(dtype="float64") * MICRO
+                ).astype("int64"),
+                "s_suppkey": batch["l_suppkey"].to_numpy(),
+            }
+        )
+        return argmin_local(df)
+
+    candidates = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(line_partial, batch_format="pandas")
+        .repartition(npart, keys=["l_partkey"])
+        .map_batches(argmin_local, batch_format="pandas", batch_size=None)
+    )
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    joined = candidates.join(
+        part,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[
+            ["l_partkey", "p_brand", "min_price_micro", "s_suppkey"]
+        ].rename(columns={"l_partkey": "p_partkey"})
+        return out.astype(
+            {
+                "p_partkey": "int64",
+                "min_price_micro": "int64",
+                "s_suppkey": "int64",
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def lineitem_qty_price_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped sufficient statistics for covariance / regression of
+    price on quantity, per (l_returnflag, l_linestatus): n, sum(qty),
+    sum(qty^2), sum(price_cents), sum(qty * price_cents). Downstream,
+    slope / correlation / covariance are pure arithmetic over these
+    five integers — the distributed part ships ONLY the moments, the
+    statistical formula never touches the cluster. (Classic
+    one-pass-moments pattern; integer units keep it bit-exact vs SQL.)
+
+    Scale shape: bounded key space (flag x status, ~6 keys), so the
+    per-batch partials tree-reduce shuffle-free. Overflow bound: the
+    largest addend is qty * price_cents <= 5e8, so int64 holds exactly
+    up to ~1.8e10 rows PER GROUP; past that (full 100 TB), split each
+    group's reduce into sub-shards and merge the handful of shard sums
+    as Python bigints on the driver.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = round_half_away(
+            batch["l_quantity"].to_numpy(dtype="float64")
+        ).astype("int64")
+        cents = round_half_away(
+            batch["l_extendedprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "l_linestatus": batch["l_linestatus"].to_numpy(),
+                "n": np.ones(len(qty), dtype="int64"),
+                "sum_qty": qty,
+                "sum_qty_sq": qty * qty,
+                "sum_price_cents": cents,
+                "sum_qty_price_cents": qty * cents,
+            }
+        )
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+
+    partials = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pandas")
+    return tree_sum(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["n", "sum_qty", "sum_qty_sq", "sum_price_cents", "sum_qty_price_cents"],
+    )
+
+
+def segment_top_spender(sf_dir: str) -> rd.Dataset:
+    """Top-1 customer per market segment by lifetime order spend (ties
+    broken by the smaller custkey) — grouped argmax ON TOP OF a
+    distributed aggregate and a join, the "best entity per category"
+    composite.
+
+    Scale shape: orders collapse to per-customer spend (partial ->
+    keyed repartition + block merge), the segment label attaches via a
+    native hash join against customer (data-proportional side, no
+    broadcast), then each block keeps one candidate per segment and the
+    bounded segment space (5) merges in a single final block. Customers
+    with no orders can never win a segment (spend > 0), so the inner
+    join is semantically exact.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def spend_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(),
+                "spend_micro": round_half_away(
+                    batch["o_totalprice"].to_numpy(dtype="float64") * MICRO
+                ).astype("int64"),
+            }
+        )
+        return df.groupby("o_custkey", as_index=False)["spend_micro"].sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["spend_micro"].sum()
+
+    spend = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(spend_partial, batch_format="pandas")
+        .repartition(npart, keys=["o_custkey"])
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = spend.join(
+        customer,
+        join_type="inner",
+        num_partitions=npart,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "spend_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["c_mktsegment", "spend_micro", "c_custkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = df.drop_duplicates("c_mktsegment", keep="first")
+        return out[["c_mktsegment", "c_custkey", "spend_micro"]].astype(
+            {"c_custkey": "int64", "spend_micro": "int64"}
+        )
+
+    def local_top1(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.rename(columns={"o_custkey": "c_custkey"})
+        return top1(b)
+
+    return (
+        joined.map_batches(local_top1, batch_format="pandas")
+        .repartition(1)
+        .map_batches(top1, batch_format="pandas", batch_size=None)
     )
