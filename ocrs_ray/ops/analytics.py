@@ -37,6 +37,8 @@ __all__ = [
     "events_user_lag_diff",
     "events_user_first_last",
     "events_user_moving_sum",
+    "events_user_type_sequence",
+    "events_user_top_type",
     "distinct_user_event_types",
     "docs_length_histogram",
     "bm25_topk",
@@ -1143,4 +1145,92 @@ def distinct_user_event_types(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     enable_hash_shuffle(ds)
     return ds.repartition(partitions, keys=["user_id"]).map_batches(
         local_distinct, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_type_sequence(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation: per user, the comma-joined sequence
+    of event types in (ts, event_id) order plus the event count — SQL's
+    `string_agg(x, ',' ORDER BY ...)`, the behavioral-sequence-mining
+    primitive (each user's row IS their clickstream).
+
+    Scale shape: one user_id hash shuffle co-locates each user, then a
+    vectorized per-block sort + groupby join. The per-user row grows
+    with that user's event count — at 100 TB a pathological single user
+    could exceed a block, so production would cap the sequence length
+    (keep first N per user); uncapped here to stay oracle-exact.
+    """
+    from .relational import _partition_by_user
+
+    def seq(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "type_seq": pd.Series([], dtype="object"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", as_index=False).agg(
+            type_seq=("event_type", ",".join),
+            n_events=("event_id", "count"),
+        )
+        return g.astype({"user_id": "int64", "n_events": "int64"})
+
+    return _partition_by_user(sf_dir).map_batches(
+        seq, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_top_type(sf_dir: str) -> rd.Dataset:
+    """Grouped mode with deterministic tie-break: each user's most
+    frequent event type (ties -> lexicographically smallest type) and
+    its count — the `mode()` aggregate, which SQL engines disagree on
+    for ties, pinned here to an exact total order.
+
+    Scale shape: per-batch (user, type) count partials shrink the
+    shuffle to one row per pair per batch; after the user_id keyed
+    repartition a per-block merge + argmax is globally exact. The
+    per-user state is bounded by the closed event-type vocabulary, so
+    blocks never grow with a user's raw event count (contrast
+    `events_user_type_sequence`).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(["user_id", "event_type"], as_index=False).size()
+        out.columns = ["user_id", "event_type", "n"]
+        return out
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "top_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = g.drop_duplicates("user_id", keep="first").rename(
+            columns={"event_type": "top_type"}
+        )
+        return out[["user_id", "top_type", "n"]].astype(
+            {"user_id": "int64", "n": "int64"}
+        )
+
+    return (
+        _read_events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .repartition(npart, keys=["user_id"])
+        .map_batches(top1, batch_format="pandas", batch_size=None)
     )

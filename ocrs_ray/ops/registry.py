@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lag_diff": analytics.events_user_lag_diff,
         "events_user_first_last": analytics.events_user_first_last,
         "events_user_moving_sum": analytics.events_user_moving_sum,
+        "events_user_type_sequence": analytics.events_user_type_sequence,
+        "events_user_top_type": analytics.events_user_top_type,
         "distinct_user_event_types": analytics.distinct_user_event_types,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
@@ -576,6 +578,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "events_user_type_sequence": (
+            "SELECT user_id, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_user_top_type": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type AS top_type, n FROM c WHERE rn = 1"
         ),
         "q18_large_orders": (
             "WITH q AS (SELECT l_orderkey, "
