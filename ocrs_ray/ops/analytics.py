@@ -40,6 +40,7 @@ __all__ = [
     "events_user_type_sequence",
     "events_user_top_type",
     "distinct_user_event_types",
+    "docs_token_entropy",
     "docs_length_histogram",
     "bm25_topk",
     "heavy_hitters_exact",
@@ -1233,4 +1234,51 @@ def events_user_top_type(sf_dir: str) -> rd.Dataset:
         .map_batches(partial, batch_format="pandas")
         .repartition(npart, keys=["user_id"])
         .map_batches(top1, batch_format="pandas", batch_size=None)
+    )
+
+
+def docs_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document Shannon token entropy in micro-nats plus the token
+    count — the lexical-diversity quality axis: near-zero entropy marks
+    one-word spam / boilerplate repetition, high entropy marks
+    token-diverse text. Complements `lm_quality_score` (which measures
+    typicality, not diversity) and `docs_repetition_stats` (n-gram
+    level).
+
+    Each distinct token contributes -p*ln(p) (p = c/n within the doc),
+    micro-rounded per term BEFORE summing so the total is an
+    order-independent integer; docs never span batches, so the whole
+    computation is a stateless map — no shuffle at any scale. Docs with
+    zero tokens emit no row (entropy undefined), matching the oracle's
+    join over token rows. Same 1-ulp ln caveat as `lm_quality_score`.
+    """
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        tok = re.compile(TOKEN_RE)
+        ids: list[int] = []
+        ns: list[int] = []
+        ents: list[int] = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            found = tok.findall(t.lower())
+            if not found:
+                continue
+            n = len(found)
+            c = np.fromiter(
+                _count_tokens([t]).values(), dtype="float64"
+            )
+            p = c / n
+            terms = round_half_away(-1e6 * p * np.log(p)).astype("int64")
+            ids.append(int(d))
+            ns.append(n)
+            ents.append(int(terms.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "entropy_micro": pd.Series(ents, dtype="int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        entropy, batch_format="pandas"
     )

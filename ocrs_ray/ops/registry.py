@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_min_price_supplier": relational.part_min_price_supplier,
         "lineitem_qty_price_stats": relational.lineitem_qty_price_stats,
         "segment_top_spender": relational.segment_top_spender,
+        "event_type_user_overlap": relational.event_type_user_overlap,
+        "docs_token_entropy": analytics.docs_token_entropy,
+        "embedding_top_component": similarity.embedding_top_component,
         "events_funnel": relational.events_funnel,
         "user_retention": relational.user_retention,
         # top-k / sampling
@@ -579,6 +582,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
         ),
+        "event_type_user_overlap": (
+            "WITH u AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_a, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_b "
+            "FROM events GROUP BY user_id) "
+            "SELECT CAST(has_a AS BIGINT) AS has_a, "
+            "CAST(has_b AS BIGINT) AS has_b, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY 1, 2"
+        ),
+        "docs_token_entropy": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1) "
+            "SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens, "
+            "CAST(sum(CAST(round(-1000000 * (c.c / n.n) * ln(c.c / n.n)) "
+            "AS BIGINT)) AS BIGINT) AS entropy_micro "
+            "FROM c JOIN n ON c.doc_id = n.doc_id "
+            "GROUP BY c.doc_id, n.n"
+        ),
+        # embedding_top_component is iterative (power iteration, float
+        # eigenvector) — not SQL-expressible; rows-only for the driver,
+        # pinned by the eigenpair residual test in tests/test_analytics.py.
         "events_user_type_sequence": (
             "SELECT user_id, "
             "string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq, "

@@ -44,6 +44,7 @@ __all__ = [
     "part_min_price_supplier",
     "lineitem_qty_price_stats",
     "segment_top_spender",
+    "event_type_user_overlap",
     "round_half_away",
 ]
 
@@ -1757,3 +1758,48 @@ def segment_top_spender(sf_dir: str) -> rd.Dataset:
         .repartition(1)
         .map_batches(top1, batch_format="pandas", batch_size=None)
     )
+
+
+def event_type_user_overlap(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> rd.Dataset:
+    """Set-algebra cardinalities as a 2x2 contingency table: how many
+    users did type_a only / type_b only / both / neither (among users
+    present in events) — INTERSECT / EXCEPT counts in one pass instead
+    of two set-op pipelines.
+
+    Scale shape: per-batch per-user boolean flags (one row per user per
+    batch) -> user_id keyed repartition -> per-block OR-merge -> count
+    into the four (has_a, has_b) buckets, which tree-reduce shuffle-free
+    (bounded key space). The shuffle ships flag rows, never events.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def flag_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "has_a": (batch["event_type"] == type_a).to_numpy().astype("int64"),
+                "has_b": (batch["event_type"] == type_b).to_numpy().astype("int64"),
+            }
+        )
+        return df.groupby("user_id", as_index=False)[["has_a", "has_b"]].max()
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[["has_a", "has_b"]].max()
+        out = g.groupby(["has_a", "has_b"], as_index=False).size()
+        out.columns = ["has_a", "has_b", "n_users"]
+        return out.astype({"has_a": "int64", "has_b": "int64", "n_users": "int64"})
+
+    flags = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(flag_partial, batch_format="pandas")
+        .repartition(npart, keys=["user_id"])
+        .map_batches(bucket_counts, batch_format="pandas", batch_size=None)
+    )
+    return tree_sum(flags, ["has_a", "has_b"], ["n_users"])

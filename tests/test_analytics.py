@@ -272,3 +272,27 @@ def test_bm25_topk_matches_local_reference(ray_session):
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
     # Scores are returned best-first.
     assert (got["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_embedding_top_component_eigenpair(ray_session):
+    """Power iteration must land on the top eigenpair of X^T X: small
+    relative residual ||Gv - eigval*v||, unit norm, the pinned sign
+    convention, and agreement with numpy's exact eigendecomposition."""
+    from ocrs_ray.ops.similarity import (
+        embedding_top_component,
+        load_embedding_matrix,
+    )
+
+    out = embedding_top_component(SF).to_pandas().sort_values("dim")
+    v = out["component"].to_numpy(dtype="float64")
+    eigval = float(out["eigval"].iloc[0])
+    _, mat = load_embedding_matrix(SF)
+    g = mat.astype("float64").T @ mat.astype("float64")
+
+    assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-9)
+    assert v[np.argmax(np.abs(v))] > 0
+    resid = np.linalg.norm(g @ v - eigval * v) / eigval
+    assert resid < 1e-6, resid
+    w, vecs = np.linalg.eigh(g)
+    assert abs(float(vecs[:, -1] @ v)) > 1 - 1e-8
+    assert np.isclose(eigval, w[-1], rtol=1e-9)
