@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_stats": relational.lineitem_qty_price_stats,
         "segment_top_spender": relational.segment_top_spender,
         "event_type_user_overlap": relational.event_type_user_overlap,
+        "events_daily_dense_counts": relational.events_daily_dense_counts,
+        "returnflag_revenue_share": relational.returnflag_revenue_share,
         "docs_token_entropy": analytics.docs_token_entropy,
         "embedding_top_component": similarity.embedding_top_component,
         "events_funnel": relational.events_funnel,
@@ -581,6 +583,30 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "events_daily_dense_counts": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2), "
+            "spine AS (SELECT CAST(unnest(generate_series("
+            "(SELECT min(day) FROM c), (SELECT max(day) FROM c))) AS BIGINT) "
+            "AS day), "
+            "types AS (SELECT DISTINCT event_type FROM c) "
+            "SELECT t.event_type, s.day, "
+            "CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events "
+            "FROM types t CROSS JOIN spine s "
+            "LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day"
+        ),
+        "returnflag_revenue_share": (
+            "WITH r AS (SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, revenue_micro, "
+            "CAST((1000000 * CAST(revenue_micro AS HUGEINT)) "
+            "// (SELECT sum(CAST(revenue_micro AS HUGEINT)) FROM r) "
+            "AS BIGINT) AS share_ppm FROM r"
         ),
         "event_type_user_overlap": (
             "WITH u AS (SELECT user_id, "

@@ -45,6 +45,8 @@ __all__ = [
     "lineitem_qty_price_stats",
     "segment_top_spender",
     "event_type_user_overlap",
+    "events_daily_dense_counts",
+    "returnflag_revenue_share",
     "round_half_away",
 ]
 
@@ -1803,3 +1805,93 @@ def event_type_user_overlap(
         .map_batches(bucket_counts, batch_format="pandas", batch_size=None)
     )
     return tree_sum(flags, ["has_a", "has_b"], ["n_users"])
+
+
+def events_daily_dense_counts(sf_dir: str) -> rd.Dataset:
+    """Time-series gap fill: per (event_type, day) event counts
+    DENSIFIED to every day in the observed global range x every
+    observed type, zero-filled — the calendar-spine cross join that
+    turns sparse event counts into a dense series (required before any
+    moving-average / anomaly pass, which would silently skip gap days).
+
+    Scale shape: the sparse counts are a bounded key space (types x
+    calendar days) and tree-reduce shuffle-free; densification happens
+    in the final single block, where the full grid is |types| x |days|
+    rows — calendar-bounded, never corpus-bounded. Days are carried as
+    integer epoch days so value hashes are engine-exact.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].astype("int64") // (86_400 * 1_000_000)).astype(
+            "int64"
+        )
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(), "day": day.to_numpy()}
+        )
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        out.columns = ["event_type", "day", "n_events"]
+        return out.astype({"day": "int64", "n_events": "int64"})
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        days = np.arange(df["day"].min(), df["day"].max() + 1, dtype="int64")
+        types = np.sort(df["event_type"].unique())
+        grid = pd.MultiIndex.from_product(
+            [types, days], names=["event_type", "day"]
+        ).to_frame(index=False)
+        out = grid.merge(df, on=["event_type", "day"], how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype("int64")
+        return out
+
+    counts = tree_sum(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"],
+        ["n_events"],
+    )
+    return counts.map_batches(densify, batch_format="pandas", batch_size=None)
+
+
+def returnflag_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Ratio-to-report: each return flag's revenue and its
+    parts-per-million share of total revenue — the percent-of-total
+    window (`SUM() OVER ()` denominator) computed WITHOUT floats: the
+    share is floor(1e6 * flag_rev / total_rev) in arbitrary-precision
+    integers on the Ray side and HUGEINT division in the oracle, so the
+    comparison is structurally exact (no rounding-boundary caveat at
+    all, unlike the ln-based scores).
+
+    Scale shape: bounded key space (3 flags) -> per-batch revenue
+    partials tree-reduce shuffle-free; the share needs the global total,
+    which lives in the same final single block — no second pass.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = round_half_away(
+            (batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy()
+            * MICRO
+        ).astype("int64")
+        df = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(), "revenue_micro": rev}
+        )
+        return df.groupby("l_returnflag", as_index=False)["revenue_micro"].sum()
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["revenue_micro"].sum())
+        # Python bigints: 1e6 * rev overflows int64, never Python int.
+        ppm = [
+            (1_000_000 * int(r)) // total for r in df["revenue_micro"]
+        ]
+        out = df.assign(share_ppm=pd.Series(ppm, dtype="int64").to_numpy())
+        return out.sort_values("l_returnflag").reset_index(drop=True)
+
+    totals = tree_sum(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        ["revenue_micro"],
+    )
+    return totals.map_batches(share, batch_format="pandas", batch_size=None)
