@@ -39,6 +39,7 @@ __all__ = [
     "events_user_moving_sum",
     "events_user_type_sequence",
     "events_user_top_type",
+    "events_user_ntile",
     "distinct_user_event_types",
     "docs_token_entropy",
     "docs_length_histogram",
@@ -1281,4 +1282,58 @@ def docs_token_entropy(sf_dir: str) -> rd.Dataset:
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         entropy, batch_format="pandas"
+    )
+
+
+def _ntile_buckets(i: np.ndarray, cnt: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE bucket (1-based) for 0-based row index `i` within a
+    partition of `cnt` rows: the first (cnt % n) buckets hold
+    ceil(cnt/n) rows, the rest floor(cnt/n). Pure arithmetic so the
+    cnt < n edge (some buckets empty) is unit-testable without Ray."""
+    big, rem = cnt // n, cnt % n
+    cut = rem * (big + 1)
+    return (
+        np.where(
+            i < cut,
+            i // (big + 1),
+            rem + (i - cut) // np.maximum(big, 1),
+        )
+        + 1
+    ).astype("int64")
+
+
+def events_user_ntile(sf_dir: str, n: int = 4) -> rd.Dataset:
+    """NTILE(n) window: each event's n-quantile bucket within its user's
+    (ts, event_id) ordering — the per-entity phase bucketing used for
+    early/late behavioral comparisons. SQL NTILE semantics exactly: the
+    first (count % n) buckets get the extra row.
+
+    Scale shape: one user_id keyed repartition co-locates each user,
+    then the bucket index is pure vectorized arithmetic over the
+    per-user cumcount — no per-row Python.
+    """
+    from .relational import _partition_by_user
+
+    def ntile(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        i = df.groupby("user_id").cumcount().to_numpy()
+        cnt = df.groupby("user_id")["event_id"].transform("size").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "bucket": _ntile_buckets(i, cnt, n),
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        ntile, batch_format="pandas", batch_size=None
     )

@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_moving_sum": analytics.events_user_moving_sum,
         "events_user_type_sequence": analytics.events_user_type_sequence,
         "events_user_top_type": analytics.events_user_top_type,
+        "events_user_ntile": analytics.events_user_ntile,
+        "supplier_acctbal_rank": relational.supplier_acctbal_rank,
         "distinct_user_event_types": analytics.distinct_user_event_types,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
@@ -583,6 +585,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "events_user_ntile": (
+            "SELECT event_id, user_id, "
+            "CAST(ntile(4) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS bucket FROM events"
+        ),
+        "supplier_acctbal_rank": (
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "CAST(rank() OVER (PARTITION BY s_nationkey "
+            "ORDER BY round(s_acctbal * 100) DESC) AS BIGINT) AS bal_rank "
+            "FROM supplier"
         ),
         "events_daily_dense_counts": (
             "WITH c AS (SELECT event_type, "

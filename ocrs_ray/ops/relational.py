@@ -47,6 +47,7 @@ __all__ = [
     "event_type_user_overlap",
     "events_daily_dense_counts",
     "returnflag_revenue_share",
+    "supplier_acctbal_rank",
     "round_half_away",
 ]
 
@@ -1895,3 +1896,56 @@ def returnflag_revenue_share(sf_dir: str) -> rd.Dataset:
         ["revenue_micro"],
     )
     return totals.map_batches(share, batch_format="pandas", batch_size=None)
+
+
+def supplier_acctbal_rank(sf_dir: str) -> rd.Dataset:
+    """RANK() with gap semantics: each supplier's rank within its
+    nation by account balance (ties on the exact cent value share a
+    rank; the next distinct value skips past them) — the tie-aware
+    window completion alongside row_number (top-k ops) and NTILE.
+
+    Scale shape: one nationkey keyed repartition, then vectorized
+    per-block sort + tie-aware rank (pandas `rank(method="min")` over
+    the integer cents — float balances would make tie detection
+    engine-dependent).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": batch["s_suppkey"].to_numpy(),
+                "s_nationkey": batch["s_nationkey"].to_numpy(),
+                "acctbal_cents": round_half_away(
+                    batch["s_acctbal"].to_numpy(dtype="float64") * 100.0
+                ).astype("int64"),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "s_suppkey": pd.Series([], dtype="int64"),
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "acctbal_cents": pd.Series([], dtype="int64"),
+                    "bal_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        r = (
+            df.groupby("s_nationkey")["acctbal_cents"]
+            .rank(method="min", ascending=False)
+            .astype("int64")
+        )
+        return df.assign(bal_rank=r.to_numpy())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).map_batches(to_cents, batch_format="pandas")
+    return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
+        rank, batch_format="pandas", batch_size=None
+    )

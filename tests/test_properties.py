@@ -353,3 +353,29 @@ def test_find_text_lines_partitions_words(boxes):
     for line in lines:
         lefts = [w.bounding_rect().left for w in line]
         assert lefts == sorted(lefts)
+
+
+def test_ntile_buckets_match_sql_semantics():
+    """_ntile_buckets must reproduce SQL NTILE exactly, INCLUDING the
+    cnt < n edge (fewer rows than buckets) the real tables never hit."""
+    import duckdb
+    import numpy as np
+
+    from ocrs_ray.ops.analytics import _ntile_buckets
+
+    con = duckdb.connect()
+    for cnt in [1, 2, 3, 4, 5, 7, 8, 9, 100]:
+        for n in [1, 2, 3, 4, 5]:
+            exp = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT ntile({n}) OVER (ORDER BY x) FROM "
+                    f"(SELECT unnest(generate_series(1, {cnt})) AS x) ORDER BY x"
+                ).fetchall()
+            ]
+            got = _ntile_buckets(
+                np.arange(cnt, dtype="int64"),
+                np.full(cnt, cnt, dtype="int64"),
+                n,
+            ).tolist()
+            assert got == exp, (cnt, n, got, exp)
