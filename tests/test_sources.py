@@ -1,0 +1,55 @@
+"""Round-trip tests for the alternate documents readers: parquet ->
+JSONL / CSV on disk -> Ray reader -> value-identical to the parquet
+read (same rows, schema, and content — including text containing
+newlines, commas, and quotes)."""
+
+from __future__ import annotations
+
+import csv
+import json
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # Make the hard cases explicit: ensure at least one doc exercises
+    # embedded newlines / quotes / commas in both formats.
+    df = df.copy()
+    df.loc[df.index[0], "text"] = 'line one\nline "two", with comma\n'
+    df.loc[df.index[0], "n_chars"] = len(df.loc[df.index[0], "text"])
+    return df
+
+
+def _check(out, df):
+    got = (
+        out.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[df.columns.tolist()]
+    )
+    exp = df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_jsonl_roundtrip(ray_session, docs_df, tmp_path):
+    from ocrs_ray.ops.sources import documents_from_jsonl
+
+    # Two shards to prove multi-file parallel reads merge correctly.
+    half = len(docs_df) // 2
+    for i, part in enumerate([docs_df.iloc[:half], docs_df.iloc[half:]]):
+        with open(tmp_path / f"docs_{i}.jsonl", "w") as f:
+            for rec in part.to_dict("records"):
+                f.write(json.dumps(rec) + "\n")
+    _check(documents_from_jsonl(str(tmp_path)), docs_df)
+
+
+def test_csv_roundtrip(ray_session, docs_df, tmp_path):
+    from ocrs_ray.ops.sources import documents_from_csv
+
+    docs_df.to_csv(tmp_path / "docs.csv", index=False, quoting=csv.QUOTE_MINIMAL)
+    _check(documents_from_csv(str(tmp_path / "docs.csv")), docs_df)
