@@ -1466,7 +1466,10 @@ def q18_large_orders(sf_dir: str, threshold: int = 250) -> rd.Dataset:
     """TPC-H Q18-shaped GROUP BY ... HAVING then join back: orders whose
     total lineitem quantity exceeds `threshold`, with their customer.
     The HAVING side is the classic "find the whales" pattern — the
-    filter can only be applied AFTER a full per-order aggregate.
+    filter can only be applied AFTER a full per-order aggregate. The
+    orders scan carries a Bloom dynamic-filter pushdown built from the
+    qualifying keys (see inline comment): the orders-side join shuffle
+    ships ~1% of rows instead of the full table.
 
     Scale shape: lineitem collapses to per-order quantity sums BEFORE
     anything joins (per-batch partial -> keyed repartition + block
