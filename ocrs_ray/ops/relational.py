@@ -1522,23 +1522,10 @@ def q18_large_orders(sf_dir: str, threshold: int = 250) -> rd.Dataset:
     # build and the join, and it is the small post-HAVING output.
     import ray
 
-    from .sketch import BloomFilter
+    from .sketch import build_bloom
 
-    n_bits, n_hashes = 1 << 20, 5
     qualifying = qualifying.materialize()
-
-    def block_bits(batch: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(n_bits, n_hashes)
-        keys = batch["l_orderkey"].to_numpy()
-        if len(keys):
-            bf.add(keys)
-        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
-
-    parts = qualifying.map_batches(block_bits, batch_format="pandas").to_pandas()
-    merged = BloomFilter(n_bits, n_hashes)
-    for raw in parts["bits"]:
-        merged.bits |= np.frombuffer(raw, dtype=np.uint64)
-    bloom_ref = ray.put(merged)
+    bloom_ref = ray.put(build_bloom(qualifying, "l_orderkey"))
 
     class OrdersProj:
         def __init__(self, ref):

@@ -30,6 +30,7 @@ __all__ = [
     "tdigest_merge_all",
     "events_value_tdigest",
     "BloomFilter",
+    "build_bloom",
     "active_customers_bloom",
 ]
 
@@ -224,6 +225,31 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.k, self.bits | other.bits)
 
 
+def build_bloom(
+    ds: "rd.Dataset", column: str, n_bits: int = 1 << 20, k: int = 5
+) -> BloomFilter:
+    """Distributed Bloom build over one int64 column: per-block bitsets
+    (fixed n_bits/8-byte summaries — keys never leave their block)
+    OR-reduce driver-side into a single broadcast-ready filter. The
+    reusable half of every Bloom semi-join / dynamic-filter pushdown
+    (`active_customers_bloom`, `q18_large_orders`). Size n_bits from
+    the expected build-side cardinality: fp rate ~ (1-e^{-kn/m})^k.
+    """
+
+    def block_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits, k)
+        keys = batch[column].to_numpy()
+        if len(keys):
+            bf.add(keys)
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = ds.map_batches(block_bits, batch_format="pandas").to_pandas()
+    merged = BloomFilter(n_bits, k)
+    for raw in parts["bits"]:
+        merged.bits |= np.frombuffer(raw, dtype=np.uint64)
+    return merged
+
+
 def active_customers_bloom(
     sf_dir: str, since: str = "2001-01-01", n_bits: int = 1 << 20, k: int = 5
 ) -> rd.Dataset:
@@ -240,24 +266,13 @@ def active_customers_bloom(
     """
     cutoff = pd.Timestamp(since)
 
-    def block_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(n_bits, k)
-        keys = batch.loc[batch["o_orderdate"] >= cutoff, "o_custkey"].to_numpy()
-        if len(keys):
-            bf.add(keys)
-        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+    def qualifying_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["o_orderdate"] >= cutoff, ["o_custkey"]]
 
-    parts = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
-        )
-        .map_batches(block_filter, batch_format="pandas")
-        .to_pandas()
-    )
-    merged = BloomFilter(n_bits, k)
-    for raw in parts["bits"]:
-        merged.bits |= np.frombuffer(raw, dtype=np.uint64)
-    ref = ray.put(merged)
+    build = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(qualifying_keys, batch_format="pandas")
+    ref = ray.put(build_bloom(build, "o_custkey", n_bits, k))
 
     class Probe:
         def __init__(self, ref):
