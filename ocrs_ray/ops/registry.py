@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_rank": sampling.docs_shuffle_rank,
         "docs_length_outlier_filter": sampling.docs_length_outlier_filter,
         "source_budget_sample": sampling.source_budget_sample,
+        "events_bottomk_sample": sampling.events_bottomk_sample,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -585,6 +586,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "events_bottomk_sample": (
+            "WITH h AS (SELECT event_type, event_id, "
+            "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':bk'), "
+            "1, 8)) AS UBIGINT) AS h FROM events), "
+            "r AS (SELECT event_type, event_id, CAST(h AS BIGINT) AS h, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY h, event_id) AS rn FROM h) "
+            "SELECT event_type, event_id, h FROM r WHERE rn <= 20"
         ),
         "events_user_ntile": (
             "SELECT event_id, user_id, "

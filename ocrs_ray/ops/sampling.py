@@ -27,6 +27,7 @@ __all__ = [
     "docs_length_outlier_filter",
     "source_budget_sample",
     "md5_bucket",
+    "events_bottomk_sample",
 ]
 
 
@@ -332,3 +333,47 @@ def source_budget_sample(sf_dir: str, budget_chars: int = 3000) -> rd.Dataset:
         return df.loc[sel, ["doc_id", "source", "n_chars"]]
 
     return base.map_batches(keep, batch_format="pandas")
+
+
+def events_bottomk_sample(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Deterministic k-per-group uniform sample via bottom-k hashing:
+    per event_type, the k events with the smallest md5 hash (ties:
+    event_id) — the distributed reservoir. Unlike a true reservoir it
+    is content-deterministic (reruns and re-partitionings pick the SAME
+    sample) and mergeable: each block keeps its local bottom-k, and
+    bottom-k of unions == union of bottom-ks, so the reduce is exact.
+    The same sketch doubles as a distinct-count estimator (k-minimum
+    values) — the engine's sampling and cardinality families share it.
+
+    Scale shape: local bottom-k per block (k rows per type per block
+    cross the wire), one single-block final merge — the group space is
+    the bounded type vocabulary; per-group k is a constant. No full
+    shuffle, no global sort.
+    """
+
+    def local_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="int64"),
+                }
+            )
+        if "h" not in df.columns:
+            df = pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy(),
+                    "event_id": df["event_id"].to_numpy(),
+                    "h": md5_bucket(df["event_id"], salt=":bk"),
+                }
+            )
+        df = df.sort_values(["event_type", "h", "event_id"], kind="stable")
+        return df.groupby("event_type", sort=False).head(k)
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+        .map_batches(local_bottomk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_bottomk, batch_format="pandas", batch_size=None)
+    )
