@@ -29,6 +29,7 @@ from .text import read_documents
 __all__ = [
     "dedup_exact",
     "dedup_survivors",
+    "streaming_dedup_filter",
     "eval_decontaminate",
     "MinHashConfig",
     "minhash_signatures",
@@ -646,4 +647,87 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, 2),
+    )
+
+
+@ray.remote(num_cpus=0)
+class _DedupShard:
+    """One shard of the global seen-set for `streaming_dedup_filter`:
+    holds the md5 keys whose hash lands on this shard. `claim` is
+    atomic per actor (Ray actors process calls serially), so exactly
+    one caller wins each key. num_cpus=0: the shards are memory
+    holders that serve sub-millisecond set probes — giving them CPU
+    slots would starve the claiming pool on small clusters (the
+    CPU-budget deadlock)."""
+
+    def __init__(self):
+        self.seen: set[bytes] = set()
+
+    def claim(self, keys: list[bytes]) -> list[bool]:
+        out = []
+        for k in keys:
+            if k in self.seen:
+                out.append(False)
+            else:
+                self.seen.add(k)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        return len(self.seen)
+
+
+def streaming_dedup_filter(sf_dir: str, n_shards: int = 4) -> rd.Dataset:
+    """Exact dedup as a STREAMING filter against a shared mutable
+    index — the raw-actor tier (c) of the custom-operator ladder, for
+    when rows must be admitted/rejected online (ingest pipelines) and a
+    post-hoc shuffle pass (`dedup_exact`) is not an option.
+
+    A pool of `n_shards` set-holding actors partitions the key space by
+    content-hash; each batch claims its keys against the owning shards
+    (one round-trip per shard per batch, keys only — text never leaves
+    the batch) and keeps the rows that won. First-seen-wins: WHICH
+    duplicate survives depends on arrival order, so the survivor ID set
+    is nondeterministic across runs — but the survivor COUNT equals the
+    distinct-text count and survivors are hash-unique, both pinned in
+    tests. Use `dedup_exact` when deterministic min-id winners matter.
+
+    Scale notes: shard count bounds per-actor memory (keys/shard =
+    distinct/n_shards; 16 B md5 keys -> ~1e9 keys per 16 GiB shard) and
+    call fan-in; `concurrency` on the claiming stage is kept modest so
+    the actor round-trips pipeline with the read instead of convoying.
+    """
+    shards = [_DedupShard.remote() for _ in range(n_shards)]
+
+    class Claim:
+        def __init__(self, shard_handles):
+            self.shards = shard_handles
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return batch
+            keys = [
+                hashlib.md5(t.encode()).digest() for t in batch["text"]
+            ]
+            shard_of = [k[0] % len(self.shards) for k in keys]
+            keep = np.zeros(len(keys), dtype=bool)
+            per_shard: dict[int, list[int]] = {}
+            for i, sh in enumerate(shard_of):
+                per_shard.setdefault(sh, []).append(i)
+            refs = {
+                sh: self.shards[sh].claim.remote([keys[i] for i in idxs])
+                for sh, idxs in per_shard.items()
+            }
+            for sh, idxs in per_shard.items():
+                won = ray.get(refs[sh])
+                keep[idxs] = won
+            return batch.loc[keep]
+
+    from ocrs_ray.pipeline import cluster_ncpu
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Claim,
+        fn_constructor_args=(shards,),
+        batch_format="pandas",
+        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
     )

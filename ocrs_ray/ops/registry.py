@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_outlier_filter": sampling.docs_length_outlier_filter,
         "source_budget_sample": sampling.source_budget_sample,
         "events_bottomk_sample": sampling.events_bottomk_sample,
+        "streaming_dedup_filter": dedup.streaming_dedup_filter,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -744,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_MD5_BUCKET} % 20 <> 0 "
             "AND length(list_intersect(s.sset, ev.evs)) > 0"
         ),
+        # streaming_dedup_filter is first-seen-wins against a shared
+        # mutable actor index: survivor IDs are arrival-order-dependent
+        # (rows-only; count + hash-uniqueness pinned in
+        # tests/test_quarantine.py).
         # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,
         # events_daily_active_users_hll,

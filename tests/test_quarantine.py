@@ -87,3 +87,22 @@ def test_invalid_on_error_rejected():
 
     with pytest.raises(ValueError, match="on_error"):
         OcrSpanProcessor({}, on_error="ignore")
+
+
+def test_streaming_dedup_filter_invariants(ray_session):
+    """First-seen-wins streaming dedup: survivor COUNT must equal the
+    distinct-text count and survivors must be hash-unique; the winner
+    IDs themselves are arrival-order-dependent by design."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.dedup import streaming_dedup_filter
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_dedup_filter(sf).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    n_distinct = len(set(texts.column("text").to_pylist()))
+    hashes = [hashlib.md5(t.encode()).digest() for t in out["text"]]
+    assert len(out) == n_distinct
+    assert len(set(hashes)) == len(hashes)
