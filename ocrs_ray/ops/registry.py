@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_top_type": analytics.events_user_top_type,
         "events_user_ntile": analytics.events_user_ntile,
         "supplier_acctbal_rank": relational.supplier_acctbal_rank,
+        "orders_monthly_revenue_delta": relational.orders_monthly_revenue_delta,
         "distinct_user_event_types": analytics.distinct_user_event_types,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
@@ -587,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "orders_monthly_revenue_delta": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) * 100 "
+            "+ month(o_orderdate) AS BIGINT) AS month, "
+            "CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS revenue_micro FROM orders GROUP BY 1) "
+            "SELECT month, revenue_micro, "
+            "CAST(revenue_micro - lag(revenue_micro) OVER (ORDER BY month) "
+            "AS BIGINT) AS delta_micro FROM m "
+            "QUALIFY lag(revenue_micro) OVER (ORDER BY month) IS NOT NULL"
         ),
         "events_bottomk_sample": (
             "WITH h AS (SELECT event_type, event_id, "

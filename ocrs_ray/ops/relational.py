@@ -48,6 +48,7 @@ __all__ = [
     "events_daily_dense_counts",
     "returnflag_revenue_share",
     "supplier_acctbal_rank",
+    "orders_monthly_revenue_delta",
     "round_half_away",
 ]
 
@@ -1977,3 +1978,43 @@ def supplier_acctbal_rank(sf_dir: str) -> rd.Dataset:
     return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
         rank, batch_format="pandas", batch_size=None
     )
+
+
+def orders_monthly_revenue_delta(sf_dir: str) -> rd.Dataset:
+    """Month-over-month revenue delta: per calendar month, total order
+    revenue and its change vs the previous month — LAG over an
+    AGGREGATE (the dashboard/trend shape), distinct from the per-entity
+    row windows (`events_user_lag_diff`): the window runs over the
+    grouped result, not the raw rows. The first month has no
+    predecessor and is dropped on both sides (no NULL-representation
+    ambiguity in the value hash).
+
+    Scale shape: the month key space is calendar-bounded, so revenue
+    partials tree-reduce shuffle-free and the LAG is one vectorized
+    diff over the final single block's ordered months.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            batch["o_orderdate"].dt.year * 100 + batch["o_orderdate"].dt.month
+        ).astype("int64")
+        rev = round_half_away(
+            batch["o_totalprice"].to_numpy(dtype="float64") * MICRO
+        ).astype("int64")
+        df = pd.DataFrame({"month": month.to_numpy(), "revenue_micro": rev})
+        return df.groupby("month", as_index=False)["revenue_micro"].sum()
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month").reset_index(drop=True)
+        d = df["revenue_micro"].diff()
+        out = df.assign(delta_micro=d).iloc[1:]
+        return out.astype({"month": "int64", "delta_micro": "int64"})
+
+    totals = tree_sum(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        ).map_batches(partial, batch_format="pandas"),
+        ["month"],
+        ["revenue_micro"],
+    )
+    return totals.map_batches(delta, batch_format="pandas", batch_size=None)
