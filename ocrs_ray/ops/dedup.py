@@ -30,6 +30,7 @@ __all__ = [
     "dedup_exact",
     "dedup_survivors",
     "streaming_dedup_filter",
+    "fuzzy_name_pairs",
     "eval_decontaminate",
     "MinHashConfig",
     "minhash_signatures",
@@ -730,4 +731,110 @@ def streaming_dedup_filter(sf_dir: str, n_shards: int = 4) -> rd.Dataset:
         fn_constructor_args=(shards,),
         batch_format="pandas",
         concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+    )
+
+
+def _lev(a: str, b: str, cap: int = 2) -> int:
+    """Banded Levenshtein distance, early-exit above `cap` (returns
+    cap+1). Strings here are short dictionary entries; the DP row is a
+    few dozen cells."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        best = j
+        for i, ca in enumerate(a, 1):
+            c = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (ca != cb),
+            )
+            cur.append(c)
+            best = min(best, c)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_variants(name: str, d: int = 2) -> set[str]:
+    """All strings reachable from `name` by deleting up to `d` chars —
+    the SymSpell blocking key set: lev(a, b) <= d implies the variant
+    sets intersect (substitutions delete one char from each side,
+    insertions delete one from the longer), so blocking on shared
+    variants is LOSSLESS for the verify step."""
+    out = {name}
+    frontier = {name}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
+    """String-similarity self-join over the DISTINCT part-name
+    dictionary: all name pairs within Levenshtein distance `max_dist`,
+    with the exact distance — entity-resolution's core primitive,
+    expressed with lossless SymSpell deletion-variant blocking instead
+    of the quadratic all-pairs scan.
+
+    Scale shape: the join runs on the NAME DICTIONARY (bounded by the
+    vocabulary, not the row count — cf. `vocab_top_terms`), never on
+    part rows. Stage 1 dedupes names per batch and explodes each into
+    its <= sum_i C(L,i) deletion variants; the (variant, name) rows
+    hash-shuffle by variant so every potentially-close pair meets in
+    one block (the lossless-blocking guarantee: lev <= d implies a
+    shared variant). Stage 2 emits per-bucket candidate pairs, a
+    second keyed shuffle dedupes pairs (a pair can share many
+    variants), and the banded-DP verify runs ONCE per distinct pair.
+    At a 1e6-entry dictionary the variant shuffle is ~1e8 short rows —
+    heavy but linear in the dictionary, vs 5e11 for all-pairs.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        names = pd.unique(batch["p_name"])
+        var_col, name_col = [], []
+        for n in names:
+            for v in _deletion_variants(n, max_dist):
+                var_col.append(v)
+                name_col.append(n)
+        return pd.DataFrame({"variant": var_col, "p_name": name_col})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        out_a, out_b = [], []
+        for _, grp in df.groupby("variant", sort=False):
+            names = sorted(set(grp["p_name"]))
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    out_a.append(names[i])
+                    out_b.append(names[j])
+        return pd.DataFrame({"name_a": out_a, "name_b": out_b}).drop_duplicates()
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        dist = [
+            _lev(a, b, max_dist) for a, b in zip(df["name_a"], df["name_b"])
+        ]
+        out = df.assign(dist=pd.Series(dist, dtype="int64").to_numpy())
+        return out[out["dist"] <= max_dist]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .map_batches(explode, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["variant"])
+        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["name_a", "name_b"])
+        .map_batches(verify, batch_format="pandas", batch_size=None)
     )

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_budget_sample": sampling.source_budget_sample,
         "events_bottomk_sample": sampling.events_bottomk_sample,
         "streaming_dedup_filter": dedup.streaming_dedup_filter,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         # corpus analytics
         "vocab_top_terms": analytics.vocab_top_terms,
         "tfidf_top_terms": analytics.tfidf_top_terms,
@@ -588,6 +589,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "fuzzy_name_pairs": (
+            "WITH n AS (SELECT DISTINCT p_name FROM part) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM n a JOIN n b ON a.p_name < b.p_name "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 2"
         ),
         "orders_monthly_revenue_delta": (
             "WITH m AS (SELECT CAST(year(o_orderdate) * 100 "

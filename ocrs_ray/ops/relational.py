@@ -1628,7 +1628,7 @@ def part_min_price_supplier(sf_dir: str) -> rd.Dataset:
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_suppkey", "l_extendedprice"],
         )
-        .map_batches(line_partial, batch_format="pandas")
+        .map_batches(line_partial, batch_format="pandas", batch_size=None)
         .repartition(npart, keys=["l_partkey"])
         .map_batches(argmin_local, batch_format="pandas", batch_size=None)
     )

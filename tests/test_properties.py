@@ -379,3 +379,31 @@ def test_ntile_buckets_match_sql_semantics():
                 n,
             ).tolist()
             assert got == exp, (cnt, n, got, exp)
+
+
+def test_banded_levenshtein_and_symspell_blocking():
+    """_lev must equal true Levenshtein (capped) and the deletion-
+    variant blocking must be lossless: lev(a,b) <= 2 implies the
+    variant sets intersect — the guarantee fuzzy_name_pairs rests on."""
+    import random
+
+    import duckdb
+
+    from ocrs_ray.ops.dedup import _deletion_variants, _lev
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(3, 10)))
+        for _ in range(60)
+    ]
+    con = duckdb.connect()
+    for a in words[:30]:
+        for b in words[30:]:
+            true = con.execute(
+                "SELECT levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            got = _lev(a, b, 2)
+            assert got == min(true, 3), (a, b, true, got)
+            if true <= 2:
+                assert _deletion_variants(a) & _deletion_variants(b), (a, b)
