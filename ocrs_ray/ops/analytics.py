@@ -40,6 +40,7 @@ __all__ = [
     "events_user_type_sequence",
     "events_user_top_type",
     "events_user_ntile",
+    "events_user_unpivot",
     "distinct_user_event_types",
     "docs_token_entropy",
     "docs_length_histogram",
@@ -1336,4 +1337,32 @@ def events_user_ntile(sf_dir: str, n: int = 4) -> rd.Dataset:
 
     return _partition_by_user(sf_dir).map_batches(
         ntile, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (wide -> long reshape): the per-user pivoted count
+    columns melt back to (user_id, event_type, n) rows, zero counts
+    kept — the inverse of `events_user_pivot`, closing the reshape
+    pair. Long form is what groupbys and joins consume; wide is what
+    dashboards consume; an engine needs both directions.
+
+    Scale shape: the melt is a stateless per-block reshape of the
+    already-aggregated pivot output (|users| x |types| rows, never raw
+    events) — no additional shuffle beyond the pivot's own.
+    """
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=["user_id"],
+            value_vars=cols,
+            var_name="event_type",
+            value_name="n",
+        )
+        out["event_type"] = out["event_type"].str.removeprefix("n_")
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    return events_user_pivot(sf_dir).map_batches(
+        melt, batch_format="pandas", batch_size=None
     )

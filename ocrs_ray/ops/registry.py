@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_sequence": analytics.events_user_type_sequence,
         "events_user_top_type": analytics.events_user_top_type,
         "events_user_ntile": analytics.events_user_ntile,
+        "events_user_unpivot": analytics.events_user_unpivot,
+        "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "supplier_acctbal_rank": relational.supplier_acctbal_rank,
         "orders_monthly_revenue_delta": relational.orders_monthly_revenue_delta,
         "distinct_user_event_types": analytics.distinct_user_event_types,
@@ -590,6 +592,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
         ),
+        "events_user_unpivot": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', "
+            "'view']) AS event_type), "
+            "c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT u.user_id, t.event_type, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+            "FROM u CROSS JOIN t "
+            "LEFT JOIN c ON c.user_id = u.user_id "
+            "AND c.event_type = t.event_type"
+        ),
+        # embedding_quantize_int8 carries a float per-vector scale —
+        # rows-only; reconstruction/cosine bounds pinned in
+        # tests/test_analytics.py.
         "fuzzy_name_pairs": (
             "WITH n AS (SELECT DISTINCT p_name FROM part) "
             "SELECT a.p_name AS name_a, b.p_name AS name_b, "

@@ -30,6 +30,7 @@ __all__ = [
     "kmeans_embeddings",
     "embedding_label_centroid",
     "embedding_top_component",
+    "embedding_quantize_int8",
 ]
 
 
@@ -553,3 +554,42 @@ def embedding_top_component(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_pandas(out)
+
+
+def embedding_quantize_int8(sf_dir: str) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    each vector becomes a float scale (max|x| / 127) plus d int8 codes
+    — 4x smaller than float32, the standard compression step before
+    ANN index build / shipping embeddings across the wire at corpus
+    scale. Stateless per-batch map (no shuffle, no state); the
+    reconstruction-error and cosine-preservation bounds are pinned in
+    tests (not SQL-expressible bit-exactly: float scale).
+    """
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "scale": pa.array([], type=pa.float64()),
+                    "codes": pa.array([], type=pa.list_(pa.int8())),
+                }
+            )
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        scale = np.abs(emb).max(axis=1) / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        codes = np.clip(np.rint(emb / safe[:, None]), -127, 127).astype(np.int8)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, type=pa.int64()),
+                "scale": pa.array(scale, type=pa.float64()),
+                "codes": pa.array(
+                    [c.tolist() for c in codes], type=pa.list_(pa.int8())
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow", batch_size=2048)

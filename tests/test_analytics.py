@@ -296,3 +296,28 @@ def test_embedding_top_component_eigenpair(ray_session):
     w, vecs = np.linalg.eigh(g)
     assert abs(float(vecs[:, -1] @ v)) > 1 - 1e-8
     assert np.isclose(eigval, w[-1], rtol=1e-9)
+
+
+def test_embedding_quantize_int8_bounds(ray_session):
+    """Symmetric int8 quantization: per-coordinate error <= scale/2,
+    codes within [-127, 127], and dequantized cosine vs the original
+    vector >= 0.999 for every row."""
+    from ocrs_ray.ops.similarity import (
+        embedding_quantize_int8,
+        load_embedding_matrix,
+    )
+
+    out = embedding_quantize_int8(SF).to_pandas().sort_values("vec_id")
+    ids, mat = load_embedding_matrix(SF)
+    order = np.argsort(ids)
+    mat = mat[order]
+    scale = out["scale"].to_numpy()
+    codes = np.stack(out["codes"].to_numpy()).astype("float64")
+    deq = codes * scale[:, None]
+    err = np.abs(deq - mat)
+    assert (np.abs(codes) <= 127).all()
+    assert (err <= scale[:, None] / 2 + 1e-12).all()
+    num = (deq * mat).sum(1)
+    den = np.linalg.norm(deq, axis=1) * np.linalg.norm(mat, axis=1)
+    nz = den > 0
+    assert (num[nz] / den[nz] >= 0.999).all()
