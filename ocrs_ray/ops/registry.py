@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_int8": similarity.ann_topk_int8,
         "embedding_label_centroid": similarity.embedding_label_centroid,
         # windowed / temporal / grouped aggregates
         "events_tumbling_window": relational.events_tumbling_window,

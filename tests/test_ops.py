@@ -606,3 +606,20 @@ def test_funnel_stage_attrition(ray_session, tmp_path):
     assert list(out["n_users"]) == list(exp["n_users"])
     # The crafted table must actually discriminate: strict attrition.
     assert out["n_users"].iloc[0] > out["n_users"].iloc[2]
+
+
+def test_ann_int8_recall(ray_session):
+    """Int8-quantized scoring loses <= 0.4% per coordinate; recall@10
+    vs the exact brute force should be near-perfect."""
+    from ocrs_ray.ops.similarity import ann_topk_bruteforce, ann_topk_int8
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10).to_pandas()
+    quant = ann_topk_int8(SF, n_queries=5, k=10).to_pandas()
+    hits = 0
+    total = 0
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(quant.loc[quant.query_id == qid, "neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, hits / total
