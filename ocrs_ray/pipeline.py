@@ -62,8 +62,13 @@ class OcrPipelineConfig:
     """Tuning knobs for the OCR pipeline stages."""
 
     #: rows per batch into the OCR actor pool. Media rows carry decoded
-    #: images transiently, so this bounds peak memory per actor.
-    ocr_batch_size: int = 256
+    #: images transiently, so this bounds peak memory per actor. It is
+    #: also the actor-pool TASK granularity: batches per stage must
+    #: comfortably exceed pool size or stragglers bound the stage
+    #: (measured at 8k docs / 24 actors: 256 -> 22 tasks, 8.8-9.2 s;
+    #: 64 -> 64 tasks, 6.5-7.7 s in alternating same-session runs;
+    #: 16 is past the knee - per-task overhead wins).
+    ocr_batch_size: int = 64
     #: OCR actor pool size (fixed int or (min, max) tuple).
     ocr_concurrency: Any = 4
     #: CPUs reserved per OCR actor.
