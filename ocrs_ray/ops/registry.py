@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "supplier_acctbal_rank": relational.supplier_acctbal_rank,
         "orders_monthly_revenue_delta": relational.orders_monthly_revenue_delta,
+        "events_value_mad": relational.events_value_mad,
         "distinct_user_event_types": analytics.distinct_user_event_types,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
@@ -592,6 +593,18 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS sum_logp_micro "
             "FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot "
             "GROUP BY tok.doc_id"
+        ),
+        "events_value_mad": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vm FROM events), "
+            "m AS (SELECT event_type, "
+            "CAST(quantile_disc(vm, 0.5) AS BIGINT) AS median_micro, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM v GROUP BY 1) "
+            "SELECT m.event_type, m.median_micro, "
+            "CAST(quantile_disc(abs(v.vm - m.median_micro), 0.5) AS BIGINT) "
+            "AS mad_micro, m.n_events "
+            "FROM v JOIN m ON v.event_type = m.event_type "
+            "GROUP BY m.event_type, m.median_micro, m.n_events"
         ),
         "events_user_unpivot": (
             "WITH u AS (SELECT DISTINCT user_id FROM events), "

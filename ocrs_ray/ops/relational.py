@@ -49,6 +49,7 @@ __all__ = [
     "returnflag_revenue_share",
     "supplier_acctbal_rank",
     "orders_monthly_revenue_delta",
+    "events_value_mad",
     "round_half_away",
 ]
 
@@ -2018,3 +2019,111 @@ def orders_monthly_revenue_delta(sf_dir: str) -> rd.Dataset:
         ["revenue_micro"],
     )
     return totals.map_batches(delta, batch_format="pandas", batch_size=None)
+
+
+def events_value_mad(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """Robust dispersion per event_type: the exact median and the
+    median absolute deviation (MAD) of value — the outlier-resistant
+    sigma (1.4826*MAD estimates std under normality) that mean/variance
+    aggregates (`lineitem_qty_price_stats`) cannot give. Two passes by
+    construction: MAD needs |x - median|, and the median is unknowable
+    until pass 1 ends.
+
+    Scale shape: pass 1 = the `events_value_quantiles` shape (one
+    event_type hash shuffle, per-block exact sort — groups are the
+    bounded type vocabulary); the tiny per-type median table broadcasts
+    via ray.put; pass 2 re-streams values, computes |x - med| map-side
+    and reuses the same grouped exact-median machinery. Both medians
+    use the quantile_disc convention (sorted element ceil(n/2)-1) on
+    integer micro-units, so the oracle compares bit-exactly.
+    """
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def to_micro(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "value_micro": round_half_away(
+                    batch["value"].to_numpy() * MICRO
+                ).astype("int64"),
+            }
+        )
+
+    def grouped_median(df: pd.DataFrame, col: str, out_col: str) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type"):
+            v = np.sort(g[col].to_numpy())
+            rows.append((etype, int(v[int(np.ceil(0.5 * len(v))) - 1]), len(v)))
+        return pd.DataFrame(rows, columns=["event_type", out_col, "n_events"])
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "median_micro": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        return grouped_median(df, "value_micro", "median_micro")
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(to_micro, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    medians = (
+        ds.repartition(partitions, keys=["event_type"])
+        .map_batches(pass1, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    med_ref = ray.put(dict(zip(medians["event_type"], medians["median_micro"])))
+
+    class AbsDev:
+        def __init__(self, ref):
+            self.med = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = to_micro(batch)
+            med = b["event_type"].map(self.med).to_numpy(dtype="int64")
+            return pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(),
+                    "abs_dev_micro": np.abs(
+                        b["value_micro"].to_numpy() - med
+                    ).astype("int64"),
+                }
+            )
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "mad_micro": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        return grouped_median(df, "abs_dev_micro", "mad_micro")
+
+    ds2 = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        AbsDev, fn_constructor_args=(med_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    )
+    enable_hash_shuffle(ds2)
+    mads = ds2.repartition(partitions, keys=["event_type"]).map_batches(
+        pass2, batch_format="pandas", batch_size=None
+    )
+
+    med_map = dict(zip(medians["event_type"], medians["median_micro"]))
+
+    def attach_median(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(
+            median_micro=df["event_type"].map(med_map).astype("int64")
+        )
+        return out[["event_type", "median_micro", "mad_micro", "n_events"]]
+
+    return mads.map_batches(attach_median, batch_format="pandas", batch_size=None)
