@@ -192,10 +192,16 @@ def generate_corpus(
 ) -> dict[str, str]:
     """Write the corpus (spans + media + expected goldens) under `root`.
 
-    Row groups are kept small so Ray Data can split the read into many
-    blocks (the 100 TB layout would be one Lance fragment / parquet file
-    per shard; at test scale row groups stand in for fragments).
+    The spans table is written as a DIRECTORY of one parquet file per
+    `row_group_docs` documents (capped at 64 shards at test scale):
+    Ray issues one read task per FILE, so a single-file table serializes
+    the scan behind one task no matter how many row groups it has
+    (measured: 1 task producing 64 split blocks). One-file-per-shard is
+    also the 100 TB layout (Lance fragments / partitioned parquet), so
+    test reads exercise the same parallel-scan path.
     """
+    import shutil
+
     os.makedirs(root, exist_ok=True)
     paths = corpus_paths(root)
     media = gen_media_templates(
@@ -203,7 +209,20 @@ def generate_corpus(
     )
     spans, expected = _gen_docs(n_docs, media, seed)
     pq.write_table(media, paths["media"])
-    pq.write_table(spans, paths["spans"], row_group_size=row_group_docs)
+    shutil.rmtree(paths["spans"], ignore_errors=True)
+    if os.path.exists(paths["spans"]):
+        os.remove(paths["spans"])
+    os.makedirs(paths["spans"])
+    n_shards = min(64, max(1, -(-n_docs // row_group_docs)))
+    per = -(-spans.num_rows // n_shards)
+    for i in range(n_shards):
+        shard = spans.slice(i * per, per)
+        if shard.num_rows:
+            pq.write_table(
+                shard,
+                os.path.join(paths["spans"], f"part-{i:04d}.parquet"),
+                row_group_size=row_group_docs,
+            )
     pq.write_table(expected, paths["expected_flat"], row_group_size=row_group_docs * 4)
     return paths
 
@@ -217,7 +236,9 @@ def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
 
     paths = corpus_paths(root)
     manifest = os.path.join(root, "corpus_params.json")
-    params = {"n_docs": n_docs, **{k: kwargs[k] for k in sorted(kwargs)}}
+    # layout=2: sharded spans directory (one file per read task);
+    # bumping it invalidates cached single-file corpora.
+    params = {"n_docs": n_docs, "layout": 2, **{k: kwargs[k] for k in sorted(kwargs)}}
     try:
         if all(os.path.exists(p) for p in paths.values()):
             with open(manifest) as f:

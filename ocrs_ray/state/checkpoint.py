@@ -59,24 +59,37 @@ class ShardPlan:
     num_rows: int
 
 
+def _spans_files(spans_path: str) -> list[str]:
+    """A spans table is one parquet file or a directory of shard files
+    (lexicographic order == doc order, the corpus layout contract)."""
+    if os.path.isdir(spans_path):
+        return [
+            os.path.join(spans_path, n)
+            for n in sorted(os.listdir(spans_path))
+            if n.endswith(".parquet")
+        ]
+    return [spans_path]
+
+
 def plan_shards(spans_path: str, num_shards: int) -> list[ShardPlan]:
     """Split the input into contiguous row-group runs with doc_id
     ranges taken from footer statistics (requires the writer to have
     laid docs out sorted by doc_id, which the corpus generator and any
-    sane 100 TB ingest both do)."""
-    f = pq.ParquetFile(spans_path)
-    md = f.metadata
-    doc_idx = next(
-        i for i in range(len(md.schema))
-        if md.schema.column(i).path == "doc_id"
-    )
+    sane 100 TB ingest both do). Directory inputs concatenate each
+    file's row groups in file order."""
     groups = []
-    for rg in range(md.num_row_groups):
-        col = md.row_group(rg).column(doc_idx)
-        st = col.statistics
-        if st is None or st.min is None:
-            raise ValueError("doc_id column lacks row-group statistics")
-        groups.append((st.min, st.max, md.row_group(rg).num_rows))
+    for path in _spans_files(spans_path):
+        md = pq.ParquetFile(path).metadata
+        doc_idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).path == "doc_id"
+        )
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(doc_idx)
+            st = col.statistics
+            if st is None or st.min is None:
+                raise ValueError("doc_id column lacks row-group statistics")
+            groups.append((st.min, st.max, md.row_group(rg).num_rows))
     num_shards = min(num_shards, len(groups))
     # Contiguous split of row groups into num_shards runs.
     per = len(groups) / num_shards
@@ -188,7 +201,11 @@ def run_ocr_job(
     cfg = config or OcrPipelineConfig()
     if cfg.metrics_name is None:
         cfg = replace(cfg, metrics_name=DEFAULT_METRICS_NAME)
-    validate_schema(pq.ParquetFile(spans_path).schema_arrow, SPANS_SCHEMA, "spans")
+    validate_schema(
+        pq.ParquetFile(_spans_files(spans_path)[0]).schema_arrow,
+        SPANS_SCHEMA,
+        "spans",
+    )
     manifest = Manifest(out_root)
     committed = manifest.committed()
     shards = plan_shards(spans_path, num_shards)
