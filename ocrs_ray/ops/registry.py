@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import analytics, dedup, relational, sampling, similarity, sketch, text
+from . import analytics, dedup, relational, sampling, similarity, sketch, text, tpch
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -139,6 +139,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,
+        # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q7_nation_volume": tpch.q7_nation_volume,
+        "q10_returned_customers": tpch.q10_returned_customers,
+        "q12_priority_linestatus": tpch.q12_priority_linestatus,
+        "q14_promo_revenue": tpch.q14_promo_revenue,
+        "q16_supplier_part_counts": tpch.q16_supplier_part_counts,
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "q22_idle_balance_customers": tpch.q22_idle_balance_customers,
     }
 
 
@@ -808,4 +817,102 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "q6_forecast_revenue": (
+            "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * l_discount "
+            "* 1000000) AS BIGINT)), 0) AS BIGINT) AS revenue_micro, "
+            "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= CAST(0.05 AS DOUBLE) "
+            "AND l_discount <= CAST(0.07 AS DOUBLE) "
+            "AND l_quantity < 24"
+        ),
+        "q7_nation_volume": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) "
+            "* 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7') "
+            "OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q10_returned_customers": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) "
+            "* 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
+            "GROUP BY 1) "
+            "SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_micro "
+            "FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "ORDER BY r.revenue_micro DESC, c.c_custkey LIMIT 20"
+        ),
+        "q12_priority_linestatus": (
+            "SELECT l.l_linestatus, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
+        "q14_promo_revenue": (
+            "WITH j AS (SELECT CAST(round(l.l_extendedprice "
+            "* (1 - l.l_discount) * 1000000) AS BIGINT) AS rev, p.p_type "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-10-01') "
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
+            "AS BIGINT) AS promo_revenue_micro, "
+            "CAST(sum(rev) AS BIGINT) AS total_revenue_micro, "
+            "CAST((1000000::HUGEINT * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN rev ELSE 0 END)) // sum(rev) AS BIGINT) AS promo_ppm "
+            "FROM j"
+        ),
+        "q16_supplier_part_counts": (
+            "SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_brand <> 'Brand#15' AND l.l_suppkey % 4 <> 0 "
+            "GROUP BY 1, 2"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice "
+            "* (1 - l.l_discount) * 1000000) AS BIGINT)), 0) AS BIGINT) "
+            "AS revenue_micro, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+            "AND l.l_quantity BETWEEN 1 AND 11) "
+            "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+            "AND l.l_quantity BETWEEN 10 AND 20) "
+            "OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15 "
+            "AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q22_idle_balance_customers": (
+            "WITH s AS (SELECT sum(cents) AS sum_cents, count(*) AS n_pos "
+            "FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer) WHERE cents > 0) "
+            "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs, "
+            "CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS acctbal_cents_total "
+            "FROM customer c, s "
+            "WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n_pos "
+            "> s.sum_cents "
+            "AND c.c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1"
+        ),
     }

@@ -1,0 +1,833 @@
+"""TPC-H-shaped relational operators (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22
+analogues over the sandbox's TPC-H-lite tables).
+
+Each op demonstrates one distinct physical shape at 100 TB scale:
+
+- Q6  — scan-filter-aggregate with the predicate pushed INTO the
+  parquet read (row-group pruning; no row that fails the filter ever
+  leaves storage).
+- Q7  — big x big orderkey join where BOTH sides are pre-filtered
+  through broadcast dimension lookups and the fact side is
+  pre-aggregated per join key before the shuffle.
+- Q10 — join + unbounded-key groupby + distributed top-k (per-block
+  top-k, single-block final merge — never a global sort).
+- Q12 — big x big join feeding a conditional (CASE WHEN) aggregate
+  over a bounded key space (tree-reduced, no hash shuffle).
+- Q14 — broadcast dim probe + ratio of conditional sums, carried as
+  arbitrary-precision integer parts-per-million (float-free).
+- Q16 — COUNT(DISTINCT) per group: keyed repartition co-locates each
+  group so the distinct count is a per-block kernel; map-side
+  per-batch dedup shrinks the shuffle first.
+- Q19 — disjunction of conjunctive range predicates evaluated
+  map-side against broadcast part attributes (OR-of-ANDs never
+  becomes a join fan-out).
+- Q22 — scalar-subquery threshold (computed as one tiny distributed
+  aggregate, then closed over) + anti-join + bounded-key rollup.
+
+Reference parity note: the ocrs reference has no relational engine —
+these extend the engine's query surface for training-data pipelines
+(SURVEY.md §2.4-2.6 maps the reference's only join-like and aggregate
+shapes; everything here is target-side capability).
+
+Exactness: money is rounded half-away to integer micro-units (or
+cents) per row on BOTH the Ray and SQL sides, so sums are
+order-independent and value hashes compare bit-exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from .relational import MICRO, round_half_away, tree_sum
+
+__all__ = [
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_customers",
+    "q12_priority_linestatus",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance_customers",
+]
+
+
+def _ts(s: str):
+    return _dt.datetime.fromisoformat(s)
+
+
+def _npart() -> int:
+    from ocrs_ray.pipeline import cluster_ncpu
+
+    return max(2, min(16, cluster_ncpu()))
+
+
+def _rev_micro(batch: pd.DataFrame) -> np.ndarray:
+    return round_half_away(
+        batch["l_extendedprice"].to_numpy(dtype="float64")
+        * (1.0 - batch["l_discount"].to_numpy(dtype="float64"))
+        * MICRO
+    ).astype("int64")
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_below: float = 24.0,
+) -> rd.Dataset:
+    """TPC-H Q6: would-be revenue from small-quantity, mid-discount
+    items in one shipping year — a pure scan-filter-aggregate.
+
+    Scale shape: the WHOLE predicate is handed to `read_parquet`'s
+    `filter=`, so parquet row-group statistics prune at the storage
+    layer and non-qualifying rows never enter the object store; only
+    3 of 11 columns are read. Each batch collapses to one partial row
+    (sum, count); a single-block merge finishes — nothing shuffles.
+    """
+    import pyarrow.dataset as pads
+
+    pred = (
+        (pads.field("l_shipdate") >= _ts(date_from))
+        & (pads.field("l_shipdate") < _ts(date_to))
+        & (pads.field("l_discount") >= disc_lo)
+        & (pads.field("l_discount") <= disc_hi)
+        & (pads.field("l_quantity") < qty_below)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = round_half_away(
+            batch["l_extendedprice"].to_numpy(dtype="float64")
+            * batch["l_discount"].to_numpy(dtype="float64")
+            * MICRO
+        ).astype("int64")
+        return pd.DataFrame(
+            {"revenue_micro": [int(rev.sum())], "n_items": [len(batch)]}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_micro": [int(df["revenue_micro"].sum()) if len(df) else 0],
+                "n_items": [int(df["n_items"].sum()) if len(df) else 0],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=pred,
+    ).map_batches(partial, batch_format="pandas")
+    return ds.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> rd.Dataset:
+    """TPC-H Q7: shipping volume between two nations by year, where the
+    supplier is in one nation and the customer in the other (either
+    direction).
+
+    Scale shape: supplier and customer nation keys are broadcast dicts
+    probed map-side, so both join inputs are pre-filtered to the two
+    nations BEFORE the only shuffle (the lineitem x orders orderkey
+    hash join); lineitem additionally pre-aggregates revenue per
+    (orderkey, supplier-nation, year), so the join moves partial sums.
+    The final rollup key space is 2 x 2 x years — bounded — so it
+    tree-reduces shuffle-free.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    keys = {k for k, v in name_of.items() if v in (nation_a, nation_b)}
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_ref = ray.put(
+        dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_ref = ray.put(
+        dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    )
+
+    class LinePartial:
+        def __init__(self, ref, keep):
+            self.nat = ray.get(ref)
+            self.keep = keep
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sn = batch["l_suppkey"].map(self.nat)
+            sel = sn.isin(self.keep).to_numpy()
+            b = batch.loc[sel]
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "supp_nationkey": sn.to_numpy()[sel].astype("int64"),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy().astype("int64"),
+                    "revenue_micro": _rev_micro(b),
+                }
+            )
+            return df.groupby(
+                ["l_orderkey", "supp_nationkey", "l_year"], as_index=False
+            )["revenue_micro"].sum()
+
+    class OrdersProj:
+        def __init__(self, ref, keep):
+            self.nat = ray.get(ref)
+            self.keep = keep
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cn = batch["o_custkey"].map(self.nat)
+            sel = cn.isin(self.keep).to_numpy()
+            return pd.DataFrame(
+                {
+                    "o_orderkey": batch["o_orderkey"].to_numpy()[sel],
+                    "cust_nationkey": cn.to_numpy()[sel].astype("int64"),
+                }
+            )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(
+            (pads.field("l_shipdate") >= _ts(date_from))
+            & (pads.field("l_shipdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        LinePartial,
+        fn_constructor_args=(supp_ref, keys),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        OrdersProj,
+        fn_constructor_args=(cust_ref, keys),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    names = {k: name_of[k] for k in keys}
+
+    def rollup(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[
+            (batch["supp_nationkey"] != batch["cust_nationkey"]).to_numpy()
+        ]
+        df = pd.DataFrame(
+            {
+                "supp_nation": b["supp_nationkey"].map(names).to_numpy(),
+                "cust_nation": b["cust_nationkey"].map(names).to_numpy(),
+                "l_year": b["l_year"].to_numpy(),
+                "revenue_micro": b["revenue_micro"].to_numpy(),
+            }
+        )
+        return df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        )["revenue_micro"].sum()
+
+    partials = joined.map_batches(rollup, batch_format="pandas")
+    return tree_sum(
+        partials, ["supp_nation", "cust_nation", "l_year"], ["revenue_micro"]
+    )
+
+
+def q10_returned_customers(
+    sf_dir: str,
+    date_from: str = "1997-07-01",
+    date_to: str = "1997-10-01",
+    k: int = 20,
+) -> rd.Dataset:
+    """TPC-H Q10: top-k customers by revenue lost to returned items in
+    one quarter, decorated with the customer's nation.
+
+    Scale shape: lineitem is pre-filtered to returns at the read
+    (predicate pushdown) and pre-aggregated per orderkey before the
+    orderkey hash join against the date-windowed orders scan. Customer
+    revenue then concentrates via per-batch partials + keyed
+    repartition (custkey is unbounded — tree_sum would not hold), and
+    the top-k is per-block select followed by a single-block merge;
+    the full customer ranking is never globally sorted. Name/nation
+    decoration probes broadcast dicts (customer is a dimension here —
+    two columns — not the fact side).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "revenue_micro": _rev_micro(batch),
+            }
+        )
+        return df.groupby("l_orderkey", as_index=False)["revenue_micro"].sum()
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pads.field("l_returnflag") == "R"),
+    ).map_batches(line_partial, batch_format="pandas")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate") >= _ts(date_from))
+            & (pads.field("o_orderdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "o_custkey": b["o_custkey"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False)["revenue_micro"].sum()
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False)["revenue_micro"].sum()
+        g = g.sort_values(
+            ["revenue_micro", "o_custkey"], ascending=[False, True]
+        )
+        return g.head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # Blocks are custkey-disjoint after the keyed repartition, so
+        # this is a pure k-way merge, not a re-aggregation.
+        g = df.sort_values(
+            ["revenue_micro", "o_custkey"], ascending=[False, True]
+        )
+        return g.head(k)
+
+    top = (
+        joined.map_batches(cust_partial, batch_format="pandas")
+        .repartition(npart, keys=["o_custkey"])
+        .map_batches(merge_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pandas", batch_size=None)
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    name_ref = ray.put(
+        {
+            ck: (nm, nname[nk])
+            for ck, nm, nk in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_name").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
+            )
+        }
+    )
+
+    class Decorate:
+        def __init__(self, ref):
+            self.info = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pairs = [self.info[ck] for ck in batch["o_custkey"]]
+            return pd.DataFrame(
+                {
+                    "c_custkey": batch["o_custkey"].to_numpy().astype("int64"),
+                    "c_name": [p[0] for p in pairs],
+                    "n_name": [p[1] for p in pairs],
+                    "revenue_micro": batch["revenue_micro"].to_numpy(),
+                }
+            )
+
+    return top.map_batches(
+        Decorate, fn_constructor_args=(name_ref,), batch_format="pandas",
+        concurrency=(1, 1),
+    )
+
+
+def q12_priority_linestatus(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> rd.Dataset:
+    """TPC-H Q12-shaped conditional aggregate: for items shipped in one
+    year, per line status, how many belong to urgent/high-priority
+    orders vs everything else (the CASE WHEN two-way count).
+
+    Scale shape: the priority flag is resolved into a 0/1 int on the
+    orders side BEFORE the big x big orderkey hash join (3 columns in
+    flight, never the priority string); the post-join conditional
+    counts land on a bounded key (line status) so they tree-reduce
+    without a second shuffle.
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _ts(date_from))
+            & (pads.field("l_shipdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def orders_proj(b: pd.DataFrame) -> pd.DataFrame:
+        high = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "is_high": high.to_numpy().astype("int64"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(orders_proj, batch_format="pandas")
+
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "high_line_count": b["is_high"].to_numpy(),
+                "low_line_count": (1 - b["is_high"].to_numpy()).astype("int64"),
+            }
+        )
+        return df.groupby("l_linestatus", as_index=False).sum()
+
+    return tree_sum(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_linestatus"],
+        ["high_line_count", "low_line_count"],
+    )
+
+
+def q14_promo_revenue(
+    sf_dir: str,
+    date_from: str = "1997-09-01",
+    date_to: str = "1997-10-01",
+) -> rd.Dataset:
+    """TPC-H Q14: the share of one month's revenue that came from
+    promotional parts, as exact integer parts-per-million.
+
+    Scale shape: partkey -> is-promo is a broadcast bitmap probed
+    map-side (the part table is the small dimension); each batch emits
+    ONE two-column partial (promo, total) so the whole reduction is a
+    single-block merge — no shuffle, no floats (the ppm is bigint
+    floor division, mirroring HUGEINT division in the oracle).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_ref = ray.put(
+        {
+            k: (t == "PROMO")
+            for k, t in zip(
+                part.column("p_partkey").to_pylist(),
+                part.column("p_type").to_pylist(),
+            )
+        }
+    )
+
+    class Partial:
+        def __init__(self, ref):
+            self.is_promo = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rev = _rev_micro(batch)
+            promo = batch["l_partkey"].map(self.is_promo).to_numpy(dtype=bool)
+            return pd.DataFrame(
+                {
+                    "promo_revenue_micro": [int(rev[promo].sum())],
+                    "total_revenue_micro": [int(rev.sum())],
+                }
+            )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        promo = int(df["promo_revenue_micro"].sum()) if len(df) else 0
+        total = int(df["total_revenue_micro"].sum()) if len(df) else 0
+        # Python bigints: 1e6 * promo overflows int64, never Python int.
+        ppm = (1_000_000 * promo) // total if total else 0
+        return pd.DataFrame(
+            {
+                "promo_revenue_micro": [promo],
+                "total_revenue_micro": [total],
+                "promo_ppm": [ppm],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _ts(date_from))
+            & (pads.field("l_shipdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        Partial, fn_constructor_args=(promo_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return ds.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def q16_supplier_part_counts(
+    sf_dir: str, excluded_brand: str = "Brand#15"
+) -> rd.Dataset:
+    """TPC-H Q16-shaped COUNT(DISTINCT) per group: how many distinct
+    suppliers ship each (brand, size), excluding one brand and a
+    denylisted supplier set (stand-in for the reference query's
+    complaint-comment suppliers: every 4th suppkey).
+
+    Scale shape: brand/size come from a broadcast part dict and the
+    supplier denylist is a broadcast set, both probed map-side;
+    per-batch dedup of (brand, size, suppkey) shrinks the shuffle,
+    then ONE keyed repartition on (brand, size) co-locates each group
+    so the distinct count is an exact per-block kernel. A global
+    `unique()` or count-distinct aggregate would move the same rows
+    but lose the group alignment the per-block kernel exploits.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    attrs_ref = ray.put(
+        {
+            k: (b, s)
+            for k, b, s in zip(
+                part.column("p_partkey").to_pylist(),
+                part.column("p_brand").to_pylist(),
+                part.column("p_size").to_pylist(),
+            )
+            if b != excluded_brand
+        }
+    )
+
+    class Project:
+        def __init__(self, ref):
+            self.attrs = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pk = batch["l_partkey"].to_numpy()
+            sk = batch["l_suppkey"].to_numpy()
+            keep = np.fromiter(
+                (p in self.attrs for p in pk), dtype=bool, count=len(pk)
+            ) & (sk % 4 != 0)
+            pk, sk = pk[keep], sk[keep]
+            attrs = [self.attrs[p] for p in pk]
+            df = pd.DataFrame(
+                {
+                    "p_brand": [a[0] for a in attrs],
+                    "p_size": np.array([a[1] for a in attrs], dtype="int64"),
+                    "l_suppkey": sk.astype("int64"),
+                }
+            )
+            return df.drop_duplicates()
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates()
+            .groupby(["p_brand", "p_size"], as_index=False)["l_suppkey"]
+            .nunique()
+        )
+        return g.rename(columns={"l_suppkey": "supplier_cnt"}).astype(
+            {"supplier_cnt": "int64"}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        Project, fn_constructor_args=(attrs_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return ds.repartition(npart, keys=["p_brand", "p_size"]).map_batches(
+        count_distinct, batch_format="pandas", batch_size=None
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19: revenue from an OR of three (brand, size-range,
+    quantity-range) conjunctions — the disjunctive-predicate join.
+
+    Scale shape: part attributes are a broadcast dict, so the
+    disjunction is evaluated as three vectorized numpy masks map-side;
+    the OR never becomes a join fan-out or a UNION of three scans (one
+    pass over lineitem covers all branches). Each batch emits one
+    partial row; single-block merge, zero shuffles.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    branches = (
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#25", 1, 15, 20.0, 30.0),
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    attrs_ref = ray.put(
+        {
+            k: (b, s)
+            for k, b, s in zip(
+                part.column("p_partkey").to_pylist(),
+                part.column("p_brand").to_pylist(),
+                part.column("p_size").to_pylist(),
+            )
+        }
+    )
+
+    class Partial:
+        def __init__(self, ref):
+            self.attrs = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pk = batch["l_partkey"].to_numpy()
+            qty = batch["l_quantity"].to_numpy(dtype="float64")
+            brand = np.array([self.attrs[p][0] for p in pk])
+            size = np.array([self.attrs[p][1] for p in pk], dtype="int64")
+            keep = np.zeros(len(pk), dtype=bool)
+            for b, s_lo, s_hi, q_lo, q_hi in branches:
+                keep |= (
+                    (brand == b)
+                    & (size >= s_lo)
+                    & (size <= s_hi)
+                    & (qty >= q_lo)
+                    & (qty <= q_hi)
+                )
+            rev = _rev_micro(batch)
+            return pd.DataFrame(
+                {
+                    "revenue_micro": [int(rev[keep].sum())],
+                    "n_items": [int(keep.sum())],
+                }
+            )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_micro": [int(df["revenue_micro"].sum()) if len(df) else 0],
+                "n_items": [int(df["n_items"].sum()) if len(df) else 0],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        Partial, fn_constructor_args=(attrs_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return ds.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def q22_idle_balance_customers(
+    sf_dir: str, idle_since: str = "2000-01-01"
+) -> rd.Dataset:
+    """TPC-H Q22-shaped scalar subquery + anti-join: per market
+    segment, count and total balance of customers whose balance
+    exceeds the positive-balance average but who placed no order since
+    `idle_since` (the untapped-account report).
+
+    Scale shape: the scalar threshold is ONE tiny distributed
+    aggregate (per-batch partials, single-block merge, two ints pulled
+    to the driver — the only materialization, O(1) regardless of
+    corpus size) closed over by the second pass. The above-average
+    test is exact integer cross-multiplication (cents * n > sum_cents)
+    — no float average on either side. The no-recent-orders predicate
+    is a native left_anti hash join against the date-filtered,
+    map-side-deduped orders scan; segment totals then tree-reduce over
+    the bounded segment vocabulary.
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    def cents_of(b: pd.DataFrame) -> np.ndarray:
+        return round_half_away(
+            b["c_acctbal"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+
+    def avg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = cents_of(b)
+        pos = cents[cents > 0]
+        return pd.DataFrame(
+            {"sum_cents": [int(pos.sum())], "n_pos": [len(pos)]}
+        )
+
+    stats = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+        .map_batches(avg_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "sum_cents": [int(df["sum_cents"].sum())],
+                    "n_pos": [int(df["n_pos"].sum())],
+                }
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .take_all()[0]
+    )
+    sum_cents, n_pos = int(stats["sum_cents"]), int(stats["n_pos"])
+
+    def rich(b: pd.DataFrame) -> pd.DataFrame:
+        cents = cents_of(b)
+        # cents > sum/n, exactly, in integers.
+        keep = cents * n_pos > sum_cents
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy()[keep],
+                "c_mktsegment": b["c_mktsegment"].to_numpy()[keep],
+                "acctbal_cents": cents[keep],
+            }
+        )
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(rich, batch_format="pandas")
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= _ts(idle_since)),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"o_custkey": pd.unique(b["o_custkey"].to_numpy())}
+        ),
+        batch_format="pandas",
+    )
+
+    idle = customers.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=npart,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"].to_numpy(),
+                "n_custs": np.ones(len(b), dtype="int64"),
+                "acctbal_cents_total": b["acctbal_cents"].to_numpy(),
+            }
+        )
+        return df.groupby("c_mktsegment", as_index=False).sum()
+
+    return tree_sum(
+        idle.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        ["n_custs", "acctbal_cents_total"],
+    )
