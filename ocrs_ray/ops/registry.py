@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,
+        "docs_chunk_overlap": text.docs_chunk_overlap,
+        "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
+        "user_click_purchase_full_outer": relational.user_click_purchase_full_outer,
         # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
         "q7_nation_volume": tpch.q7_nation_volume,
@@ -817,6 +820,54 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "docs_chunk_overlap": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, "
+            "unnest(range(0, greatest(length(toks), 1), 24)) AS start "
+            "FROM t) "
+            "SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id, "
+            "CAST(start AS BIGINT) AS start_tok, "
+            "CAST(least(32, length(toks) - start) AS BIGINT) AS n_tokens, "
+            "array_to_string(list_slice(toks, start + 1, start + 32), ' ') "
+            "AS chunk_text "
+            "FROM c WHERE start < length(toks)"
+        ),
+        "docs_gopher_quality_filter": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+            "FROM documents), "
+            "m AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+            "top AS (SELECT doc_id, max(c) AS top_cnt FROM "
+            "(SELECT doc_id, tok, count(*) AS c FROM m GROUP BY 1, 2) "
+            "GROUP BY 1), "
+            "s AS (SELECT t.doc_id, length(t.toks) AS n_tok, "
+            "COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) "
+            "AS sum_len, COALESCE(top.top_cnt, 0) AS top_cnt, "
+            f"length(list_filter(t.toks, x -> x IN ({_STOP_LIST}))) AS stop_cnt "
+            "FROM t LEFT JOIN top ON t.doc_id = top.doc_id) "
+            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CAST((1000 * sum_len) // greatest(n_tok, 1) AS BIGINT) "
+            "AS mean_len_milli, "
+            "CAST((1000000 * top_cnt) // greatest(n_tok, 1) AS BIGINT) "
+            "AS top_tok_ppm, "
+            "CAST((1000000 * stop_cnt) // greatest(n_tok, 1) AS BIGINT) "
+            "AS stop_ppm, "
+            "CAST(CASE WHEN n_tok >= 20 AND n_tok <= 100000 "
+            "AND (1000 * sum_len) // greatest(n_tok, 1) BETWEEN 3000 AND 10000 "
+            "AND (1000000 * top_cnt) // greatest(n_tok, 1) <= 200000 "
+            "AND (1000000 * stop_cnt) // greatest(n_tok, 1) >= 10000 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS kept FROM s"
+        ),
+        "user_click_purchase_full_outer": (
+            "WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events "
+            "WHERE event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT user_id, count(*) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+            "CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks, "
+            "CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases "
+            "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+        ),
         "q6_forecast_revenue": (
             "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * l_discount "
             "* 1000000) AS BIGINT)), 0) AS BIGINT) AS revenue_micro, "

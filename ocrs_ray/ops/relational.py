@@ -50,6 +50,7 @@ __all__ = [
     "supplier_acctbal_rank",
     "orders_monthly_revenue_delta",
     "events_value_mad",
+    "user_click_purchase_full_outer",
     "round_half_away",
 ]
 
@@ -2127,3 +2128,77 @@ def events_value_mad(sf_dir: str, partitions: int = 8) -> rd.Dataset:
         return out[["event_type", "median_micro", "mad_micro", "n_events"]]
 
     return mads.map_batches(attach_median, batch_format="pandas", batch_size=None)
+
+
+def user_click_purchase_full_outer(sf_dir: str) -> rd.Dataset:
+    """Per-user click vs purchase counts via a native FULL OUTER hash
+    join — the join-type completing the engine's set (inner,
+    left/right outer via Q13 arithmetic, semi, anti are elsewhere):
+    users appearing on only one side survive with a zero-filled other
+    side.
+
+    Scale shape: each side collapses to exact per-user counts BEFORE
+    the join (per-batch partials + keyed repartition + per-block
+    merge — user_id is unbounded so tree_sum would not hold), so the
+    full-outer shuffle moves one row per user per side, never raw
+    events. Ray's full_outer coalesces the key itself (left name, no
+    nulls) and emits NaN for the absent side's payload; the post-join
+    projection restores int64 zeros.
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def side(event_type: str, out_col: str) -> rd.Dataset:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    out_col: np.ones(len(b), dtype="int64"),
+                }
+            )
+            return df.groupby("user_id", as_index=False)[out_col].sum()
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("user_id", as_index=False)[out_col].sum()
+
+        return (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_type"],
+                filter=(pads.field("event_type") == event_type),
+            )
+            .map_batches(partial, batch_format="pandas")
+            .repartition(npart, keys=["user_id"])
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+        )
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    # Rename the right key so the coalesce survives Ray's left-name
+    # collapsing on same-named keys.
+    purchases = purchases.map_batches(
+        lambda b: b.rename(columns={"user_id": "p_user_id"}),
+        batch_format="pandas",
+    )
+    joined = clicks.join(
+        purchases,
+        join_type="full_outer",
+        num_partitions=npart,
+        on=("user_id",),
+        right_on=("p_user_id",),
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(dtype="int64"),
+                "n_clicks": b["n_clicks"].fillna(0).to_numpy(dtype="int64"),
+                "n_purchases": b["n_purchases"].fillna(0).to_numpy(dtype="int64"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")

@@ -25,6 +25,8 @@ __all__ = [
     "content_hash",
     "winnow_fingerprints",
     "docs_repetition_stats",
+    "docs_chunk_overlap",
+    "docs_gopher_quality_filter",
     "WS_TOKEN_RE",
     "WORD_TOKEN_RE",
     "STOPWORDS",
@@ -254,4 +256,119 @@ def docs_repetition_stats(sf_dir: str, shingle_size: int = 3) -> rd.Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pandas"
+    )
+
+
+def docs_chunk_overlap(sf_dir: str, size: int = 32, stride: int = 24) -> rd.Dataset:
+    """Sliding-window token chunking with overlap — the doc -> training
+    chunk explode (1 row in, ceil(ntok/stride) rows out), the standard
+    context-window preparation step (chunks overlap by size - stride
+    tokens so no boundary context is lost).
+
+    Scale shape: a pure stateless flat map — each batch fans out
+    independently, output never re-shuffles, and chunk ids are a pure
+    function of (doc_id, start offset) so the op is retry-safe and
+    order-free. Chunk text is re-joined from the SAME whitespace
+    tokenization the oracle slices (`\\S+`), making the explode
+    value-exact, not just count-exact.
+    """
+    ws = re.compile(WS_TOKEN_RE)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        chunk_ids: list[int] = []
+        starts: list[int] = []
+        lens: list[int] = []
+        texts: list[str] = []
+        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            toks = ws.findall(text or "")
+            n = len(toks)
+            for ci, start in enumerate(range(0, max(n, 1), stride)):
+                if start >= n:
+                    break
+                piece = toks[start : start + size]
+                doc_ids.append(int(did))
+                chunk_ids.append(ci)
+                starts.append(start)
+                lens.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                "start_tok": pd.Series(starts, dtype="int64"),
+                "n_tokens": pd.Series(lens, dtype="int64"),
+                "chunk_text": texts,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+
+def docs_gopher_quality_filter(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    mean_len_lo_milli: int = 3_000,
+    mean_len_hi_milli: int = 10_000,
+    top_tok_max_ppm: int = 200_000,
+    stop_min_ppm: int = 10_000,
+) -> rd.Dataset:
+    """Gopher-style composite quality gate (Rae et al. 2021, "Scaling
+    Language Models", public repetition/length rules adapted to the
+    corpus): token-count band, mean word length band, most-frequent-
+    token share cap (the repetition signal), and minimum stopword
+    share.
+
+    All four signals are carried as exact integers (floor-division
+    milli / ppm units on BOTH sides), so `kept` is bit-identical to
+    the SQL oracle — no float-threshold boundary cases. Stateless
+    per-batch map; the per-doc mode count is a numpy unique on the
+    doc-offset-prefixed token array, never a Python loop per token.
+    """
+    ws = re.compile(WS_TOKEN_RE)
+    stopset = frozenset(STOPWORDS)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        n_tok = np.zeros(n, dtype="int64")
+        sum_len = np.zeros(n, dtype="int64")
+        top_cnt = np.zeros(n, dtype="int64")
+        stop_cnt = np.zeros(n, dtype="int64")
+        for i, text in enumerate(batch["text"]):
+            toks = ws.findall(text or "")
+            n_tok[i] = len(toks)
+            if not toks:
+                continue
+            sum_len[i] = sum(len(t) for t in toks)
+            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            top_cnt[i] = int(counts.max())
+            stop_cnt[i] = sum(1 for t in toks if t in stopset)
+        safe = np.maximum(n_tok, 1)
+        mean_milli = (1_000 * sum_len) // safe
+        top_ppm = (1_000_000 * top_cnt) // safe
+        stop_ppm = (1_000_000 * stop_cnt) // safe
+        kept = (
+            (n_tok >= min_tokens)
+            & (n_tok <= max_tokens)
+            & (mean_milli >= mean_len_lo_milli)
+            & (mean_milli <= mean_len_hi_milli)
+            & (top_ppm <= top_tok_max_ppm)
+            & (stop_ppm >= stop_min_ppm)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": n_tok,
+                "mean_len_milli": mean_milli,
+                "top_tok_ppm": top_ppm,
+                "stop_ppm": stop_ppm,
+                "kept": kept.astype("int64"),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
     )
