@@ -1366,3 +1366,106 @@ def events_user_unpivot(sf_dir: str) -> rd.Dataset:
     return events_user_pivot(sf_dir).map_batches(
         melt, batch_format="pandas", batch_size=None
     )
+
+
+def events_user_cumulative_distinct(sf_dir: str) -> rd.Dataset:
+    """Running COUNT(DISTINCT event_type) per user in event-time order
+    — the dedup-within-window shape SQL cannot express as a plain
+    `COUNT(DISTINCT) OVER (ORDER BY ...)`: the oracle (and this op)
+    decomposes it into a first-occurrence flag + running sum.
+
+    Scale shape: one user_id hash shuffle co-locates each user's
+    history; per block everything is vectorized pandas — stable sort
+    on (user, ts, event_id), `duplicated()` for the first-seen flag,
+    grouped cumsum. No state crosses blocks because the partitioning
+    key IS the window key.
+    """
+    from .relational import _partition_by_user
+
+    def cume(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_distinct_so_far": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        first = (~df.duplicated(["user_id", "event_type"])).astype("int64")
+        run = first.groupby(df["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype("int64"),
+                "user_id": df["user_id"].to_numpy().astype("int64"),
+                "n_distinct_so_far": run.to_numpy(),
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        cume, batch_format="pandas", batch_size=None
+    )
+
+
+def events_value_cume_dist(sf_dir: str, partitions: int = 8) -> rd.Dataset:
+    """Exact CUME_DIST within event type, carried as an integer
+    fraction (n_le / n_total) instead of a float quotient — ties on
+    the micro-unit value count fully on both sides, and no division
+    happens until a consumer wants the ratio.
+
+    Scale shape: one keyed repartition on the bounded event_type key
+    co-locates each distribution; per block a single sort +
+    `searchsorted(side="right")` gives every row's
+    count-of-peers-at-or-below in O(n log n) — no per-row window scan,
+    no global sort.
+    """
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+
+    def micro(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "value_micro": round_half_away(
+                    b["value"].to_numpy(dtype="float64") * MICRO
+                ).astype("int64"),
+            }
+        )
+
+    def cume(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="str"),
+                    "value_micro": pd.Series([], dtype="int64"),
+                    "n_le": pd.Series([], dtype="int64"),
+                    "n_total": pd.Series([], dtype="int64"),
+                }
+            )
+        parts = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value_micro"].to_numpy()
+            sv = np.sort(v)
+            n_le = np.searchsorted(sv, v, side="right").astype("int64")
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "event_type": et,
+                        "value_micro": v,
+                        "n_le": n_le,
+                        "n_total": np.int64(len(v)),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(micro, batch_format="pandas")
+    return ds.repartition(partitions, keys=["event_type"]).map_batches(
+        cume, batch_format="pandas", batch_size=None
+    )

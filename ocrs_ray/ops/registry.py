@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import analytics, dedup, relational, sampling, similarity, sketch, text, tpch
+from . import analytics, dedup, relational, sampling, similarity, sketch, sources, text, tpch
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,
         "docs_chunk_overlap": text.docs_chunk_overlap,
+        "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
+        "events_value_cume_dist": analytics.events_value_cume_dist,
+        "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
         "user_click_purchase_full_outer": relational.user_click_purchase_full_outer,
         # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
@@ -820,6 +823,29 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "events_user_cumulative_distinct": (
+            "WITH f AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen "
+            "FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(sum(first_seen) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS n_distinct_so_far FROM f"
+        ),
+        "events_value_cume_dist": (
+            "SELECT event_id, event_type, "
+            "CAST(round(value * 1000000) AS BIGINT) AS value_micro, "
+            "CAST(count(*) OVER (PARTITION BY event_type "
+            "ORDER BY CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS n_le, "
+            "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) "
+            "AS n_total FROM events"
+        ),
+        "docs_partitioned_sink_roundtrip": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
         "docs_chunk_overlap": (
             r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
             "FROM documents), "

@@ -53,3 +53,39 @@ def test_csv_roundtrip(ray_session, docs_df, tmp_path):
 
     docs_df.to_csv(tmp_path / "docs.csv", index=False, quoting=csv.QUOTE_MINIMAL)
     _check(documents_from_csv(str(tmp_path / "docs.csv")), docs_df)
+
+
+def test_jsonl_gz_roundtrip(ray_session, docs_df, tmp_path):
+    import gzip
+
+    from ocrs_ray.ops.sources import documents_from_jsonl_gz
+
+    # Two gzip shards: proves per-file decompression inside read tasks
+    # and multi-shard merge.
+    half = len(docs_df) // 2
+    for i, part in enumerate([docs_df.iloc[:half], docs_df.iloc[half:]]):
+        with gzip.open(tmp_path / f"docs_{i}.jsonl.gz", "wt") as f:
+            for rec in part.to_dict("records"):
+                f.write(json.dumps(rec) + "\n")
+    _check(documents_from_jsonl_gz(str(tmp_path)), docs_df)
+
+
+def test_partitioned_sink_layout(ray_session, tmp_path):
+    """The sink writes one `source=<v>` directory per key and the
+    round-tripped rows reconstruct the partition column."""
+    import os
+
+    import ray.data as rd
+
+    from ocrs_ray.ops.sources import write_documents_partitioned
+
+    df = pd.DataFrame(
+        {"doc_id": range(6), "source": ["a", "a", "b", "b", "b", "c"]}
+    )
+    write_documents_partitioned(rd.from_pandas(df), str(tmp_path / "out"))
+    dirs = sorted(os.listdir(tmp_path / "out"))
+    assert dirs == ["source=a", "source=b", "source=c"]
+    back = rd.read_parquet(str(tmp_path / "out")).to_pandas()
+    got = back.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source"]]
+    got["doc_id"] = got["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
