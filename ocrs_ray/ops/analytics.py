@@ -27,6 +27,7 @@ import ray.data as rd
 from .relational import MICRO, round_half_away, tree_sum
 
 __all__ = [
+    "events_props_json_rollup",
     "vocab_top_terms",
     "tfidf_top_terms",
     "lm_quality_score",
@@ -1468,4 +1469,53 @@ def events_value_cume_dist(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     ).map_batches(micro, batch_format="pandas")
     return ds.repartition(partitions, keys=["event_type"]).map_batches(
         cume, batch_format="pandas", batch_size=None
+    )
+
+
+def events_props_json_rollup(sf_dir: str) -> rd.Dataset:
+    """Semi-structured payload handling: extract the integer `k` from
+    the JSON `props` column and roll up (n, sum, min, max) per event
+    type — the "parse the JSON sidecar once, map-side, then aggregate"
+    shape (the parse never survives the shuffle, only four ints per
+    key per batch do).
+
+    Extraction is a vectorized regex for the corpus's flat
+    single-key objects (`{"k": <int>}`); a general nested payload
+    would swap in pyarrow's JSON kernels — the aggregation shape is
+    unchanged. Bounded event-type key space -> per-batch partials,
+    fan-in merge, single-block final (the min/max need an order-aware
+    merge, so this is the mixed-agg variant of tree_sum).
+    """
+    key_re = r'"k"\s*:\s*(-?\d+)'
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(key_re, expand=False).astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n_events": np.ones(len(b), dtype="int64"),
+                "sum_k": k.to_numpy(),
+                "min_k": k.to_numpy(),
+                "max_k": k.to_numpy(),
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            {"n_events": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby("event_type", as_index=False).agg(
+            {"n_events": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    ).map_batches(partial, batch_format="pandas")
+    merged = ds.repartition(8).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+    return merged.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
     )

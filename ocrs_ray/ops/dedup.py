@@ -15,6 +15,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -27,6 +28,7 @@ import ray.data as rd
 from .text import read_documents
 
 __all__ = [
+    "dedup_normalized",
     "dedup_exact",
     "dedup_survivors",
     "streaming_dedup_filter",
@@ -837,4 +839,54 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
         .repartition(npart, keys=["name_a", "name_b"])
         .map_batches(verify, batch_format="pandas", batch_size=None)
+    )
+
+
+def dedup_normalized(sf_dir: str) -> rd.Dataset:
+    """Exact dedup under text NORMALIZATION (collapse whitespace runs,
+    trim, lowercase) — catches re-wrapped / re-cased copies that raw
+    md5 misses, the standard first-tier key for web-corpus dedup
+    before any near-dup sketching.
+
+    Same physical shape as `dedup_exact` (per-batch pre-dedupe, keyed
+    repartition on the hash, per-block min); only the key derivation
+    differs, and it is pinned to the oracle's exact operation order:
+    lower(trim(regexp_replace(text, '\\s+', ' '))). ASCII-equivalent
+    `\\s` classes on both sides (python re and RE2).
+    """
+    ws_run = re.compile(r"\s+")
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = [
+            ws_run.sub(" ", t).strip().lower() for t in batch["text"]
+        ]
+        out = pd.DataFrame(
+            {
+                "norm_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+                ],
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+        return out.groupby("norm_md5", as_index=False)["doc_id"].min()
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "norm_md5": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.groupby("norm_md5", as_index=False)["doc_id"].min()
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+    ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pandas"
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["norm_md5"]).map_batches(
+        block_min, batch_format="pandas", batch_size=None
     )

@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tdigest": sketch.events_value_tdigest,
         "active_customers_bloom": sketch.active_customers_bloom,
         "docs_chunk_overlap": text.docs_chunk_overlap,
+        "dedup_normalized": dedup.dedup_normalized,
+        "events_props_json_rollup": analytics.events_props_json_rollup,
         "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
@@ -823,6 +825,20 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "dedup_normalized": (
+            r"SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) "
+            "AS norm_md5, CAST(min(doc_id) AS BIGINT) AS doc_id "
+            "FROM documents GROUP BY 1"
+        ),
+        "events_props_json_rollup": (
+            "WITH k AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k "
+            "FROM k GROUP BY 1"
+        ),
         "events_user_cumulative_distinct": (
             "WITH f AS (SELECT event_id, user_id, ts, "
             "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type "
