@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers_bloom": sketch.active_customers_bloom,
         "docs_chunk_overlap": text.docs_chunk_overlap,
         "dedup_normalized": dedup.dedup_normalized,
+        "supplier_acctbal_dense_rank": relational.supplier_acctbal_dense_rank,
+        "docs_embed_hashing": similarity.docs_embed_hashing,
         "events_props_json_rollup": analytics.events_props_json_rollup,
         "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
         "events_value_cume_dist": analytics.events_value_cume_dist,
@@ -825,6 +827,16 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "supplier_acctbal_dense_rank": (
+            "SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "CAST(dense_rank() OVER (PARTITION BY s_nationkey "
+            "ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC) AS BIGINT) "
+            "AS bal_dense_rank FROM supplier"
+        ),
+        # docs_embed_hashing is a float-vector inference stage
+        # (rows-only; determinism + unit norm + exact kernel values
+        # pinned in tests/test_ops.py).
         "dedup_normalized": (
             r"SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) "
             "AS norm_md5, CAST(min(doc_id) AS BIGINT) AS doc_id "

@@ -51,6 +51,7 @@ __all__ = [
     "orders_monthly_revenue_delta",
     "events_value_mad",
     "user_click_purchase_full_outer",
+    "supplier_acctbal_dense_rank",
     "round_half_away",
 ]
 
@@ -2202,3 +2203,55 @@ def user_click_purchase_full_outer(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(project, batch_format="pandas")
+
+
+def supplier_acctbal_dense_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK() within nation by account balance — the no-gap
+    companion to `supplier_acctbal_rank` (ties share a rank AND the
+    next distinct value takes rank+1), completing the ranking-window
+    family (row_number / rank / dense_rank / ntile / cume_dist).
+
+    Same physical shape as the gap-rank op: one nationkey keyed
+    repartition, vectorized per-block pandas `rank(method="dense")`
+    over integer cents.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": batch["s_suppkey"].to_numpy(),
+                "s_nationkey": batch["s_nationkey"].to_numpy(),
+                "acctbal_cents": round_half_away(
+                    batch["s_acctbal"].to_numpy(dtype="float64") * 100.0
+                ).astype("int64"),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "s_suppkey": pd.Series([], dtype="int64"),
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "acctbal_cents": pd.Series([], dtype="int64"),
+                    "bal_dense_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        r = (
+            df.groupby("s_nationkey")["acctbal_cents"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return df.assign(bal_dense_rank=r.to_numpy())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).map_batches(to_cents, batch_format="pandas")
+    return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
+        rank, batch_format="pandas", batch_size=None
+    )

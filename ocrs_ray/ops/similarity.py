@@ -22,6 +22,8 @@ import ray
 import ray.data as rd
 
 __all__ = [
+    "HashingEmbedder",
+    "docs_embed_hashing",
     "load_embedding_matrix",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -667,3 +669,72 @@ def ann_topk_int8(
         concurrency=(1, 2),
     )
     return _finalize_topk(local, k)
+
+
+class HashingEmbedder:
+    """Deterministic hashing-trick text embedder (Weinberger et al.
+    2009, feature hashing): token -> md5-derived bucket and sign,
+    accumulate counts, L2-normalize. Stands in for a real encoder with
+    the SAME Ray-side contract — stateful setup (compiled tokenizer +
+    a token->(bucket, sign) cache that warms across batches, the
+    "model weights" of this fake) once per actor in `__init__`, pure
+    batched compute in `__call__`.
+    """
+
+    def __init__(self, dim: int = 64):
+        import hashlib
+        import re as _re
+
+        self.dim = dim
+        self._md5 = hashlib.md5
+        self._ws = _re.compile(r"\S+")
+        self._cache: dict[str, tuple[int, float]] = {}
+
+    def _slot(self, tok: str) -> tuple[int, float]:
+        hit = self._cache.get(tok)
+        if hit is None:
+            h = int.from_bytes(self._md5(tok.encode("utf-8")).digest()[:8], "little")
+            hit = (h % self.dim, 1.0 if (h >> 62) & 1 == 0 else -1.0)
+            self._cache[tok] = hit
+        return hit
+
+    def embed_one(self, text: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype="float64")
+        for tok in self._ws.findall(text or ""):
+            b, s = self._slot(tok)
+            v[b] += s
+        n = float(np.linalg.norm(v))
+        return (v / n if n > 0 else v).astype("float32")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "embedding": [self.embed_one(t) for t in batch["text"]],
+            }
+        )
+
+
+def docs_embed_hashing(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """Batched text "model" inference over documents: the hashing-trick
+    embedder as a stateful actor pool — the plumbing (actor `__init__`
+    state, per-batch vector output as a list<float> column, pool
+    sizing) is exactly what a real transformer encoder stage uses; only
+    the arithmetic inside `embed_one` is a deterministic fake (no
+    model weights exist in this container).
+
+    Rows-only for the driver (embeddings are float vectors);
+    determinism + unit-norm + exact kernel values pinned in
+    tests/test_ops.py without Ray.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu
+
+    pool = max(1, min(4, cluster_ncpu() - 2))
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas",
+        concurrency=(1, pool),
+    )

@@ -623,3 +623,35 @@ def test_ann_int8_recall(ray_session):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.9, hits / total
+
+
+def test_hashing_embedder_kernel():
+    """No-Ray kernel pin: deterministic, unit-norm, exact values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ocrs_ray.ops.similarity import HashingEmbedder
+
+    emb = HashingEmbedder(dim=8)
+    # Hand-computed reference for one document.
+    text = "a b a"
+    ref = np.zeros(8)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        ref[h % 8] += 1.0 if (h >> 62) & 1 == 0 else -1.0
+    ref = ref / np.linalg.norm(ref)
+    got = emb.embed_one(text)
+    np.testing.assert_allclose(got, ref.astype("float32"), rtol=0, atol=0)
+    # Determinism across instances (fresh cache) and unit norm.
+    got2 = HashingEmbedder(dim=8).embed_one(text)
+    np.testing.assert_array_equal(got, got2)
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-6
+    # Empty text -> zero vector, no NaN.
+    assert not np.isnan(emb.embed_one("")).any()
+    assert float(np.linalg.norm(emb.embed_one(""))) == 0.0
+    # Batch path shape.
+    out = emb(pd.DataFrame({"doc_id": [1, 2], "text": ["a b", ""]}))
+    assert list(out.columns) == ["doc_id", "embedding"]
+    assert len(out["embedding"][0]) == 8
