@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_overlap": text.docs_chunk_overlap,
         "dedup_normalized": dedup.dedup_normalized,
         "supplier_acctbal_dense_rank": relational.supplier_acctbal_dense_rank,
+        "lineitem_cube": relational.lineitem_cube,
+        "events_type_markov_transitions": relational.events_type_markov_transitions,
         "docs_embed_hashing": similarity.docs_embed_hashing,
         "events_props_json_rollup": analytics.events_props_json_rollup,
         "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
@@ -827,6 +829,20 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "events_type_markov_transitions": (
+            "WITH s AS (SELECT event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type FROM events) "
+            "SELECT prev_type, event_type AS next_type, "
+            "CAST(count(*) AS BIGINT) AS n_transitions FROM s "
+            "WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+        ),
         "supplier_acctbal_dense_rank": (
             "SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, "

@@ -52,6 +52,8 @@ __all__ = [
     "events_value_mad",
     "user_click_purchase_full_outer",
     "supplier_acctbal_dense_rank",
+    "lineitem_cube",
+    "events_type_markov_transitions",
     "round_half_away",
 ]
 
@@ -2255,3 +2257,95 @@ def supplier_acctbal_dense_rank(sf_dir: str) -> rd.Dataset:
     return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
         rank, batch_format="pandas", batch_size=None
     )
+
+
+def lineitem_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets
+    — finest, per-flag, per-status, grand total — NULL-marked like
+    SQL. Completes the grouping-set family next to `lineitem_rollup`
+    (ROLLUP emits the prefix sets only; CUBE adds the per-status
+    marginal).
+
+    Same scale shape as the rollup: ONE data pass builds the finest
+    bounded-key aggregate shuffle-free (tree reduce); every coarser
+    set is derived from those few rows in the final single block, so
+    the marginal cost of CUBE over ROLLUP at 100 TB is zero extra
+    scans.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["l_quantity"].astype("int64"),
+                "n_rows": np.ones(len(batch), dtype="int64"),
+            }
+        )
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        vals = ["sum_qty", "n_rows"]
+        by_flag = df.groupby("l_returnflag", as_index=False)[vals].sum()
+        by_flag["l_linestatus"] = None
+        by_status = df.groupby("l_linestatus", as_index=False)[vals].sum()
+        by_status["l_returnflag"] = None
+        total = df[vals].sum().to_frame().T
+        total["l_returnflag"] = None
+        total["l_linestatus"] = None
+        cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+        out = pd.concat(
+            [df[cols], by_flag[cols], by_status[cols], total[cols]],
+            ignore_index=True,
+        )
+        return out.astype({"sum_qty": "int64", "n_rows": "int64"})
+
+    finest = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(partial, batch_format="pandas")
+    merged = tree_sum(finest, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"])
+    return merged.map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+def events_type_markov_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition counts over each user's ordered
+    event stream (prev type -> next type) — the sequence-model
+    estimation step (session behavior modeling, next-event
+    prediction).
+
+    Scale shape: one user_id hash shuffle co-locates each user's
+    history; per block the transition pairs fall out of a stable sort
+    + shift (no per-event loop); the (prev, next) key space is the
+    square of the bounded type vocabulary, so the counts tree-reduce
+    with no second shuffle.
+    """
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype="object"),
+                    "next_type": pd.Series([], dtype="object"),
+                    "n_transitions": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        prev = df["event_type"].shift()
+        out = pd.DataFrame(
+            {
+                "prev_type": prev.to_numpy()[same_user],
+                "next_type": df["event_type"].to_numpy()[same_user],
+                "n_transitions": np.ones(int(same_user.sum()), dtype="int64"),
+            }
+        )
+        return out.groupby(
+            ["prev_type", "next_type"], as_index=False
+        )["n_transitions"].sum()
+
+    partials = _partition_by_user(sf_dir).map_batches(
+        transitions, batch_format="pandas", batch_size=None
+    )
+    return tree_sum(partials, ["prev_type", "next_type"], ["n_transitions"])
