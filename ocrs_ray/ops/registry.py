@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts": tpch.q16_supplier_part_counts,
         "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "q22_idle_balance_customers": tpch.q22_idle_balance_customers,
+        "q21_sole_returned_supplier": tpch.q21_sole_returned_supplier,
     }
 
 
@@ -1021,6 +1022,18 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_quantity BETWEEN 10 AND 20) "
             "OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15 "
             "AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q21_sole_returned_supplier": (
+            "WITH ls AS (SELECT l_orderkey, l_suppkey, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret "
+            "FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret "
+            "FROM ls GROUP BY 1) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM ls JOIN o ON ls.l_orderkey = o.l_orderkey "
+            "JOIN supplier s ON ls.l_suppkey = s.s_suppkey "
+            "WHERE ls.ret = 1 AND o.n_supp >= 2 AND o.n_ret = 1 "
+            "GROUP BY 1"
         ),
         "q22_idle_balance_customers": (
             "WITH s AS (SELECT sum(cents) AS sum_cents, count(*) AS n_pos "

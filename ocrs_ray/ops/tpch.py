@@ -54,6 +54,7 @@ __all__ = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q22_idle_balance_customers",
+    "q21_sole_returned_supplier",
 ]
 
 
@@ -830,4 +831,103 @@ def q22_idle_balance_customers(
         idle.map_batches(partial, batch_format="pandas"),
         ["c_mktsegment"],
         ["n_custs", "acctbal_cents_total"],
+    )
+
+
+def q21_sole_returned_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS: per
+    supplier, how many multi-supplier orders exist where THIS supplier
+    had a returned item and NO OTHER supplier did (the
+    sole-responsible-supplier report — the hardest classic shape:
+    two correlated subqueries against the same fact table).
+
+    Scale shape: the correlated pair never becomes two extra joins —
+    lineitem collapses map-side to one (orderkey, suppkey,
+    had-return) row per pair, ONE orderkey-keyed repartition
+    co-locates each order's supplier set, and the EXISTS / NOT EXISTS
+    pair becomes a vectorized per-order (n_suppliers, n_returned)
+    test inside the block. Per-supplier counts then concentrate via a
+    second keyed repartition (suppliers grow with corpus scale — not
+    tree-reducible); the name decoration is a broadcast dict probe.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "ret": (b["l_returnflag"].to_numpy() == "R").astype("int64"),
+            }
+        )
+        return df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["ret"].max()
+
+    def order_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "numwait": pd.Series([], dtype="int64"),
+                }
+            )
+        pairs = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["ret"].max()
+        per_order = pairs.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_ret=("ret", "sum")
+        )
+        ok = per_order[(per_order["n_supp"] >= 2) & (per_order["n_ret"] == 1)]
+        hit = pairs[
+            (pairs["ret"] == 1) & pairs["l_orderkey"].isin(ok.index).to_numpy()
+        ]
+        g = hit.groupby("l_suppkey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "l_suppkey": g["l_suppkey"].to_numpy(),
+                "numwait": g["size"].to_numpy().astype("int64"),
+            }
+        )
+
+    def supp_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby("l_suppkey", as_index=False)["numwait"].sum()
+
+    counts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+        )
+        .map_batches(pair_partial, batch_format="pandas")
+        .repartition(npart, keys=["l_orderkey"])
+        .map_batches(order_filter, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["l_suppkey"])
+        .map_batches(supp_merge, batch_format="pandas", batch_size=None)
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    name_ref = ray.put(
+        dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_name").to_pylist()))
+    )
+
+    class Decorate:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "s_name": b["l_suppkey"].map(self.names).to_numpy(),
+                    "numwait": b["numwait"].to_numpy(),
+                }
+            )
+
+    return counts.map_batches(
+        Decorate, fn_constructor_args=(name_ref,), batch_format="pandas",
+        concurrency=(1, 1),
     )
