@@ -1,4 +1,4 @@
-"""TPC-H-shaped relational operators (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22
+"""TPC-H-shaped relational operators (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q21/Q22
 analogues over the sandbox's TPC-H-lite tables).
 
 Each op demonstrates one distinct physical shape at 100 TB scale:
@@ -21,6 +21,9 @@ Each op demonstrates one distinct physical shape at 100 TB scale:
 - Q19 — disjunction of conjunctive range predicates evaluated
   map-side against broadcast part attributes (OR-of-ANDs never
   becomes a join fan-out).
+- Q21 — double-correlated EXISTS / NOT EXISTS: one orderkey
+  co-location turns both correlated subqueries into a vectorized
+  per-order (n_suppliers, n_returned) test.
 - Q22 — scalar-subquery threshold (computed as one tiny distributed
   aggregate, then closed over) + anti-join + bounded-key rollup.
 
@@ -291,8 +294,10 @@ def q10_returned_customers(
     repartition (custkey is unbounded — tree_sum would not hold), and
     the top-k is per-block select followed by a single-block merge;
     the full customer ranking is never globally sorted. Name/nation
-    decoration probes broadcast dicts (customer is a dimension here —
-    two columns — not the fact side).
+    decoration happens AFTER the top-k: only the k winners' customer
+    rows are fetched (an `IN`-filter pushdown on the dimension scan),
+    so no customer-sized structure is ever built — the dimension read
+    is O(k), not O(|customer|).
     """
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
@@ -370,9 +375,12 @@ def q10_returned_customers(
         .map_batches(final_topk, batch_format="pandas", batch_size=None)
     )
 
+    top = top.materialize()
+    winners = [int(r["o_custkey"]) for r in top.take_all()]  # k rows, tiny
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", winners)],
     )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -380,16 +388,15 @@ def q10_returned_customers(
     nname = dict(
         zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
     )
-    name_ref = ray.put(
-        {
-            ck: (nm, nname[nk])
-            for ck, nm, nk in zip(
-                cust.column("c_custkey").to_pylist(),
-                cust.column("c_name").to_pylist(),
-                cust.column("c_nationkey").to_pylist(),
-            )
-        }
-    )
+    info = {
+        ck: (nm, nname[nk])
+        for ck, nm, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+    info_ref = ray.put(info)
 
     class Decorate:
         def __init__(self, ref):
@@ -407,7 +414,7 @@ def q10_returned_customers(
             )
 
     return top.map_batches(
-        Decorate, fn_constructor_args=(name_ref,), batch_format="pandas",
+        Decorate, fn_constructor_args=(info_ref,), batch_format="pandas",
         concurrency=(1, 1),
     )
 
