@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": dedup.dedup_normalized,
         "supplier_acctbal_dense_rank": relational.supplier_acctbal_dense_rank,
         "lineitem_cube": relational.lineitem_cube,
+        "events_value_band_join": relational.events_value_band_join,
         "events_type_markov_transitions": relational.events_type_markov_transitions,
         "docs_embed_hashing": similarity.docs_embed_hashing,
         "events_props_json_rollup": analytics.events_props_json_rollup,
@@ -830,6 +831,16 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "events_value_band_join": (
+            "SELECT a.event_id AS event_a, b.event_id AS event_b, "
+            "CAST(abs(CAST(round(a.value * 1000000) AS BIGINT) "
+            "- CAST(round(b.value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS dv_micro "
+            "FROM events a JOIN events b ON a.event_id < b.event_id "
+            "WHERE a.event_type = 'purchase' AND b.event_type = 'purchase' "
+            "AND abs(CAST(round(a.value * 1000000) AS BIGINT) "
+            "- CAST(round(b.value * 1000000) AS BIGINT)) <= 50000"
+        ),
         "lineitem_cube": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
