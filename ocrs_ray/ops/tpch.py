@@ -599,35 +599,35 @@ def q16_supplier_part_counts(
     part = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
     )
+    keys = part.column("p_partkey").to_pylist()
+    brands = part.column("p_brand").to_pylist()
+    sizes = part.column("p_size").to_pylist()
+    kept = [i for i, b in enumerate(brands) if b != excluded_brand]
     attrs_ref = ray.put(
-        {
-            k: (b, s)
-            for k, b, s in zip(
-                part.column("p_partkey").to_pylist(),
-                part.column("p_brand").to_pylist(),
-                part.column("p_size").to_pylist(),
-            )
-            if b != excluded_brand
-        }
+        (
+            {keys[i]: brands[i] for i in kept},
+            {keys[i]: sizes[i] for i in kept},
+        )
     )
 
     class Project:
         def __init__(self, ref):
-            self.attrs = ray.get(ref)
+            self.brand, self.size = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            pk = batch["l_partkey"].to_numpy()
-            sk = batch["l_suppkey"].to_numpy()
-            keep = np.fromiter(
-                (p in self.attrs for p in pk), dtype=bool, count=len(pk)
-            ) & (sk % 4 != 0)
-            pk, sk = pk[keep], sk[keep]
-            attrs = [self.attrs[p] for p in pk]
+            brand = batch["l_partkey"].map(self.brand)
+            keep = (
+                brand.notna().to_numpy()
+                & (batch["l_suppkey"].to_numpy() % 4 != 0)
+            )
             df = pd.DataFrame(
                 {
-                    "p_brand": [a[0] for a in attrs],
-                    "p_size": np.array([a[1] for a in attrs], dtype="int64"),
-                    "l_suppkey": sk.astype("int64"),
+                    "p_brand": brand.to_numpy()[keep],
+                    "p_size": batch["l_partkey"]
+                    .map(self.size)
+                    .to_numpy()[keep]
+                    .astype("int64"),
+                    "l_suppkey": batch["l_suppkey"].to_numpy()[keep].astype("int64"),
                 }
             )
             return df.drop_duplicates()
@@ -677,26 +677,21 @@ def q19_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
     )
     attrs_ref = ray.put(
-        {
-            k: (b, s)
-            for k, b, s in zip(
-                part.column("p_partkey").to_pylist(),
-                part.column("p_brand").to_pylist(),
-                part.column("p_size").to_pylist(),
-            )
-        }
+        (
+            dict(zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())),
+            dict(zip(part.column("p_partkey").to_pylist(), part.column("p_size").to_pylist())),
+        )
     )
 
     class Partial:
         def __init__(self, ref):
-            self.attrs = ray.get(ref)
+            self.brand, self.size = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            pk = batch["l_partkey"].to_numpy()
             qty = batch["l_quantity"].to_numpy(dtype="float64")
-            brand = np.array([self.attrs[p][0] for p in pk])
-            size = np.array([self.attrs[p][1] for p in pk], dtype="int64")
-            keep = np.zeros(len(pk), dtype=bool)
+            brand = batch["l_partkey"].map(self.brand).to_numpy()
+            size = batch["l_partkey"].map(self.size).to_numpy().astype("int64")
+            keep = np.zeros(len(batch), dtype=bool)
             for b, s_lo, s_hi, q_lo, q_hi in branches:
                 keep |= (
                     (brand == b)
