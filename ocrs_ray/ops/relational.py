@@ -2148,6 +2148,13 @@ def user_click_purchase_full_outer(sf_dir: str) -> rd.Dataset:
     events. Ray's full_outer coalesces the key itself (left name, no
     nulls) and emits NaN for the absent side's payload; the post-join
     projection restores int64 zeros.
+
+    Shuffle note: a tagged union + ONE keyed repartition + per-block
+    pivot computes the same table with one shuffle instead of three
+    (two side merges + the join's own exchange) — this op
+    deliberately keeps the native full_outer join to exercise and pin
+    that code path; prefer the union shape when the join type itself
+    is not required.
     """
     import pyarrow.dataset as pads
 
