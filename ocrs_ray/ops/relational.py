@@ -55,6 +55,8 @@ __all__ = [
     "lineitem_cube",
     "events_type_markov_transitions",
     "events_value_band_join",
+    "band_bucketize",
+    "band_pairs",
     "round_half_away",
 ]
 
@@ -2359,6 +2361,81 @@ def events_type_markov_transitions(sf_dir: str) -> rd.Dataset:
     return tree_sum(partials, ["prev_type", "next_type"], ["n_transitions"])
 
 
+def band_bucketize(
+    v_micro: np.ndarray, ids: np.ndarray, eps_micro: int
+) -> pd.DataFrame:
+    """Band-join map side: every row goes to its home bucket
+    (v // eps) plus ONE ghost copy in the next bucket up. A pair with
+    |va - vb| <= eps spans at most adjacent buckets, so this
+    replication (factor exactly 2, skew-independent) co-locates every
+    qualifying pair."""
+    home = v_micro // eps_micro
+    return pd.DataFrame(
+        {
+            "bucket": np.concatenate([home, home + 1]),
+            "event_id": np.concatenate([ids, ids]),
+            "value_micro": np.concatenate([v_micro, v_micro]),
+            "is_ghost": np.concatenate(
+                [
+                    np.zeros(len(v_micro), dtype=bool),
+                    np.ones(len(v_micro), dtype=bool),
+                ]
+            ),
+        }
+    )
+
+
+def band_pairs(df: pd.DataFrame, eps_micro: int) -> pd.DataFrame:
+    """Band-join reduce side: within each bucket, emit (a < b) id pairs
+    with |va - vb| <= eps via a sorted forward window (searchsorted +
+    multi-arange — output-proportional, no per-pair Python).
+
+    Exactly-once by construction: same-bucket pairs appear only in
+    their shared home bucket (their ghosts meet one bucket up but two
+    ghosts never pair); adjacent-bucket pairs appear only in the upper
+    bucket (lower row's ghost x upper row's home). The hypothesis
+    property test pins this against the quadratic reference with no
+    dedup pass.
+    """
+    outs = []
+    for _, g in df.groupby("bucket", sort=False):
+        g = g.sort_values(["value_micro", "event_id"], kind="stable")
+        v = g["value_micro"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        ghost = g["is_ghost"].to_numpy()
+        n = len(g)
+        if n < 2:
+            continue
+        hi = np.searchsorted(v, v + eps_micro, side="right")
+        cnt = hi - np.arange(n) - 1
+        if not cnt.sum():
+            continue
+        ii = np.repeat(np.arange(n), cnt)
+        jj = np.concatenate(
+            [np.arange(i + 1, h) for i, h in enumerate(hi) if h > i + 1]
+        )
+        keep = ~(ghost[ii] & ghost[jj]) & (ids[ii] != ids[jj])
+        ii, jj = ii[keep], jj[keep]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "event_a": np.minimum(ids[ii], ids[jj]),
+                    "event_b": np.maximum(ids[ii], ids[jj]),
+                    "dv_micro": np.abs(v[jj] - v[ii]),
+                }
+            )
+        )
+    if not outs:
+        return pd.DataFrame(
+            {
+                "event_a": pd.Series([], dtype="int64"),
+                "event_b": pd.Series([], dtype="int64"),
+                "dv_micro": pd.Series([], dtype="int64"),
+            }
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
 def events_value_band_join(
     sf_dir: str, eps: float = 0.05, event_type: str = "purchase"
 ) -> rd.Dataset:
@@ -2367,22 +2444,20 @@ def events_value_band_join(
     non-equi join class (|a - b| <= eps has no hash key), distributed
     via band bucketing + one-sided ghost replication (the
     bucket-grid decomposition of MapReduce theta-joins, cf. Okcan &
-    Riedewald's 1-Bucket-Theta family).
+    Riedewald's 1-Bucket-Theta family). Kernels: `band_bucketize` /
+    `band_pairs` (exactly-once pinned by a hypothesis property test
+    against the quadratic reference).
 
-    Scale shape: each row lands in its home bucket
-    (value_micro // eps_micro) and is replicated ONCE as a ghost into
-    the next bucket up; a qualifying pair spans at most adjacent
-    buckets, so after ONE keyed repartition on the bucket every pair
-    is co-located exactly once (same-bucket pairs in their home
-    block; adjacent-bucket pairs in the upper block via the ghost —
-    two ghosts never pair, so nothing is emitted twice). Per block a
-    value-sorted forward scan emits output-proportional work; the
-    exact |diff| <= eps test is integer micro-units. Replication
-    factor is exactly 2 regardless of data size or skew.
+    Scale shape: ONE keyed repartition on the bucket; per block the
+    pair scan is output-proportional. Replication factor is exactly 2
+    regardless of data size or skew. A bucket's rows must fit in a
+    worker block (same contract as every keyed-repartition op here);
+    heavy value-ties concentrate — at pathological skew, salt the
+    bucket with a secondary hash and merge pair sets.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
-
     import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     enable_hash_shuffle()
     npart = max(2, min(16, cluster_ncpu()))
@@ -2392,62 +2467,12 @@ def events_value_band_join(
         v = round_half_away(b["value"].to_numpy(dtype="float64") * MICRO).astype(
             "int64"
         )
-        ids = b["event_id"].to_numpy().astype("int64")
-        home = v // eps_micro
-        return pd.DataFrame(
-            {
-                "bucket": np.concatenate([home, home + 1]),
-                "event_id": np.concatenate([ids, ids]),
-                "value_micro": np.concatenate([v, v]),
-                "is_ghost": np.concatenate(
-                    [np.zeros(len(v), dtype=bool), np.ones(len(v), dtype=bool)]
-                ),
-            }
-        )
+        return band_bucketize(v, b["event_id"].to_numpy().astype("int64"), eps_micro)
 
     def pair(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in df.groupby("bucket", sort=False):
-            g = g.sort_values(["value_micro", "event_id"], kind="stable")
-            v = g["value_micro"].to_numpy()
-            ids = g["event_id"].to_numpy()
-            ghost = g["is_ghost"].to_numpy()
-            n = len(g)
-            if n < 2:
-                continue
-            # For row i the in-band partners are the sorted slice
-            # (i, hi[i]); emit (i, j) via repeat + multi-arange — the
-            # work is output-proportional, no per-pair Python.
-            hi = np.searchsorted(v, v + eps_micro, side="right")
-            cnt = hi - np.arange(n) - 1
-            ii = np.repeat(np.arange(n), cnt)
-            jj = np.concatenate(
-                [np.arange(i + 1, h) for i, h in enumerate(hi) if h > i + 1]
-            ) if cnt.sum() else np.empty(0, dtype="int64")
-            # Two ghosts pair in their shared home bucket already;
-            # an event meets its own ghost only at a bucket boundary.
-            keep = ~(ghost[ii] & ghost[jj]) & (ids[ii] != ids[jj])
-            ii, jj = ii[keep], jj[keep]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "event_a": np.minimum(ids[ii], ids[jj]),
-                        "event_b": np.maximum(ids[ii], ids[jj]),
-                        "dv_micro": np.abs(v[jj] - v[ii]),
-                    }
-                )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "event_a": pd.Series([], dtype="int64"),
-                    "event_b": pd.Series([], dtype="int64"),
-                    "dv_micro": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        return band_pairs(df, eps_micro)
 
-    ds = (
+    return (
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "event_type", "value"],
@@ -2457,4 +2482,3 @@ def events_value_band_join(
         .repartition(npart, keys=["bucket"])
         .map_batches(pair, batch_format="pandas", batch_size=None)
     )
-    return ds

@@ -407,3 +407,34 @@ def test_banded_levenshtein_and_symspell_blocking():
             assert got == min(true, 3), (a, b, true, got)
             if true <= 2:
                 assert _deletion_variants(a) & _deletion_variants(b), (a, b)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-200, max_value=200), min_size=0, max_size=60
+    ),
+    st.integers(min_value=1, max_value=25),
+)
+def test_band_join_exactly_once(values, eps):
+    """The bucket + one-sided-ghost decomposition finds every |a-b|<=eps
+    pair EXACTLY once (no dedup pass) — including boundary values that
+    are exact multiples of eps, duplicates, and negatives."""
+    import numpy as np
+    import pandas as pd
+
+    from ocrs_ray.ops.relational import band_bucketize, band_pairs
+
+    v = np.asarray(values, dtype="int64")
+    ids = np.arange(len(v), dtype="int64")
+    got = band_pairs(band_bucketize(v, ids, eps), eps)
+    got_pairs = list(zip(got["event_a"], got["event_b"], got["dv_micro"]))
+    # No pair emitted twice (the exactly-once claim, pre-dedup).
+    assert len(got_pairs) == len(set(got_pairs)) == len(
+        set((a, b) for a, b, _ in got_pairs)
+    )
+    expect = set()
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            if abs(int(v[i]) - int(v[j])) <= eps:
+                expect.add((min(i, j), max(i, j), abs(int(v[i]) - int(v[j]))))
+    assert set(got_pairs) == expect
