@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "q22_idle_balance_customers": tpch.q22_idle_balance_customers,
         "q21_sole_returned_supplier": tpch.q21_sole_returned_supplier,
+        "q8_market_share": tpch.q8_market_share,
     }
 
 
@@ -1033,6 +1034,27 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_quantity BETWEEN 10 AND 20) "
             "OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15 "
             "AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q8_market_share": (
+            "WITH j AS (SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) "
+            "AS BIGINT) AS rev, "
+            "CASE WHEN ns.n_name = 'NATION_3' THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "JOIN region r ON nc.n_regionkey = r.r_regionkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "WHERE r.r_name = 'ASIA' "
+            "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01') "
+            "SELECT l_year, CAST(sum(rev) AS BIGINT) AS rev_micro, "
+            "CAST(sum(tgt * rev) AS BIGINT) AS rev_target_micro, "
+            "CAST((1000000::HUGEINT * sum(tgt * rev)) // sum(rev) "
+            "AS BIGINT) AS share_ppm "
+            "FROM j GROUP BY 1"
         ),
         "q21_sole_returned_supplier": (
             "WITH ls AS (SELECT l_orderkey, l_suppkey, "

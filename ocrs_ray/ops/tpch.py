@@ -24,6 +24,8 @@ Each op demonstrates one distinct physical shape at 100 TB scale:
 - Q21 — double-correlated EXISTS / NOT EXISTS: one orderkey
   co-location turns both correlated subqueries into a vectorized
   per-order (n_suppliers, n_returned) test.
+- Q8  — per-group (per-year) conditional revenue ratio: dimension
+  chain folded into broadcast key sets; exact bigint ppm per group.
 - Q22 — scalar-subquery threshold (computed as one tiny distributed
   aggregate, then closed over) + anti-join + bounded-key rollup.
 
@@ -58,6 +60,7 @@ __all__ = [
     "q19_disjunctive_revenue",
     "q22_idle_balance_customers",
     "q21_sole_returned_supplier",
+    "q8_market_share",
 ]
 
 
@@ -933,3 +936,171 @@ def q21_sole_returned_supplier(sf_dir: str) -> rd.Dataset:
         Decorate, fn_constructor_args=(name_ref,), batch_format="pandas",
         concurrency=(1, 1),
     )
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    supp_nation: str = "NATION_3",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> rd.Dataset:
+    """TPC-H Q8: per YEAR, the share of revenue from orders placed by
+    customers in one region that is supplied by one nation — the
+    per-group conditional ratio (Q14's ratio shape, but grouped, so
+    the ppm division happens once per year in the final block).
+
+    Scale shape: the dimension chain (nation -> region, customer ->
+    nation, supplier -> nation) folds into two broadcast probes —
+    customers-in-region and supplier-is-target — so the fact sides
+    carry only (orderkey, year, rev, rev_target) partials into the one
+    big x big orderkey hash join; year is calendar-bounded, so the
+    grouped sums tree-reduce and the exact bigint ppm per year is
+    arithmetic on a handful of rows.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region_tbl = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    region_key = {
+        r: k
+        for k, r in zip(
+            region_tbl.column("r_regionkey").to_pylist(),
+            region_tbl.column("r_name").to_pylist(),
+        )
+    }[region]
+    nat_in_region = {
+        k
+        for k, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+        if rk == region_key
+    }
+    target_nation_key = {
+        n: k
+        for k, n in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    }[supp_nation]
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_in_region_ref = ray.put(
+        {
+            ck
+            for ck, nk in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
+            )
+            if nk in nat_in_region
+        }
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    target_supp_ref = ray.put(
+        {
+            sk
+            for sk, nk in zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_nationkey").to_pylist(),
+            )
+            if nk == target_nation_key
+        }
+    )
+
+    class LinePartial:
+        def __init__(self, ref):
+            self.target = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rev = _rev_micro(b)
+            is_target = b["l_suppkey"].isin(self.target).to_numpy()
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy().astype("int64"),
+                    "rev_micro": rev,
+                    "rev_target_micro": np.where(is_target, rev, 0),
+                }
+            )
+            return df.groupby(["l_orderkey", "l_year"], as_index=False).sum()
+
+    class OrdersProj:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sel = b["o_custkey"].isin(self.keep).to_numpy()
+            return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy()[sel]})
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(
+            (pads.field("l_shipdate") >= _ts(date_from))
+            & (pads.field("l_shipdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        LinePartial,
+        fn_constructor_args=(target_supp_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        OrdersProj,
+        fn_constructor_args=(cust_in_region_ref,),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_year", as_index=False)[
+            ["rev_micro", "rev_target_micro"]
+        ].sum()
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("l_year").reset_index(drop=True)
+        ppm = [
+            (1_000_000 * int(t)) // int(r) if int(r) else 0
+            for t, r in zip(df["rev_target_micro"], df["rev_micro"])
+        ]
+        return df.assign(share_ppm=pd.Series(ppm, dtype="int64").to_numpy())
+
+    sums = tree_sum(
+        joined.map_batches(year_partial, batch_format="pandas"),
+        ["l_year"],
+        ["rev_micro", "rev_target_micro"],
+    )
+    return sums.map_batches(share, batch_format="pandas", batch_size=None)
