@@ -27,6 +27,7 @@ import ray.data as rd
 from .relational import MICRO, round_half_away, tree_sum
 
 __all__ = [
+    "events_user_session_number",
     "events_props_json_rollup",
     "vocab_top_terms",
     "tfidf_top_terms",
@@ -1518,4 +1519,51 @@ def events_props_json_rollup(sf_dir: str) -> rd.Dataset:
     )
     return merged.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_session_number(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Gaps-and-islands row numbering: every event tagged with its
+    1-based session index within the user (a new session starts at the
+    first event or after a gap > `gap_minutes`) — the per-ROW
+    companion to `events_sessionize` (which emits one row per island).
+
+    Scale shape: one user_id hash shuffle; per block a stable sort +
+    shift turns the gap test into a vectorized flag, and the session
+    index is the grouped cumsum of that flag. Exact integer
+    microsecond gap test on both sides (epoch_us in the oracle).
+    """
+    from .relational import _partition_by_user
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_idx": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64")
+        same_user = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        gap = (ts_us - ts_us.shift()).to_numpy()
+        new_session = (~same_user) | (gap > gap_us)
+        idx = (
+            pd.Series(new_session.astype("int64"))
+            .groupby(df["user_id"].to_numpy())
+            .cumsum()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype("int64"),
+                "user_id": df["user_id"].to_numpy().astype("int64"),
+                "session_idx": idx.to_numpy(),
+            }
+        )
+
+    return _partition_by_user(sf_dir).map_batches(
+        number, batch_format="pandas", batch_size=None
     )

@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embed_hashing": similarity.docs_embed_hashing,
         "events_props_json_rollup": analytics.events_props_json_rollup,
         "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
+        "events_user_session_number": analytics.events_user_session_number,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
@@ -879,6 +880,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(k) AS BIGINT) AS min_k, "
             "CAST(max(k) AS BIGINT) AS max_k "
             "FROM k GROUP BY 1"
+        ),
+        "events_user_session_number": (
+            "WITH f AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, "
+            "CAST(sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_idx FROM f"
         ),
         "events_user_cumulative_distinct": (
             "WITH f AS (SELECT event_id, user_id, ts, "
