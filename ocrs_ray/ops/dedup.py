@@ -854,12 +854,10 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
     lower(trim(regexp_replace(text, '\\s+', ' '))). ASCII-equivalent
     `\\s` classes on both sides (python re and RE2).
     """
-    ws_run = re.compile(r"\s+")
+    from .text import normalize_ws_lower
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = [
-            ws_run.sub(" ", t).strip().lower() for t in batch["text"]
-        ]
+        norm = [normalize_ws_lower(t) for t in batch["text"]]
         out = pd.DataFrame(
             {
                 "norm_md5": [

@@ -27,6 +27,8 @@ __all__ = [
     "docs_repetition_stats",
     "docs_chunk_overlap",
     "docs_gopher_quality_filter",
+    "gopher_signals",
+    "normalize_ws_lower",
     "WS_TOKEN_RE",
     "WORD_TOKEN_RE",
     "STOPWORDS",
@@ -307,6 +309,41 @@ def docs_chunk_overlap(sf_dir: str, size: int = 32, stride: int = 24) -> rd.Data
     )
 
 
+def gopher_signals(texts) -> dict:
+    """Integer quality signals shared by the Gopher gate and the
+    composed data-prep pipeline: token count, floor-div mean word
+    length (milli), top-token share and stopword share (ppm)."""
+    ws = re.compile(WS_TOKEN_RE)
+    stopset = frozenset(STOPWORDS)
+    n = len(texts)
+    n_tok = np.zeros(n, dtype="int64")
+    sum_len = np.zeros(n, dtype="int64")
+    top_cnt = np.zeros(n, dtype="int64")
+    stop_cnt = np.zeros(n, dtype="int64")
+    for i, text in enumerate(texts):
+        toks = ws.findall(text or "")
+        n_tok[i] = len(toks)
+        if not toks:
+            continue
+        sum_len[i] = sum(len(t) for t in toks)
+        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        top_cnt[i] = int(counts.max())
+        stop_cnt[i] = sum(1 for t in toks if t in stopset)
+    safe = np.maximum(n_tok, 1)
+    return {
+        "n_tokens": n_tok,
+        "mean_len_milli": (1_000 * sum_len) // safe,
+        "top_tok_ppm": (1_000_000 * top_cnt) // safe,
+        "stop_ppm": (1_000_000 * stop_cnt) // safe,
+    }
+
+
+def normalize_ws_lower(text: str) -> str:
+    """The normalized-dedup key text: collapse whitespace runs, trim,
+    lowercase — pinned to lower(trim(regexp_replace(text, '\\s+', ' ')))."""
+    return re.sub(r"\s+", " ", text or "").strip().lower()
+
+
 def docs_gopher_quality_filter(
     sf_dir: str,
     min_tokens: int = 20,
@@ -328,28 +365,12 @@ def docs_gopher_quality_filter(
     per-batch map; the per-doc mode count is a numpy unique on the
     doc-offset-prefixed token array, never a Python loop per token.
     """
-    ws = re.compile(WS_TOKEN_RE)
-    stopset = frozenset(STOPWORDS)
-
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        n_tok = np.zeros(n, dtype="int64")
-        sum_len = np.zeros(n, dtype="int64")
-        top_cnt = np.zeros(n, dtype="int64")
-        stop_cnt = np.zeros(n, dtype="int64")
-        for i, text in enumerate(batch["text"]):
-            toks = ws.findall(text or "")
-            n_tok[i] = len(toks)
-            if not toks:
-                continue
-            sum_len[i] = sum(len(t) for t in toks)
-            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            top_cnt[i] = int(counts.max())
-            stop_cnt[i] = sum(1 for t in toks if t in stopset)
-        safe = np.maximum(n_tok, 1)
-        mean_milli = (1_000 * sum_len) // safe
-        top_ppm = (1_000_000 * top_cnt) // safe
-        stop_ppm = (1_000_000 * stop_cnt) // safe
+        sig = gopher_signals(batch["text"])
+        n_tok = sig["n_tokens"]
+        mean_milli = sig["mean_len_milli"]
+        top_ppm = sig["top_tok_ppm"]
+        stop_ppm = sig["stop_ppm"]
         kept = (
             (n_tok >= min_tokens)
             & (n_tok <= max_tokens)
