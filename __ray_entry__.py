@@ -194,6 +194,36 @@ def _ocr_doc_text(sf_dir: str):
     return docs.map_batches(join_text, batch_format="pyarrow")
 
 
+def _ocr_text_quality(sf_dir: str):
+    """The engine's two halves chained: OCR-stitched document text
+    (the reference `get_text` equivalent, ocrs/src/lib.rs:290-300)
+    scored with the same char/token accounting the documents-table
+    text ops use — extraction output flowing straight into
+    training-data analysis with no intermediate materialization."""
+    import re
+
+    import pyarrow as pa
+
+    docs = _ocr_doc_text(sf_dir)
+    ws = re.compile(r"\S+")
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column("doc_text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(
+                    [len(x) for x in texts], type=pa.int64()
+                ),
+                "n_ws_tokens": pa.array(
+                    [len(ws.findall(x)) for x in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def _ocr_layout(sf_dir: str):
     """HierText-style layout JSON per media span (S6 sink as a Ray
     stage). Rows-only for the driver; geometry pinned by unit tests."""
@@ -317,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_media_spans": _ocr_media_spans,
         "ocr_doc_stats": _ocr_doc_stats,
         "ocr_doc_text": _ocr_doc_text,
+        "ocr_text_quality": _ocr_text_quality,
         "ocr_layout": _ocr_layout,
         "ocr_joined_flat": _ocr_joined_flat,
         "media_features": _media_features,
@@ -358,6 +389,14 @@ def oracle_sql() -> dict[str, str]:
         "ocr_doc_text": (
             f"SELECT doc_id, string_agg(text, chr(10) ORDER BY \"offset\") AS doc_text "
             f"FROM read_parquet('{golden}') GROUP BY doc_id"
+        ),
+        "ocr_text_quality": (
+            f"WITH d AS (SELECT doc_id, string_agg(text, chr(10) "
+            f"ORDER BY \"offset\") AS doc_text "
+            f"FROM read_parquet('{golden}') GROUP BY doc_id) "
+            f"SELECT doc_id, CAST(length(doc_text) AS BIGINT) AS n_chars, "
+            rf"CAST(length(regexp_extract_all(doc_text, '\S+')) AS BIGINT) "
+            f"AS n_ws_tokens FROM d"
         ),
     }
     try:
