@@ -15,7 +15,6 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
-import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -850,9 +849,9 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
 
     Same physical shape as `dedup_exact` (per-batch pre-dedupe, keyed
     repartition on the hash, per-block min); only the key derivation
-    differs, and it is pinned to the oracle's exact operation order:
-    lower(trim(regexp_replace(text, '\\s+', ' '))). ASCII-equivalent
-    `\\s` classes on both sides (python re and RE2).
+    differs, and it is pinned to the oracle's exact operation order
+    and character classes by `text.normalize_ws_lower` (RE2's ASCII
+    \\s, space-only trim).
     """
     from .text import normalize_ws_lower
 

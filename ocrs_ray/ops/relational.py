@@ -762,17 +762,11 @@ def part_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
     return merged.map_batches(drop_tag, batch_format="pandas", batch_size=None)
 
 
-def lineitem_rollup(sf_dir: str) -> rd.Dataset:
-    """GROUP BY ROLLUP (returnflag, linestatus): the finest level plus
-    per-returnflag subtotals and a grand total, NULL-marked like SQL.
-
-    Scale shape: only the FINEST level touches the data — a bounded key
-    space (|flags| x |statuses|), so it tree-reduces shuffle-free; the
-    coarser rollup levels are derived from those few finest rows in the
-    final single block. At 100 TB the subtotal derivation cost stays
-    constant while a naive per-level re-aggregation would re-scan the
-    corpus once per level.
-    """
+def _lineitem_qty_finest(sf_dir: str) -> rd.Dataset:
+    """Finest (returnflag, linestatus) quantity aggregate shared by the
+    ROLLUP and CUBE grouping-set ops: bounded key space, one data
+    pass, tree-reduced shuffle-free; every coarser grouping set is
+    derived from this single-block result."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -787,6 +781,27 @@ def lineitem_rollup(sf_dir: str) -> rd.Dataset:
             ["l_returnflag", "l_linestatus"], as_index=False
         ).sum()
 
+    finest = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(partial, batch_format="pandas")
+    return tree_sum(
+        finest, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"]
+    )
+
+
+def lineitem_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP (returnflag, linestatus): the finest level plus
+    per-returnflag subtotals and a grand total, NULL-marked like SQL.
+
+    Scale shape: only the FINEST level touches the data — a bounded key
+    space (|flags| x |statuses|), so it tree-reduces shuffle-free; the
+    coarser rollup levels are derived from those few finest rows in the
+    final single block. At 100 TB the subtotal derivation cost stays
+    constant while a naive per-level re-aggregation would re-scan the
+    corpus once per level.
+    """
+
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         vals = ["sum_qty", "n_rows"]
         sub = df.groupby("l_returnflag", as_index=False)[vals].sum()
@@ -798,12 +813,9 @@ def lineitem_rollup(sf_dir: str) -> rd.Dataset:
         out = pd.concat([df[cols], sub[cols], total[cols]], ignore_index=True)
         return out.astype({"sum_qty": "int64", "n_rows": "int64"})
 
-    finest = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity"],
-    ).map_batches(partial, batch_format="pandas")
-    merged = tree_sum(finest, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"])
-    return merged.map_batches(rollup, batch_format="pandas", batch_size=None)
+    return _lineitem_qty_finest(sf_dir).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )
 
 
 def inactive_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
@@ -2283,19 +2295,6 @@ def lineitem_cube(sf_dir: str) -> rd.Dataset:
     scans.
     """
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "sum_qty": batch["l_quantity"].astype("int64"),
-                "n_rows": np.ones(len(batch), dtype="int64"),
-            }
-        )
-        return df.groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
-        ).sum()
-
     def cube(df: pd.DataFrame) -> pd.DataFrame:
         vals = ["sum_qty", "n_rows"]
         by_flag = df.groupby("l_returnflag", as_index=False)[vals].sum()
@@ -2312,12 +2311,9 @@ def lineitem_cube(sf_dir: str) -> rd.Dataset:
         )
         return out.astype({"sum_qty": "int64", "n_rows": "int64"})
 
-    finest = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity"],
-    ).map_batches(partial, batch_format="pandas")
-    merged = tree_sum(finest, ["l_returnflag", "l_linestatus"], ["sum_qty", "n_rows"])
-    return merged.map_batches(cube, batch_format="pandas", batch_size=None)
+    return _lineitem_qty_finest(sf_dir).map_batches(
+        cube, batch_format="pandas", batch_size=None
+    )
 
 
 def events_type_markov_transitions(sf_dir: str) -> rd.Dataset:

@@ -338,10 +338,18 @@ def gopher_signals(texts) -> dict:
     }
 
 
+#: RE2's \s is the ASCII class [\t\n\f\r ] (no \v, no Unicode); the
+#: Python default \s is Unicode-aware. Spell the class out so the key
+#: matches the DuckDB oracle byte-for-byte on NBSP / \v inputs too.
+_RE2_WS_RUN = re.compile(r"[\t\n\f\r ]+")
+
+
 def normalize_ws_lower(text: str) -> str:
-    """The normalized-dedup key text: collapse whitespace runs, trim,
-    lowercase — pinned to lower(trim(regexp_replace(text, '\\s+', ' ')))."""
-    return re.sub(r"\s+", " ", text or "").strip().lower()
+    """The normalized-dedup key text, pinned EXACTLY to the oracle's
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))): RE2's ASCII
+    whitespace class for the collapse, and trim()'s space-only strip
+    (DuckDB trim removes spaces, not arbitrary whitespace)."""
+    return _RE2_WS_RUN.sub(" ", text or "").strip(" ").lower()
 
 
 def docs_gopher_quality_filter(
@@ -362,8 +370,10 @@ def docs_gopher_quality_filter(
     All four signals are carried as exact integers (floor-division
     milli / ppm units on BOTH sides), so `kept` is bit-identical to
     the SQL oracle — no float-threshold boundary cases. Stateless
-    per-batch map; the per-doc mode count is a numpy unique on the
-    doc-offset-prefixed token array, never a Python loop per token.
+    per-batch map over `gopher_signals` (per-document token loops —
+    string tokenization is inherently per-doc, like every text op
+    here; the distributed shape, one pass + no shuffle, is what
+    matters at scale).
     """
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         sig = gopher_signals(batch["text"])

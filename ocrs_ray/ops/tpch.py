@@ -74,6 +74,15 @@ def _npart() -> int:
     return max(2, min(16, cluster_ncpu()))
 
 
+def _pool(cap: int) -> int:
+    """Actor-pool max sized from the cluster, leaving >= 2 CPUs free
+    for the read task + shuffle aggregators (CLAUDE.md deadlock
+    class) — never a hardcoded count."""
+    from ocrs_ray.pipeline import cluster_ncpu
+
+    return max(1, min(cap, cluster_ncpu() - 2))
+
+
 def _rev_micro(batch: pd.DataFrame) -> np.ndarray:
     return round_half_away(
         batch["l_extendedprice"].to_numpy(dtype="float64")
@@ -239,7 +248,7 @@ def q7_nation_volume(
         LinePartial,
         fn_constructor_args=(supp_ref, keys),
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool(4)),
     )
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -247,7 +256,7 @@ def q7_nation_volume(
         OrdersProj,
         fn_constructor_args=(cust_ref, keys),
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=(1, _pool(2)),
     )
     joined = line.join(
         orders,
@@ -567,7 +576,7 @@ def q14_promo_revenue(
         ),
     ).map_batches(
         Partial, fn_constructor_args=(promo_ref,), batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool(4)),
     )
     return ds.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
@@ -649,7 +658,7 @@ def q16_supplier_part_counts(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     ).map_batches(
         Project, fn_constructor_args=(attrs_ref,), batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool(4)),
     )
     return ds.repartition(npart, keys=["p_brand", "p_size"]).map_batches(
         count_distinct, batch_format="pandas", batch_size=None
@@ -724,7 +733,7 @@ def q19_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(
         Partial, fn_constructor_args=(attrs_ref,), batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool(4)),
     )
     return ds.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
@@ -1067,7 +1076,7 @@ def q8_market_share(
         LinePartial,
         fn_constructor_args=(target_supp_ref,),
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool(4)),
     )
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -1075,7 +1084,7 @@ def q8_market_share(
         OrdersProj,
         fn_constructor_args=(cust_in_region_ref,),
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=(1, _pool(2)),
     )
     joined = line.join(
         orders,
