@@ -27,6 +27,7 @@ import ray.data as rd
 from .relational import MICRO, round_half_away, tree_sum
 
 __all__ = [
+    "events_time_to_purchase",
     "events_user_session_number",
     "events_props_json_rollup",
     "vocab_top_terms",
@@ -1566,4 +1567,58 @@ def events_user_session_number(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset
 
     return _partition_by_user(sf_dir).map_batches(
         number, batch_format="pandas", batch_size=None
+    )
+
+
+def events_time_to_purchase(sf_dir: str) -> rd.Dataset:
+    """Time-to-conversion: for every event, microseconds until the
+    SAME user's next purchase event (strictly later) — the conditional
+    LEAD window (a plain LEAD can't skip non-purchase rows; the SQL
+    needs a min-over-following-frame).
+
+    Scale shape: one user_id hash shuffle; per block, a reverse
+    cumulative minimum over the purchase timestamps (descending sort +
+    accumulate) gives every row its next-purchase time in one
+    vectorized pass — no per-row lookahead. Rows with no later
+    purchase are omitted (matches the oracle's IS NOT NULL).
+    """
+    from .relational import _partition_by_user
+
+    def to_next(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "us_to_purchase": pd.Series([], dtype="int64"),
+                }
+            )
+        # Reverse event-time order: a running minimum of purchase ts
+        # seen SO FAR (excluding the current row) is each row's
+        # next-purchase time in forward order.
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], ascending=[True, False, False],
+            kind="stable",
+        )
+        ts_us = df["ts"].astype("int64").to_numpy()
+        is_purchase = (df["event_type"] == "purchase").to_numpy()
+        uid = df["user_id"].to_numpy()
+        run = np.where(is_purchase, ts_us, np.iinfo("int64").max)
+        # Shifted-by-one accumulate within user: numpy has no grouped
+        # scan, but user boundaries reset the accumulator — do it with
+        # pandas grouped cummin on the shifted series.
+        prev = pd.Series(run).groupby(uid).shift(1, fill_value=np.iinfo("int64").max)
+        nxt = prev.groupby(uid).cummin().to_numpy()
+        keep = nxt != np.iinfo("int64").max
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep].astype("int64"),
+                "user_id": uid[keep].astype("int64"),
+                "us_to_purchase": (nxt[keep] - ts_us[keep]).astype("int64"),
+            }
+        )
+        return out
+
+    return _partition_by_user(sf_dir).map_batches(
+        to_next, batch_format="pandas", batch_size=None
     )

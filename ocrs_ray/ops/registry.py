@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json_rollup": analytics.events_props_json_rollup,
         "events_user_cumulative_distinct": analytics.events_user_cumulative_distinct,
         "events_user_session_number": analytics.events_user_session_number,
+        "events_time_to_purchase": analytics.events_time_to_purchase,
+        "supplier_abc_classification": relational.supplier_abc_classification,
         "pretrain_data_prep": composed.pretrain_data_prep,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
@@ -884,6 +886,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pretrain_data_prep": (
             f"WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents), m AS (SELECT doc_id, unnest(toks) AS tok FROM t), top AS (SELECT doc_id, max(c) AS top_cnt FROM (SELECT doc_id, tok, count(*) AS c FROM m GROUP BY 1, 2) GROUP BY 1), sig AS (SELECT t.doc_id, t.text, length(t.toks) AS n_tok, COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS sum_len, COALESCE(top.top_cnt, 0) AS top_cnt, length(list_filter(t.toks, x -> x IN ({_STOP_LIST}))) AS stop_cnt FROM t LEFT JOIN top ON t.doc_id = top.doc_id), k AS (SELECT doc_id, text, n_tok FROM sig WHERE n_tok >= 20 AND n_tok <= 100000 AND (1000 * sum_len) // greatest(n_tok, 1) BETWEEN 3000 AND 10000 AND (1000000 * top_cnt) // greatest(n_tok, 1) <= 200000 AND (1000000 * stop_cnt) // greatest(n_tok, 1) >= 10000), w AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM k) GROUP BY h), s AS (SELECT k.doc_id, k.n_tok, CASE WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 12 THEN 'train' WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 14 THEN 'val' ELSE 'test' END AS split, CASE WHEN k.n_tok = 0 THEN 0 ELSE (k.n_tok - 1) // 24 + 1 END AS c FROM k JOIN w ON k.doc_id = w.doc_id) SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks, CAST(sum(COALESCE(list_sum(list_transform(range(0, CAST(c AS BIGINT)), i -> least(32, n_tok - 24 * i))), 0)) AS BIGINT) AS n_chunk_tokens FROM s GROUP BY 1"
+        ),
+        "supplier_abc_classification": (
+            "WITH s AS (SELECT s_suppkey, "
+            "CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents "
+            "FROM supplier WHERE CAST(round(s_acctbal * 100) AS BIGINT) >= 0), "
+            "c AS (SELECT *, sum(acctbal_cents) OVER (PARTITION BY s_nationkey "
+            "ORDER BY acctbal_cents DESC, s_suppkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(acctbal_cents) OVER (PARTITION BY s_nationkey) AS tot FROM s) "
+            "SELECT s_suppkey, s_nationkey, acctbal_cents, "
+            "CAST(CASE WHEN tot = 0 THEN 1000000 "
+            "ELSE (1000000::HUGEINT * cum) // tot END AS BIGINT) "
+            "AS cum_share_ppm, "
+            "CASE WHEN (CASE WHEN tot = 0 THEN 1000000 "
+            "ELSE (1000000::HUGEINT * cum) // tot END) < 700000 THEN 'A' "
+            "WHEN (CASE WHEN tot = 0 THEN 1000000 "
+            "ELSE (1000000::HUGEINT * cum) // tot END) < 900000 THEN 'B' "
+            "ELSE 'C' END AS abc_class FROM c"
+        ),
+        "events_time_to_purchase": (
+            "WITH f AS (SELECT event_id, user_id, "
+            "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) "
+            "- epoch_us(ts) AS dt FROM events) "
+            "SELECT event_id, user_id, CAST(dt AS BIGINT) AS us_to_purchase "
+            "FROM f WHERE dt IS NOT NULL"
         ),
         "events_user_session_number": (
             "WITH f AS (SELECT event_id, user_id, ts, "

@@ -55,6 +55,7 @@ __all__ = [
     "lineitem_cube",
     "events_type_markov_transitions",
     "events_value_band_join",
+    "supplier_abc_classification",
     "band_bucketize",
     "band_pairs",
     "round_half_away",
@@ -2477,4 +2478,86 @@ def events_value_band_join(
         .map_batches(bucketize, batch_format="pandas")
         .repartition(npart, keys=["bucket"])
         .map_batches(pair, batch_format="pandas", batch_size=None)
+    )
+
+
+def supplier_abc_classification(
+    sf_dir: str, a_ppm: int = 700_000, b_ppm: int = 900_000
+) -> rd.Dataset:
+    """Pareto / ABC classification within nation: suppliers ordered by
+    balance descending, classified A while the running cumulative
+    share of the nation's positive total is < 70%, B until < 90%,
+    else C — the cumulative-percent-of-total window (inventory/spend
+    analysis staple).
+
+    Scale shape: one nationkey keyed repartition co-locates each
+    nation; per block a descending sort + integer cumsum gives the
+    running share as exact bigint ppm (floor division — no float
+    thresholds, ties broken by suppkey so the classification is
+    deterministic on both sides). Only non-negative balances
+    participate in the total; the cumulative total is per-nation, so
+    no global sort exists anywhere.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            batch["s_acctbal"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        keep = cents >= 0
+        return pd.DataFrame(
+            {
+                "s_suppkey": batch["s_suppkey"].to_numpy()[keep],
+                "s_nationkey": batch["s_nationkey"].to_numpy()[keep],
+                "acctbal_cents": cents[keep],
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "s_suppkey": pd.Series([], dtype="int64"),
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "acctbal_cents": pd.Series([], dtype="int64"),
+                    "cum_share_ppm": pd.Series([], dtype="int64"),
+                    "abc_class": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(
+            ["s_nationkey", "acctbal_cents", "s_suppkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g = df.groupby("s_nationkey")["acctbal_cents"]
+        cum = g.cumsum().to_numpy()
+        total = g.transform("sum").to_numpy()
+        # Python-int ppm: cents * 1e6 can exceed int64 at corpus scale.
+        ppm = np.array(
+            [
+                (1_000_000 * int(c)) // int(t) if t else 1_000_000
+                for c, t in zip(cum, total)
+            ],
+            dtype="int64",
+        )
+        cls = np.where(ppm < a_ppm, "A", np.where(ppm < b_ppm, "B", "C"))
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].to_numpy().astype("int64"),
+                "s_nationkey": df["s_nationkey"].to_numpy().astype("int64"),
+                "acctbal_cents": df["acctbal_cents"].to_numpy(),
+                "cum_share_ppm": ppm,
+                "abc_class": cls,
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).map_batches(to_cents, batch_format="pandas")
+    return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
+        classify, batch_format="pandas", batch_size=None
     )
