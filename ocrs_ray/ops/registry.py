@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_session_number": analytics.events_user_session_number,
         "events_time_to_purchase": analytics.events_time_to_purchase,
         "supplier_abc_classification": relational.supplier_abc_classification,
+        "orders_merge_upsert": relational.orders_merge_upsert,
         "pretrain_data_prep": composed.pretrain_data_prep,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
@@ -886,6 +887,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pretrain_data_prep": (
             f"WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents), m AS (SELECT doc_id, unnest(toks) AS tok FROM t), top AS (SELECT doc_id, max(c) AS top_cnt FROM (SELECT doc_id, tok, count(*) AS c FROM m GROUP BY 1, 2) GROUP BY 1), sig AS (SELECT t.doc_id, t.text, length(t.toks) AS n_tok, COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS sum_len, COALESCE(top.top_cnt, 0) AS top_cnt, length(list_filter(t.toks, x -> x IN ({_STOP_LIST}))) AS stop_cnt FROM t LEFT JOIN top ON t.doc_id = top.doc_id), k AS (SELECT doc_id, text, n_tok FROM sig WHERE n_tok >= 20 AND n_tok <= 100000 AND (1000 * sum_len) // greatest(n_tok, 1) BETWEEN 3000 AND 10000 AND (1000000 * top_cnt) // greatest(n_tok, 1) <= 200000 AND (1000000 * stop_cnt) // greatest(n_tok, 1) >= 10000), w AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM k) GROUP BY h), s AS (SELECT k.doc_id, k.n_tok, CASE WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 12 THEN 'train' WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 14 THEN 'val' ELSE 'test' END AS split, CASE WHEN k.n_tok = 0 THEN 0 ELSE (k.n_tok - 1) // 24 + 1 END AS c FROM k JOIN w ON k.doc_id = w.doc_id) SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks, CAST(sum(COALESCE(list_sum(list_transform(range(0, CAST(c AS BIGINT)), i -> least(32, n_tok - 24 * i))), 0)) AS BIGINT) AS n_chunk_tokens FROM s GROUP BY 1"
+        ),
+        "orders_merge_upsert": (
+            "SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 "
+            "THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority "
+            "FROM orders WHERE o_orderkey % 97 <> 0 "
+            "UNION ALL "
+            "SELECT -o_orderkey AS o_orderkey, '5-LOW' AS o_orderpriority "
+            "FROM orders WHERE o_orderkey % 13 = 5"
         ),
         "supplier_abc_classification": (
             "WITH s AS (SELECT s_suppkey, "

@@ -56,6 +56,7 @@ __all__ = [
     "events_type_markov_transitions",
     "events_value_band_join",
     "supplier_abc_classification",
+    "orders_merge_upsert",
     "band_bucketize",
     "band_pairs",
     "round_half_away",
@@ -2560,4 +2561,97 @@ def supplier_abc_classification(
     ).map_batches(to_cents, batch_format="pandas")
     return ds.repartition(npart, keys=["s_nationkey"]).map_batches(
         classify, batch_format="pandas", batch_size=None
+    )
+
+
+def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
+    """MERGE INTO / CDC-apply: reconcile a change stream against a base
+    table by key — updates override, deletes win over updates, inserts
+    add new keys. The change set is derived deterministically from the
+    base itself so the op needs no external data: every 10th orderkey
+    gets priority '1-URGENT' (update), every 97th is deleted, and
+    orderkeys congruent to 5 mod 13 spawn an insert under the negated key (a disjoint key
+    range, like fresh surrogate keys in a real CDC feed).
+
+    Scale shape: base rows and change rows ride the SAME scan (one
+    pass — the change derivation is map-side), tagged with a
+    precedence rank; ONE orderkey-keyed repartition co-locates each
+    key's versions and the per-block resolve is a vectorized
+    sort + drop_duplicates(keep=last-wins) — the exact shape a real
+    MERGE takes when the change table arrives as its own dataset and
+    unions in.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        okey = b["o_orderkey"].to_numpy()
+        prio = b["o_orderpriority"].to_numpy()
+        frames = [
+            pd.DataFrame(
+                {"o_orderkey": okey, "o_orderpriority": prio, "rank": 0}
+            )
+        ]
+        upd = okey % 10 == 0
+        if upd.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": okey[upd],
+                        "o_orderpriority": "1-URGENT",
+                        "rank": 1,
+                    }
+                )
+            )
+        dele = okey % 97 == 0
+        if dele.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": okey[dele],
+                        "o_orderpriority": "",
+                        "rank": 2,
+                    }
+                )
+            )
+        ins = okey % 13 == 5
+        if ins.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": -okey[ins],
+                        "o_orderpriority": "5-LOW",
+                        "rank": 1,
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_orderpriority": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["o_orderkey", "rank"], kind="stable")
+        last = df.drop_duplicates("o_orderkey", keep="last")
+        kept = last[last["rank"] != 2]
+        return pd.DataFrame(
+            {
+                "o_orderkey": kept["o_orderkey"].to_numpy().astype("int64"),
+                "o_orderpriority": kept["o_orderpriority"].to_numpy(),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(emit, batch_format="pandas")
+    return ds.repartition(npart, keys=["o_orderkey"]).map_batches(
+        resolve, batch_format="pandas", batch_size=None
     )
