@@ -57,6 +57,7 @@ __all__ = [
     "events_value_band_join",
     "supplier_abc_classification",
     "orders_merge_upsert",
+    "events_weighted_median",
     "band_bucketize",
     "band_pairs",
     "round_half_away",
@@ -2654,4 +2655,69 @@ def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
     ).map_batches(emit, batch_format="pandas")
     return ds.repartition(npart, keys=["o_orderkey"]).map_batches(
         resolve, batch_format="pandas", batch_size=None
+    )
+
+
+def events_weighted_median(sf_dir: str) -> rd.Dataset:
+    """Exact grouped WEIGHTED median: per event type, the smallest
+    value whose cumulative weight reaches half the total weight
+    (weights come from the JSON `props.k` payload — the
+    importance-weighted robust center no built-in aggregate provides;
+    the oracle derives it from a window cumsum).
+
+    Scale shape: map-side per-batch (type, value) weight partials
+    collapse duplicates before the ONE bounded-key repartition; per
+    block a sort + integer cumsum picks the crossing value. All
+    integers (micro values, bigint weights) — the >= half test is
+    2*cum >= total with no division.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(8, cluster_ncpu()))
+    key_re = r'"k"\s*:\s*(-?\d+)'
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["props"].str.extract(key_re, expand=False).astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "value_micro": round_half_away(
+                    b["value"].to_numpy(dtype="float64") * MICRO
+                ).astype("int64"),
+                "w": w.to_numpy(),
+            }
+        )
+        return df.groupby(["event_type", "value_micro"], as_index=False)["w"].sum()
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "wmedian_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = (
+            df.groupby(["event_type", "value_micro"], as_index=False)["w"].sum()
+        ).sort_values(["event_type", "value_micro"], kind="stable")
+        out_t, out_v = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            cw = g["w"].cumsum().to_numpy()
+            total = int(cw[-1])
+            idx = int(np.searchsorted(2 * cw, total, side="left"))
+            out_t.append(et)
+            out_v.append(int(g["value_micro"].to_numpy()[idx]))
+        return pd.DataFrame(
+            {
+                "event_type": out_t,
+                "wmedian_micro": pd.Series(out_v, dtype="int64"),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    ).map_batches(partial, batch_format="pandas")
+    return ds.repartition(npart, keys=["event_type"]).map_batches(
+        pick, batch_format="pandas", batch_size=None
     )
