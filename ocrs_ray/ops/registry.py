@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_abc_classification": relational.supplier_abc_classification,
         "orders_merge_upsert": relational.orders_merge_upsert,
         "events_weighted_median": relational.events_weighted_median,
+        "events_value_outliers": relational.events_value_outliers,
         "pretrain_data_prep": composed.pretrain_data_prep,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
@@ -888,6 +889,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pretrain_data_prep": (
             f"WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents), m AS (SELECT doc_id, unnest(toks) AS tok FROM t), top AS (SELECT doc_id, max(c) AS top_cnt FROM (SELECT doc_id, tok, count(*) AS c FROM m GROUP BY 1, 2) GROUP BY 1), sig AS (SELECT t.doc_id, t.text, length(t.toks) AS n_tok, COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS sum_len, COALESCE(top.top_cnt, 0) AS top_cnt, length(list_filter(t.toks, x -> x IN ({_STOP_LIST}))) AS stop_cnt FROM t LEFT JOIN top ON t.doc_id = top.doc_id), k AS (SELECT doc_id, text, n_tok FROM sig WHERE n_tok >= 20 AND n_tok <= 100000 AND (1000 * sum_len) // greatest(n_tok, 1) BETWEEN 3000 AND 10000 AND (1000000 * top_cnt) // greatest(n_tok, 1) <= 200000 AND (1000000 * stop_cnt) // greatest(n_tok, 1) >= 10000), w AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM k) GROUP BY h), s AS (SELECT k.doc_id, k.n_tok, CASE WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 12 THEN 'train' WHEN (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) >> 28) < 14 THEN 'val' ELSE 'test' END AS split, CASE WHEN k.n_tok = 0 THEN 0 ELSE (k.n_tok - 1) // 24 + 1 END AS c FROM k JOIN w ON k.doc_id = w.doc_id) SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks, CAST(sum(COALESCE(list_sum(list_transform(range(0, CAST(c AS BIGINT)), i -> least(32, n_tok - 24 * i))), 0)) AS BIGINT) AS n_chunk_tokens FROM s GROUP BY 1"
+        ),
+        "events_value_outliers": (
+            "WITH v AS (SELECT event_id, event_type, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vm FROM events), "
+            "m AS (SELECT event_type, "
+            "CAST(quantile_disc(vm, 0.5) AS BIGINT) AS med FROM v GROUP BY 1), "
+            "d AS (SELECT v.event_type, "
+            "CAST(quantile_disc(abs(v.vm - m.med), 0.5) AS BIGINT) AS mad "
+            "FROM v JOIN m ON v.event_type = m.event_type GROUP BY 1) "
+            "SELECT v.event_id, v.event_type, v.vm AS value_micro "
+            "FROM v JOIN m ON v.event_type = m.event_type "
+            "JOIN d ON v.event_type = d.event_type "
+            "WHERE abs(v.vm - m.med) > 3 * d.mad"
         ),
         "events_weighted_median": (
             "WITH k AS (SELECT event_type, "

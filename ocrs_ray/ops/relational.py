@@ -58,6 +58,7 @@ __all__ = [
     "supplier_abc_classification",
     "orders_merge_upsert",
     "events_weighted_median",
+    "events_value_outliers",
     "band_bucketize",
     "band_pairs",
     "round_half_away",
@@ -2720,4 +2721,51 @@ def events_weighted_median(sf_dir: str) -> rd.Dataset:
     ).map_batches(partial, batch_format="pandas")
     return ds.repartition(npart, keys=["event_type"]).map_batches(
         pick, batch_format="pandas", batch_size=None
+    )
+
+
+def events_value_outliers(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Robust outlier flagging — the APPLY side of the exact grouped
+    median/MAD stats: every event whose value deviates from its
+    type's median by more than `k` MADs (the data-cleaning primitive;
+    |x - med| > k*MAD in pure integers, so the cut is bit-exact).
+
+    Scale shape: the per-type (median, MAD) table comes from the
+    two-pass exact pipeline in `events_value_mad`, collapses to a
+    handful of rows, and broadcasts into a third streaming pass over
+    the events — stats never join back via shuffle (the bounded-key
+    side always travels to the data, not the reverse).
+    """
+    import ray
+
+    stats = {
+        r["event_type"]: (int(r["median_micro"]), int(r["mad_micro"]))
+        for r in events_value_mad(sf_dir).take_all()
+    }
+    stats_ref = ray.put(stats)
+
+    class Flag:
+        def __init__(self, ref):
+            self.stats = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            vm = round_half_away(
+                b["value"].to_numpy(dtype="float64") * MICRO
+            ).astype("int64")
+            med = b["event_type"].map({t: s[0] for t, s in self.stats.items()})
+            mad = b["event_type"].map({t: s[1] for t, s in self.stats.items()})
+            keep = np.abs(vm - med.to_numpy()) > k * mad.to_numpy()
+            return pd.DataFrame(
+                {
+                    "event_id": b["event_id"].to_numpy()[keep].astype("int64"),
+                    "event_type": b["event_type"].to_numpy()[keep],
+                    "value_micro": vm[keep],
+                }
+            )
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        Flag, fn_constructor_args=(stats_ref,), batch_format="pandas",
+        concurrency=(1, 2),
     )
