@@ -284,6 +284,15 @@ def _media_features(sf_dir: str):
     return media_features(_corpus_for(sf_dir)["media"])
 
 
+def _media_ahash_neardup(sf_dir: str):
+    """Image near-dup pairs over the corpus media table (lossless
+    banded aHash blocking; rows-only — exactness of the banding and
+    the hash pinned in tests/test_multimodal.py)."""
+    from ocrs_ray.ops.multimodal import media_ahash_neardup
+
+    return media_ahash_neardup(_corpus_for(sf_dir)["media"])
+
+
 def _media_thumbnails(sf_dir: str):
     """Thumbnail resize; blobs reduced to md5 for stable comparison."""
     import hashlib
@@ -352,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_joined_flat": _ocr_joined_flat,
         "media_features": _media_features,
         "media_thumbnails": _media_thumbnails,
+        "media_ahash_neardup": _media_ahash_neardup,
         "video_frames": _video_frames,
     }
     try:

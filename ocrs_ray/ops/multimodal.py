@@ -34,6 +34,8 @@ __all__ = [
     "media_thumbnails",
     "video_frame_sample",
     "audio_features",
+    "media_ahash",
+    "media_ahash_neardup",
 ]
 
 MEDIA_COLUMNS = ["media_ref", "image", "height", "width", "channels", "format"]
@@ -212,3 +214,124 @@ def audio_features(media_path: str) -> rd.Dataset:
         )
 
     return read_media(media_path).map_batches(extract, batch_format="pyarrow")
+
+
+class MediaAHasher:
+    """Actor-pool stage: decode -> 8x8 bilinear downscale -> 64-bit
+    average hash (aHash: bit i = pixel_i > mean) — the standard
+    perceptual fingerprint for image dedup; resize kernel state lives
+    per actor. Deterministic, codec-free (same raw8 contract as the
+    thumbnailer)."""
+
+    BITS = 64
+
+    def hash_one(self, payload) -> int:
+        img = decode_media(payload)
+        plane = img if img.ndim == 2 else img[:, :, 0]
+        small = resize_bilinear(plane.astype(np.float32), 8, 8)
+        bits = (small > small.mean()).ravel()
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, hashes = [], []
+        for ref, payload in _payloads(batch):
+            refs.append(ref)
+            hashes.append(self.hash_one(payload))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "ahash": pa.array(np.array(hashes, dtype=np.uint64)),
+            }
+        )
+
+
+def media_ahash(media_path: str) -> rd.Dataset:
+    return read_media(media_path).map_batches(
+        MediaAHasher, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+
+
+def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
+    """Image near-duplicate pairs by aHash hamming distance <=
+    `max_hamming` — exact over the banded candidate space: the 64-bit
+    hash splits into `max_hamming + 1` bands, so any pair within the
+    distance budget shares at least one unchanged band (pigeonhole);
+    banding is therefore LOSSLESS for the threshold, like the SymSpell
+    blocking in `fuzzy_name_pairs`.
+
+    Scale shape: one keyed repartition on (band, band value) groups
+    candidates; per block, pairs are generated within each (usually
+    tiny) bucket and hamming-verified exactly; a second repartition on
+    the pair's first ref dedupes pairs that matched in multiple bands
+    with a per-block drop_duplicates (co-located by construction).
+    """
+    import pandas as pd
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def bands(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        hashes = batch.column("ahash").to_numpy(zero_copy_only=False)
+        out_b, out_v, out_r, out_h = [], [], [], []
+        for band in range(n_bands):
+            shift = np.uint64(band * width)
+            mask = np.uint64((1 << width) - 1) if band < n_bands - 1 else np.uint64(
+                (1 << (64 - band * width)) - 1
+            )
+            vals = (hashes >> shift) & mask
+            out_b.extend([band] * len(refs))
+            out_v.extend(vals.tolist())
+            out_r.extend(refs)
+            out_h.extend(hashes.tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_b, type=pa.int32()),
+                "band_val": pa.array(np.array(out_v, dtype=np.uint64)),
+                "media_ref": pa.array(out_r, type=pa.string()),
+                "ahash": pa.array(np.array(out_h, dtype=np.uint64)),
+            }
+        )
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        a_out, b_out, d_out = [], [], []
+        for _, g in df.groupby(["band", "band_val"], sort=False):
+            if len(g) < 2:
+                continue
+            refs = g["media_ref"].to_numpy()
+            hs = g["ahash"].to_numpy().astype(np.uint64)
+            order = np.argsort(refs, kind="stable")
+            refs, hs = refs[order], hs[order]
+            for i in range(len(refs)):
+                for j in range(i + 1, len(refs)):
+                    if refs[i] == refs[j]:
+                        continue
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        a_out.append(refs[i])
+                        b_out.append(refs[j])
+                        d_out.append(d)
+        return pd.DataFrame(
+            {
+                "media_a": pd.Series(a_out, dtype="object"),
+                "media_b": pd.Series(b_out, dtype="object"),
+                "hamming": pd.Series(d_out, dtype="int64"),
+            }
+        )
+
+    def dedupe(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["media_a", "media_b"])
+
+    ds = media_ahash(media_path).map_batches(bands, batch_format="pyarrow")
+    return (
+        ds.repartition(npart, keys=["band", "band_val"])
+        .map_batches(pairs, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["media_a"])
+        .map_batches(dedupe, batch_format="pandas", batch_size=None)
+    )

@@ -87,3 +87,49 @@ def test_broadcast_join_matches_pandas(ray_session):
     joined = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
     exp = joined.groupby("c_nationkey").size()
     assert dict(zip(out.c_nationkey, out.n_orders)) == exp.to_dict()
+
+
+def test_media_ahash_neardup(ray_session, tmp_path):
+    """Identical images pair at hamming 0; a structurally different
+    image pairs with neither; banding finds the pair without a
+    quadratic scan. Exactness vs brute force pinned on the kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.multimodal import MediaAHasher, media_ahash_neardup
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 2, size=(32, 32)) * 255).astype(np.uint8)
+    other = np.zeros((32, 32), dtype=np.uint8)
+    other[:, 16:] = 255
+    rows = [
+        ("m0", base), ("m1", base.copy()), ("m2", other),
+    ]
+    tbl = pa.table(
+        {
+            "media_ref": [r[0] for r in rows],
+            "image": [r[1].tobytes() for r in rows],
+            "height": pa.array([32] * 3, type=pa.int32()),
+            "width": pa.array([32] * 3, type=pa.int32()),
+            "channels": pa.array([1] * 3, type=pa.int32()),
+            "format": ["raw8-hwc"] * 3,
+        }
+    )
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(tbl, path)
+
+    out = media_ahash_neardup(path, max_hamming=2).to_pandas()
+    got = set(zip(out["media_a"], out["media_b"], out["hamming"]))
+    assert got == {("m0", "m1", 0)}
+
+    # Kernel brute-force agreement: every pair <= 2 found by banding.
+    h = MediaAHasher()
+    hs = {r[0]: h.hash_one((r[1].tobytes(), 32, 32, 1, "raw8-hwc")) for r in rows}
+    brute = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for i, a in enumerate(sorted(hs))
+        for b in sorted(hs)[i + 1:]
+        if bin(hs[a] ^ hs[b]).count("1") <= 2
+    }
+    assert got == brute
