@@ -293,6 +293,14 @@ def _media_ahash_neardup(sf_dir: str):
     return media_ahash_neardup(_corpus_for(sf_dir)["media"])
 
 
+def _media_ahash_survivors(sf_dir: str):
+    """Image-dedup survivors over the corpus media table (rows-only;
+    CC + relabel machinery shared with the text-side clusters)."""
+    from ocrs_ray.ops.multimodal import media_ahash_survivors
+
+    return media_ahash_survivors(_corpus_for(sf_dir)["media"])
+
+
 def _media_thumbnails(sf_dir: str):
     """Thumbnail resize; blobs reduced to md5 for stable comparison."""
     import hashlib
@@ -362,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_thumbnails": _media_thumbnails,
         "media_ahash_neardup": _media_ahash_neardup,
+        "media_ahash_survivors": _media_ahash_survivors,
         "video_frames": _video_frames,
     }
     try:

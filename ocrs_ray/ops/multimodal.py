@@ -36,6 +36,7 @@ __all__ = [
     "audio_features",
     "media_ahash",
     "media_ahash_neardup",
+    "media_ahash_survivors",
 ]
 
 MEDIA_COLUMNS = ["media_ref", "image", "height", "width", "channels", "format"]
@@ -335,3 +336,86 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
         .repartition(npart, keys=["media_a"])
         .map_batches(dedupe, batch_format="pandas", batch_size=None)
     )
+
+
+def media_ahash_survivors(media_path: str, max_hamming: int = 2) -> rd.Dataset:
+    """Image dedup survivors: one representative per connected
+    component of the aHash near-dup graph — the full image-dedup
+    pipeline (hash -> lossless banded pairs -> distributed CC ->
+    broadcast relabel -> streaming keep-roots filter), the media-side
+    mirror of the text corpus' `neardup_survivors`.
+
+    The min-label (lexicographic on media_ref) convention makes the
+    root its own keeper, so survivors are the rows where
+    media_ref == cluster_id — singleton images never shuffle.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .analytics import connected_components
+
+    pairs = media_ahash_neardup(media_path, max_hamming=max_hamming)
+    # CC works on int64 nodes; only PAIRED refs enter the graph, and
+    # that set is orders of magnitude smaller than the corpus (the
+    # same size class as the star map _cluster_assign already pulls),
+    # so a dense sorted encoding is a tiny driver-side dictionary.
+    # Sorting makes int order == lexicographic ref order, preserving
+    # the min-label keeper convention.
+    ref_tbl = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"r": pd.concat([df["media_a"], df["media_b"]]).unique()}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    inv = sorted(set(ref_tbl["r"]))
+    idx = {r: i for i, r in enumerate(inv)}
+    idx_ref = ray.put(idx)
+
+    class Encode:
+        def __init__(self, ref):
+            self.idx = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "u": df["media_a"].map(self.idx).to_numpy(dtype="int64"),
+                    "v": df["media_b"].map(self.idx).to_numpy(dtype="int64"),
+                }
+            )
+
+    edges = pairs.map_batches(
+        Encode, fn_constructor_args=(idx_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    )
+    mapping = connected_components(edges)
+    star = {inv[n]: inv[m] for n, m in mapping.items()}
+    star_ref = ray.put(star)
+
+    class RelabelStr:
+        """String-keyed variant of analytics._Relabel (which casts ids
+        to int64): absent refs label themselves (singletons)."""
+
+        def __init__(self, ref):
+            self.roots = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            refs = df["media_ref"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "cluster_id": [self.roots.get(r, r) for r in refs],
+                }
+            )
+
+    labeled = rd.read_parquet(media_path, columns=["media_ref"]).map_batches(
+        RelabelStr,
+        fn_constructor_args=(star_ref,),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    def roots(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["media_ref"] == df["cluster_id"], ["media_ref"]]
+
+    return labeled.map_batches(roots, batch_format="pandas")

@@ -133,3 +133,33 @@ def test_media_ahash_neardup(ray_session, tmp_path):
         if bin(hs[a] ^ hs[b]).count("1") <= 2
     }
     assert got == brute
+
+
+def test_media_ahash_survivors(ray_session, tmp_path):
+    """One keeper per aHash component: identical pair keeps the
+    lexicographic min; singleton keeps itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.multimodal import media_ahash_survivors
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 2, size=(32, 32)) * 255).astype(np.uint8)
+    other = np.zeros((32, 32), dtype=np.uint8)
+    other[:, 16:] = 255
+    rows = [("m0", base), ("m1", base.copy()), ("m2", other)]
+    tbl = pa.table(
+        {
+            "media_ref": [r[0] for r in rows],
+            "image": [r[1].tobytes() for r in rows],
+            "height": pa.array([32] * 3, type=pa.int32()),
+            "width": pa.array([32] * 3, type=pa.int32()),
+            "channels": pa.array([1] * 3, type=pa.int32()),
+            "format": ["raw8-hwc"] * 3,
+        }
+    )
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(tbl, path)
+    surv = sorted(media_ahash_survivors(path, max_hamming=2).to_pandas()["media_ref"])
+    assert surv == ["m0", "m2"]
