@@ -735,12 +735,31 @@ def connected_components(
     """
     from ocrs_ray.pipeline import enable_hash_shuffle
 
-    def checksum(df: pd.DataFrame) -> int:
-        # Order-independent fingerprint of the directed edge set.
+    def _checksum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Order-independent per-block fingerprint of the directed edge
+        # set: uint64 wraparound sum of a two-sided multiply mix. Each
+        # block ships 16 bytes; the driver reduce is O(blocks).
         u = df["u"].to_numpy(dtype="uint64")
         v = df["v"].to_numpy(dtype="uint64")
-        mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
-        return int(mix.sum(dtype=np.uint64)), len(df)
+        with np.errstate(over="ignore"):
+            mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                v * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        return pd.DataFrame(
+            {
+                "sig": pd.Series([mix.sum(dtype=np.uint64)], dtype="uint64"),
+                "n": pd.Series([len(df)], dtype="int64"),
+            }
+        )
+
+    def checksum(ds: rd.Dataset) -> tuple[int, int]:
+        """Distributed edge-set fingerprint: per-block partials + a tiny
+        driver reduce — the convergence check never pulls edges."""
+        parts = ds.map_batches(
+            _checksum_partial, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        sig = int(parts["sig"].to_numpy(dtype="uint64").sum(dtype=np.uint64))
+        return sig, int(parts["n"].sum())
 
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
@@ -770,23 +789,27 @@ def connected_components(
                 )
                 .map_batches(_canonical_edges, batch_format="pandas", batch_size=None)
             )
-        # Materialize the (shrinking) edge set once per round so the
-        # convergence check and the next round share one execution.
+        # Materialize the (shrinking) edge set once per round — in the
+        # OBJECT STORE, distributed — so the convergence check and the
+        # next round share one execution. The only driver traffic per
+        # round is the per-block checksum partials.
         cur = cur.materialize()
-        tbl = cur.to_pandas()
-        if tbl.empty:
+        sig = checksum(cur)
+        if sig[1] == 0:
             return {}
-        sig = checksum(tbl)
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"({len(tbl)} directed edges remaining)"
+            f"({prev_sig[1] if prev_sig else '?'} directed edges remaining)"
         )
-    # Converged: every component is a star u -> min. Undirected dedup
-    # gives the (node, root) mapping directly.
+    # Converged: every component is a star u -> min, i.e. the edge set
+    # IS the (node -> root) map — only now does it come to the driver,
+    # bounded by the dup-component node count (it is broadcast for the
+    # relabel pass right after).
+    tbl = cur.to_pandas()
     hi = np.maximum(tbl["u"].to_numpy(), tbl["v"].to_numpy())
     lo = np.minimum(tbl["u"].to_numpy(), tbl["v"].to_numpy())
     mapping: dict[int, int] = {}

@@ -6,10 +6,12 @@ Scale shapes:
   (the hash, not the full text, is what shuffles);
 - MinHash+LSH = per-batch shingle->signature (vectorized) -> explode to
   (band, band_hash, doc_id) rows -> groupby band bucket -> candidate
-  pairs -> exact-Jaccard verification. The only shuffled payload is
-  signatures, never documents;
-- embedding near-dup = broadcast matrix + per-batch matmul at test
-  scale; the LSH-bucketed variant in `similarity.py` is the scale path.
+  pairs -> exact-Jaccard verification via a Bloom-pruned distributed
+  text join (`_attach_pair_texts`) — signatures and candidate texts
+  shuffle, the corpus never materializes anywhere;
+- embedding near-dup = exact triangle block-pair self-join (bounded
+  per-task memory, no broadcast); `embedding_neardup_pairs_lsh` is the
+  sub-quadratic approximate path.
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ __all__ = [
     "ngram_jaccard",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -316,16 +319,74 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return _jaccard(set(_shingles(text_a, k)), set(_shingles(text_b, k)))
 
 
-def _broadcast_texts(docs: rd.Dataset):
-    """Collect doc_id -> text and broadcast once via ray.put (test
-    scale); at 100 TB verification becomes a hash join of candidate
-    pairs against documents on doc_id instead."""
-    texts: dict[int, str] = {}
-    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(
-            zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+def _attach_pair_texts(
+    pairs: rd.Dataset, docs: rd.Dataset, npart: int, n_bits: int = 1 << 22
+) -> rd.Dataset:
+    """Resolve candidate-pair texts distributively: (doc_a, doc_b) ->
+    (doc_a, doc_b, text_a, text_b).
+
+    The 100-TB shape (no whole-corpus driver collect anywhere):
+
+    1. a Bloom filter over the pair doc ids is built distributively
+       (fixed-size per-block bitsets OR-reduced — ids never leave their
+       block) and broadcast once;
+    2. the documents scan is pruned through the Bloom probe, so only
+       (a small superset of) the docs that appear in some candidate
+       pair survive — this small side materializes in the OBJECT STORE
+       (not the driver) because two joins consume it;
+    3. two native hash joins attach text_a then text_b. The shuffle
+       payload is candidate pairs + candidate texts (+ Bloom false
+       positives, rate (1-e^{-kn/m})^k); the corpus streams through the
+       probe untouched.
+
+    Ray's join keeps the LEFT key name when right_on differs, so the
+    right side's doc_id never collides; the right `text` column is
+    renamed between the joins.
+    """
+    from .sketch import build_bloom
+
+    def melt_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [
+                        df["doc_a"].to_numpy(dtype="int64"),
+                        df["doc_b"].to_numpy(dtype="int64"),
+                    ]
+                )
+            }
         )
-    return ray.put(texts)
+
+    bloom_ref = ray.put(
+        build_bloom(pairs.map_batches(melt_ids, batch_format="pandas"), "doc_id", n_bits)
+    )
+
+    class BloomProbe:
+        def __init__(self, ref):
+            self.bf = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            return df.loc[self.bf.contains(df["doc_id"].to_numpy(dtype="int64"))]
+
+    cand_docs = docs.map_batches(
+        BloomProbe, fn_constructor_args=(bloom_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    ).materialize()  # bounded by the candidate set; consumed by 2 joins
+
+    j1 = pairs.join(
+        cand_docs, join_type="inner", num_partitions=npart,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
+    )
+    return j1.join(
+        cand_docs, join_type="inner", num_partitions=npart,
+        on=("doc_b",), right_on=("doc_id",),
+    ).map_batches(
+        lambda df: df.rename(columns={"text": "text_b"}), batch_format="pandas"
+    )
 
 
 _EMPTY_PAIRS = {
@@ -431,29 +492,27 @@ def ngram_jaccard_pairs(
     globally in one block (dedup-late: no all-to-all on candidates).
 
     Unlike `minhash_lsh_pairs` (probabilistic recall), this matches the
-    brute-force oracle bit-for-bit. Texts for verification are broadcast
-    once via `ray.put` (test scale); at 100 TB the verifier becomes a
-    hash join of candidate pairs against documents on doc_id.
+    brute-force oracle bit-for-bit. Verification texts resolve through a
+    Bloom-pruned distributed hash join (`_attach_pair_texts`) — no
+    whole-corpus collect anywhere on the path.
     """
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
-    texts_ref = _broadcast_texts(docs)
 
     prefix = docs.map_batches(
         _prefix_rows, fn_kwargs={"k": k, "threshold": threshold}, batch_format="pandas"
     )
 
-    from ocrs_ray.pipeline import enable_hash_shuffle
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     enable_hash_shuffle(prefix)
-    # Dedup-late strategy: a pair can surface once per shared prefix
-    # token. Rather than an all-to-all over the full candidate set,
-    # dedup locally per block (free), verify the still-slightly-
-    # duplicated candidates (re-verification is bounded by the prefix
-    # length and amortized by the per-actor shingle memo), and hash-
-    # dedup only the verified survivors — the shuffle payload drops
-    # from the candidate set (the largest intermediate in this
-    # pipeline at corpus scale) to the verified pair set.
-    unique_pairs = prefix.repartition(8, keys=["token"]).map_batches(
+    npart = max(2, min(16, cluster_ncpu()))
+    # A pair can surface once per shared prefix token: dedup locally per
+    # block (free), then globally — the global pair dedup is an
+    # all-to-all over bare id pairs (16 B/row), far cheaper than letting
+    # duplicated candidates ride through the text-join + verify stages.
+    # The deduped candidate set materializes in the object store because
+    # two consumers read it (the Bloom build and the text join).
+    unique_pairs = prefix.repartition(npart, keys=["token"]).map_batches(
         _pairs_in_key_groups,
         fn_kwargs={"key_cols": ["token"]},
         batch_format="pandas",
@@ -464,46 +523,36 @@ def ngram_jaccard_pairs(
         batch_format="pandas",
         batch_size=None,
     )
+    unique_pairs = _dedup_small(unique_pairs, ["doc_a", "doc_b"]).materialize()
 
-    class ExactVerifier:
-        def __init__(self, ref, k, threshold):
-            self.texts = ray.get(ref)
-            self.k = k
-            # Integer threshold in micro-units: `inter/uni >= t` becomes
-            # `inter * 1e6 >= t_micro * uni`, exact in int arithmetic
-            # (matches the SQL oracle's integer comparison bit-for-bit).
-            self.t_micro = int(round(threshold * 1_000_000))
-            # Per-actor shingle-set memo: docs recur across pairs (and
-            # duplicated candidates recur across blocks under the
-            # dedup-late strategy), so re-shingling is the dominant
-            # verify cost without this.
-            self._memo: dict[int, frozenset] = {}
+    # Integer threshold in micro-units: `inter/uni >= t` becomes
+    # `inter * 1e6 >= t_micro * uni`, exact in int arithmetic (matches
+    # the SQL oracle's integer comparison bit-for-bit).
+    t_micro = int(round(threshold * 1_000_000))
 
-        def _sh(self, doc: int) -> frozenset:
-            s = self._memo.get(doc)
-            if s is None:
-                s = frozenset(_shingles(self.texts[doc], self.k))
-                self._memo[doc] = s
-            return s
+    def exact_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        # Per-batch shingle memo: docs recur across the pairs of one
+        # block (clique members arrive co-partitioned by doc_a).
+        memo: dict[int, frozenset] = {}
+        keep = []
+        for a, b, ta, tb in zip(
+            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+        ):
+            sa = memo.get(a)
+            if sa is None:
+                sa = memo[a] = frozenset(_shingles(ta, k))
+            sb = memo.get(b)
+            if sb is None:
+                sb = memo[b] = frozenset(_shingles(tb, k))
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            keep.append(inter * 1_000_000 >= t_micro * uni)
+        return batch.loc[np.asarray(keep, dtype=bool), ["doc_a", "doc_b"]]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if batch.empty:
-                return batch[["doc_a", "doc_b"]]
-            keep = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = self._sh(a), self._sh(b)
-                inter = len(sa & sb)
-                uni = len(sa) + len(sb) - inter
-                keep.append(inter * 1_000_000 >= self.t_micro * uni)
-            return batch.loc[np.asarray(keep, dtype=bool), ["doc_a", "doc_b"]]
-
-    verified = unique_pairs.map_batches(
-        ExactVerifier,
-        fn_constructor_args=(texts_ref, k, threshold),
-        batch_format="pandas",
-        concurrency=(1, 2),
-    )
-    return _dedup_small(verified, ["doc_a", "doc_b"])
+    with_texts = _attach_pair_texts(unique_pairs, docs, npart)
+    return with_texts.map_batches(exact_verify, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
@@ -512,13 +561,12 @@ def minhash_lsh_pairs(
     """Verified near-duplicate pairs via MinHash+LSH banding.
 
     Candidate generation shuffles only (band_hash, doc_id) rows; the
-    final exact-Jaccard verification resolves texts from a broadcast
-    lookup (test scale) — at 100 TB this becomes a hash join of the
-    candidate pairs against the documents table on doc_id.
+    final exact-Jaccard verification resolves texts through the
+    Bloom-pruned distributed hash join (`_attach_pair_texts`) — no
+    whole-corpus collect anywhere on the path.
     """
     cfg = cfg or MinHashConfig()
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
-    texts_ref = _broadcast_texts(docs)
 
     sigs = docs.map_batches(
         MinHasher, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 2)
@@ -527,13 +575,14 @@ def minhash_lsh_pairs(
         _band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
 
-    from ocrs_ray.pipeline import enable_hash_shuffle
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     enable_hash_shuffle(bands)
-    # Dedup-late (see ngram_jaccard_pairs): local per-block dedup, then
-    # global dedup of the small verified set — duplicate factor bounded
-    # by the number of matching bands.
-    unique_pairs = bands.repartition(8, keys=["band_hash"]).map_batches(
+    npart = max(2, min(16, cluster_ncpu()))
+    # A pair can surface once per matching band: dedup locally per
+    # block (free), then globally over bare id pairs, BEFORE the text
+    # join — each surviving pair ships texts and verifies exactly once.
+    unique_pairs = bands.repartition(npart, keys=["band_hash"]).map_batches(
         _pairs_in_key_groups,
         fn_kwargs={"key_cols": ["band_id", "band_hash"]},
         batch_format="pandas",
@@ -544,37 +593,31 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         batch_size=None,
     )
+    unique_pairs = _dedup_small(unique_pairs, ["doc_a", "doc_b"]).materialize()
 
-    class Verifier:
-        def __init__(self, ref, k, threshold):
-            self.texts = ray.get(ref)
-            self.k = k
-            self.threshold = threshold
-            self._memo: dict[int, frozenset] = {}
+    k, threshold = cfg.shingle_size, cfg.jaccard_threshold
 
-        def _sh(self, doc: int) -> frozenset:
-            s = self._memo.get(doc)
-            if s is None:
-                s = frozenset(_shingles(self.texts[doc], self.k))
-                self._memo[doc] = s
-            return s
+    def jaccard_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS, "jaccard": pd.Series([], dtype="float64")})
+        memo: dict[int, frozenset] = {}
+        jac = []
+        for a, b, ta, tb in zip(
+            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+        ):
+            sa = memo.get(a)
+            if sa is None:
+                sa = memo[a] = frozenset(_shingles(ta, k))
+            sb = memo.get(b)
+            if sb is None:
+                sb = memo[b] = frozenset(_shingles(tb, k))
+            jac.append(_jaccard(sa, sb))
+        batch = batch.assign(jaccard=jac)
+        out = batch[batch["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                _jaccard(self._sh(a), self._sh(b))
-                for a, b in zip(batch["doc_a"], batch["doc_b"])
-            ]
-            batch = batch.assign(jaccard=jac)
-            out = batch[batch["jaccard"] >= self.threshold]
-            return out[["doc_a", "doc_b", "jaccard"]]
-
-    verified = unique_pairs.map_batches(
-        Verifier,
-        fn_constructor_args=(texts_ref, cfg.shingle_size, cfg.jaccard_threshold),
-        batch_format="pandas",
-        concurrency=(1, 2),
-    )
-    return _dedup_small(verified, ["doc_a", "doc_b"])
+    with_texts = _attach_pair_texts(unique_pairs, docs, npart)
+    return with_texts.map_batches(jaccard_verify, batch_format="pandas")
 
 
 def simhash64(sf_dir: str) -> rd.Dataset:
@@ -601,55 +644,211 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
-    """Pairs of embeddings with cosine similarity >= threshold.
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.4, n_blocks: int | None = None
+) -> rd.Dataset:
+    """EXACT pairs of embeddings with cosine similarity >= threshold,
+    as a triangle block-pair self-join — no driver materialization and
+    no full-matrix broadcast anywhere.
 
-    Test-scale implementation: broadcast the (unit-normalized) matrix,
-    per-batch float64 matmul against it. The LSH-bucketed variant in
-    `similarity.py` covers the case where the matrix no longer fits.
+    Shape: every vector hashes to one of B blocks and is replicated to
+    the B block-pair buckets (i, j) containing its block (triangle of
+    B(B+1)/2 buckets); a hash repartition on the bucket id co-locates
+    each bucket, and the per-block kernel matmuls the two sub-blocks
+    (upper triangle for the diagonal bucket). Each unordered pair is
+    computed in exactly ONE bucket, so the output needs no dedup and
+    matches the brute-force oracle bit-for-bit.
+
+    Scale: the work is inherently O(N^2/B^2) per bucket x B^2 buckets
+    (exactness at a cosine threshold cannot beat all-pairs); what this
+    buys at 100 TB is bounded memory — a task holds 2 blocks of N/B
+    vectors (choose B so N/B x dim fits a worker heap; replication
+    shuffle volume is B x N x dim) — and full-cluster parallelism.
+    `embedding_neardup_pairs_lsh` is the sub-quadratic approximate path.
     """
-    import pyarrow.parquet as pq
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
-    table = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    ref = ray.put((ids, unit))
+    B = n_blocks or max(2, min(8, cluster_ncpu() // 2))
+    npart = max(2, min(16, cluster_ncpu()))
 
-    class PairFinder:
-        def __init__(self, ref, threshold):
-            self.ids, self.unit = ray.get(ref)
-            self.threshold = threshold
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.linalg.norm(emb, axis=1)
-            n[n == 0] = 1.0
-            sims = (emb / n[:, None]) @ self.unit.T
-            rows, cols = np.nonzero(sims >= self.threshold)
-            # Emit each unordered pair once (a < b).
-            a = vid[rows]
-            b = self.ids[cols]
-            keep = a < b
+    def replicate(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if len(vid) == 0:
             return pa.table(
                 {
-                    "vec_a": pa.array(a[keep], type=pa.int64()),
-                    "vec_b": pa.array(b[keep], type=pa.int64()),
+                    "pb": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "blk": pa.array([], type=pa.int64()),
+                    "unit": pa.array([], type=pa.list_(pa.float64())),
                 }
             )
+        n = np.linalg.norm(emb, axis=1)
+        n[n == 0] = 1.0
+        unit = emb / n[:, None]
+        with np.errstate(over="ignore"):
+            blk = (
+                (vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(B)
+        blk = blk.astype(np.int64)
+        others = np.arange(B, dtype=np.int64)
+        i = np.minimum(blk[:, None], others[None, :])
+        j = np.maximum(blk[:, None], others[None, :])
+        return pa.table(
+            {
+                "pb": pa.array((i * B + j).ravel(), type=pa.int64()),
+                "vec_id": pa.array(np.repeat(vid, B), type=pa.int64()),
+                "blk": pa.array(np.repeat(blk, B), type=pa.int64()),
+                "unit": pa.array(
+                    np.repeat(unit, B, axis=0).tolist(), type=pa.list_(pa.float64())
+                ),
+            }
+        )
 
-    return rd.read_parquet(
+    _EMPTY = {
+        "vec_a": pd.Series([], dtype="int64"),
+        "vec_b": pd.Series([], dtype="int64"),
+    }
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        out_a, out_b = [], []
+        for pb, grp in df.groupby("pb", sort=False):
+            i, j = divmod(int(pb), B)
+            ids = grp["vec_id"].to_numpy(dtype="int64")
+            blk = grp["blk"].to_numpy(dtype="int64")
+            unit = np.stack(grp["unit"].to_numpy())
+            if i == j:
+                sims = unit @ unit.T
+                r, c = np.nonzero(sims >= threshold)
+                a, b = ids[r], ids[c]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+            else:
+                ai, aj = blk == i, blk == j
+                if not ai.any() or not aj.any():
+                    continue
+                sims = unit[ai] @ unit[aj].T
+                r, c = np.nonzero(sims >= threshold)
+                u, v = ids[ai][r], ids[aj][c]
+                out_a.append(np.minimum(u, v))
+                out_b.append(np.maximum(u, v))
+        if not out_a:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    rep = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(
-        PairFinder,
-        fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 2),
+    ).map_batches(replicate, batch_format="pyarrow", batch_size=2048)
+    enable_hash_shuffle(rep)
+    return rep.repartition(npart, keys=["pb"]).map_batches(
+        block_pairs, batch_format="pandas", batch_size=None
     )
+
+
+def embedding_neardup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 23,
+) -> rd.Dataset:
+    """APPROXIMATE cosine near-dup pairs via random-hyperplane LSH
+    banding — the sub-quadratic scale path next to the exact
+    `embedding_neardup_pairs`.
+
+    Each vector lands in `n_tables` sign-pattern buckets (Charikar
+    2002: P[same bit] = 1 - theta/pi, so a pair at cosine >= t collides
+    in >= 1 of T tables with prob 1 - (1 - p^b)^T — tune (b, T) to the
+    threshold: the 4x16 default gives ~0.94 expected recall at t=0.4,
+    higher at tighter thresholds); candidate pairs are
+    enumerated per bucket after a hash repartition, deduped, and
+    verified with the exact cosine via the same Bloom-join-free
+    co-located kernel — verification ships only candidate vectors.
+    Recall vs the exact op is pinned in tests (rows-only for the
+    driver: recall < 1 by design).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if len(vid) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "unit": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        n = np.linalg.norm(emb, axis=1)
+        n[n == 0] = 1.0
+        unit = emb / n[:, None]
+        # Planes are a pure function of (seed, dim): every task derives
+        # the same ones locally — nothing is broadcast.
+        local_rng = np.random.default_rng(seed)
+        planes = local_rng.standard_normal((n_tables, n_planes, emb.shape[1]))
+        cols_b, cols_v, cols_u = [], [], []
+        for t in range(n_tables):
+            signs = (unit @ planes[t].T) > 0
+            b = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            cols_b.append(t * (1 << n_planes) + b)
+            cols_v.append(vid)
+            cols_u.append(unit)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(cols_b), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(cols_v), type=pa.int64()),
+                "unit": pa.array(
+                    np.concatenate(cols_u, axis=0).tolist(),
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    _EMPTY = {
+        "vec_a": pd.Series([], dtype="int64"),
+        "vec_b": pd.Series([], dtype="int64"),
+    }
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket exact cosine verify; pairs dedup downstream
+        (a pair can collide in several tables)."""
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        out_a, out_b = [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy(dtype="int64")
+            unit = np.stack(grp["unit"].to_numpy())
+            sims = unit @ unit.T
+            r, c = np.nonzero(sims >= threshold)
+            a, b = ids[r], ids[c]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    rows = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(bucket_rows, batch_format="pyarrow", batch_size=2048)
+    enable_hash_shuffle(rows)
+    pairs = rows.repartition(npart, keys=["bucket"]).map_batches(
+        bucket_pairs, batch_format="pandas", batch_size=None
+    )
+    return _dedup_small(pairs, ["vec_a", "vec_b"], partitions=npart)
 
 
 @ray.remote(num_cpus=0)

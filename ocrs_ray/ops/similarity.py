@@ -38,12 +38,75 @@ __all__ = [
 
 
 def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Full-table driver read — TEST/REFERENCE USE ONLY (brute-force
+    baselines in tests/). No corpus-path operator calls this; the ops
+    below prepare queries/samples with `_query_vectors` /
+    `_stream_head_sample`, which stay bounded at any corpus size."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     return ids, mat
+
+
+def _query_vectors(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The `n_queries` smallest vec_ids and their embeddings WITHOUT a
+    full-table driver read: pass 1 streams only the vec_id column
+    (distributed per-block bottom-k partials, tiny driver reduce of
+    blocks x n_queries ids); pass 2 re-reads just those rows through a
+    pushdown filter (parquet row-group pruning). Driver memory is
+    O(n_queries), independent of the corpus."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def partial_bottomk(t: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64))
+        return pa.table({"vec_id": pa.array(v[:n_queries], type=pa.int64())})
+
+    parts = (
+        rd.read_parquet(path, columns=["vec_id"])
+        .map_batches(partial_bottomk, batch_format="pyarrow")
+        .take_all()
+    )
+    q_ids = np.sort(np.array([r["vec_id"] for r in parts], dtype=np.int64))[:n_queries]
+    tbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", q_ids.tolist())],
+    )
+    vid = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(vid)
+    return vid[order], emb[order]
+
+
+def _stream_head_sample(sf_dir: str, want: int) -> np.ndarray:
+    """Deterministic bounded sample: stream row groups in file order
+    until `want` rows — never loads the full table (same idiom as
+    `kmeans_embeddings` init)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    frames, got = [], 0
+    for rb in pf.iter_batches(batch_size=want, columns=["embedding"]):
+        frames.append(rb)
+        got += rb.num_rows
+        if got >= want:
+            break
+    return np.array(
+        [e for rb in frames for e in rb.column("embedding").to_pylist()][:want],
+        dtype=np.float64,
+    )
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rb = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(rb.column("embedding")[0].as_py())
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -77,12 +140,11 @@ def ann_topk_bruteforce(
     corpus computes a vectorized sims block and emits its local top-k
     candidates; a final small groupby keeps the global top-k. Ties break
     on neighbor id ascending (pinned so the SQL oracle matches).
+    Query prep is the bounded two-pass `_query_vectors` — the corpus is
+    never loaded on the driver.
     """
-    ids, mat = load_embedding_matrix(sf_dir)
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids = ids[q_idx]
-    q_unit = _unit(mat[q_idx])
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
     ref = ray.put((q_ids, q_unit))
 
     class LocalTopK:
@@ -160,17 +222,14 @@ def ann_topk_lsh(
     Each vector lands in `n_tables` sign-pattern buckets; only buckets
     containing a query are scanned. Recall is approximate by design —
     validated against the brute-force baseline in tests, not an SQL
-    oracle.
+    oracle. Query prep via bounded `_query_vectors`; the planes are a
+    pure function of (seed, dim).
     """
-    ids, mat = load_embedding_matrix(sf_dir)
-    unit = _unit(mat)
-    dim = unit.shape[1]
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
+    dim = q_unit.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
-
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids, q_unit = ids[q_idx], unit[q_idx]
 
     def bucket_of(vecs: np.ndarray, t: int) -> np.ndarray:
         signs = (vecs @ planes[t].T) > 0
@@ -267,15 +326,14 @@ def ann_topk_ivf(
     `nprobe` cells nearest the query; candidates reduce through the
     same local-top-k + single-block finalize as the exact baseline.
     Recall is tunable via nprobe; nprobe == nlist is exactly brute
-    force.
+    force. Query prep via bounded `_query_vectors`; training streams a
+    bounded head sample (`_stream_head_sample`) — the full table never
+    reaches the driver.
     """
-    ids, mat = load_embedding_matrix(sf_dir)
-    unit = _unit(mat)
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids, q_unit = ids[q_idx], unit[q_idx]
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
 
-    sample = unit[np.sort(order[:train_sample])] if train_sample < len(unit) else unit
+    sample = _unit(_stream_head_sample(sf_dir, train_sample))
     cents = spherical_kmeans(sample, min(nlist, len(sample)), seed=seed)
     # Cells each query probes: nprobe nearest centroids.
     q_cells = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
@@ -614,13 +672,11 @@ def ann_topk_int8(
     Same broadcast-query / local-top-k / tiny-final-reduce shape as
     `ann_topk_bruteforce`; at corpus scale the quantized codes would be
     precomputed once (`embedding_quantize_int8` output) instead of
-    per batch — kept inline here so the op is self-contained.
+    per batch — kept inline here so the op is self-contained. Query
+    prep via bounded `_query_vectors`.
     """
-    ids, mat = load_embedding_matrix(sf_dir)
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids = ids[q_idx]
-    q_unit = _unit(mat[q_idx])
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
     ref = ray.put((q_ids, q_unit))
 
     class QuantizedTopK:

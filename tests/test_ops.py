@@ -170,6 +170,24 @@ def test_minhash_lsh_pairs_verified_subset(ray_session):
     assert strong <= found
 
 
+def test_embedding_neardup_lsh_recall(ray_session):
+    """The banded LSH scale path: perfect precision (exact cosine
+    verify per bucket) and recall >= 0.8 vs the exact triangle join at
+    the 4-plane x 16-table default (expected ~0.94 at t=0.4)."""
+    from ocrs_ray.ops.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    exact = embedding_neardup_pairs(SF).to_pandas()
+    lsh = embedding_neardup_pairs_lsh(SF).to_pandas()
+    eset = set(zip(exact.vec_a, exact.vec_b))
+    lset = set(zip(lsh.vec_a, lsh.vec_b))
+    assert lset <= eset  # verified pairs only — no false positives
+    assert len(lset & eset) / max(1, len(eset)) >= 0.8
+    assert not lsh.duplicated(["vec_a", "vec_b"]).any()
+
+
 def test_ann_bruteforce_matches_numpy(ray_session):
     from ocrs_ray.ops.similarity import ann_topk_bruteforce, load_embedding_matrix
 
