@@ -179,7 +179,179 @@ def corpus_paths(root: str) -> dict[str, str]:
         "spans": os.path.join(root, "spans.parquet"),
         "media": os.path.join(root, "media.parquet"),
         "expected_flat": os.path.join(root, "expected_flat.parquet"),
+        "expected_flat_beam": os.path.join(root, "expected_flat_beam.parquet"),
+        "expected_layout": os.path.join(root, "expected_layout.parquet"),
+        "expected_media_features": os.path.join(
+            root, "expected_media_features.parquet"
+        ),
+        "expected_thumbnails": os.path.join(root, "expected_thumbnails.parquet"),
+        "expected_ahash_neardup": os.path.join(
+            root, "expected_ahash_neardup.parquet"
+        ),
+        "expected_ahash_survivors": os.path.join(
+            root, "expected_ahash_survivors.parquet"
+        ),
+        "expected_video_frames": os.path.join(
+            root, "expected_video_frames.parquet"
+        ),
     }
+
+
+def _media_payloads(media: pa.Table):
+    cols = [
+        media.column(c).to_pylist()
+        for c in ("media_ref", "image", "height", "width", "channels", "format")
+    ]
+    for ref, *payload in zip(*cols):
+        yield ref, tuple(payload)
+
+
+def _golden_media_tables(
+    media: pa.Table, expected_flat: pa.Table, max_hamming: int = 2
+) -> dict[str, pa.Table]:
+    """Single-process golden outputs for the media-derived driver
+    queries — the same golden-update pattern as ``expected_flat``
+    (reference /root/reference/tools/test-e2e.py:68-71), computed once
+    per corpus with NO Ray: direct kernel application per template,
+    brute-force all-pairs hamming (banding-free, so it independently
+    pins the distributed op's lossless-blocking claim) and a plain
+    union-find for survivors."""
+    import hashlib
+    import json
+
+    from .ops.multimodal import (
+        MediaAHasher,
+        MediaFeatureExtractor,
+        MediaThumbnailer,
+        VideoFrameSampler,
+    )
+    from .output import ocr_json
+    from .pipeline import decode_media
+
+    out: dict[str, pa.Table] = {}
+    out["expected_media_features"] = MediaFeatureExtractor()(media)
+
+    thumbs = MediaThumbnailer()(media)
+    out["expected_thumbnails"] = pa.table(
+        {
+            "media_ref": thumbs.column("media_ref"),
+            "height": thumbs.column("height"),
+            "width": thumbs.column("width"),
+            "thumb_md5": pa.array(
+                [
+                    hashlib.md5(b).hexdigest()
+                    for b in thumbs.column("image").to_pylist()
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+
+    out["expected_video_frames"] = VideoFrameSampler()(media).drop_columns(
+        ["frame"]
+    )
+
+    # Brute-force aHash near-dup pairs + min-label survivors.
+    hasher = MediaAHasher()
+    refs, hashes = [], []
+    for ref, payload in _media_payloads(media):
+        refs.append(ref)
+        hashes.append(hasher.hash_one(payload))
+    order = np.argsort(np.asarray(refs, dtype=object))
+    refs = [refs[i] for i in order]
+    hashes = [hashes[i] for i in order]
+    pa_a, pa_b, pa_d = [], [], []
+    parent = {r: r for r in refs}
+
+    def find(r: str) -> str:
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for i in range(len(refs)):
+        for j in range(i + 1, len(refs)):
+            d = int(bin(hashes[i] ^ hashes[j]).count("1"))
+            if d <= max_hamming:
+                pa_a.append(refs[i])
+                pa_b.append(refs[j])
+                pa_d.append(d)
+                ra, rb = find(refs[i]), find(refs[j])
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    out["expected_ahash_neardup"] = pa.table(
+        {
+            "media_a": pa.array(pa_a, type=pa.string()),
+            "media_b": pa.array(pa_b, type=pa.string()),
+            "hamming": pa.array(pa_d, type=pa.int64()),
+        }
+    )
+    out["expected_ahash_survivors"] = pa.table(
+        {
+            "media_ref": pa.array(
+                [r for r in refs if find(r) == r], type=pa.string()
+            )
+        }
+    )
+
+    # Layout JSON golden (S6 sink) per media span: the layout is a pure
+    # function of the template, joined across the span structure.
+    engine = make_engine()
+    layout_by_ref: dict[str, str] = {}
+    for ref, payload in _media_payloads(media):
+        img = decode_media(payload)
+        inp = engine.prepare_input(img, order="hwc")
+        words = engine.detect_words(inp)
+        lines = engine.find_text_lines(inp, words)
+        text_lines = engine.recognize_text(inp, lines)
+        doc = ocr_json(ref, (img.shape[0], img.shape[1]), text_lines)
+        layout_by_ref[ref] = json.dumps(
+            doc, sort_keys=True, separators=(",", ":")
+        )
+    flat = expected_flat
+    is_media = np.asarray(flat.column("kind").to_pylist(), dtype=object) == "media"
+    media_rows = flat.filter(pa.array(is_media))
+    out["expected_layout"] = pa.table(
+        {
+            "doc_id": media_rows.column("doc_id"),
+            "offset": media_rows.column("offset"),
+            "media_ref": media_rows.column("media_ref"),
+            "layout_json": pa.array(
+                [
+                    layout_by_ref[r]
+                    for r in media_rows.column("media_ref").to_pylist()
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+
+    # Beam-decode flat golden: only media-span texts change vs greedy.
+    beam_engine = make_engine(decode_method="beam")
+    beam_by_ref = {
+        ref: beam_engine.get_text(
+            beam_engine.prepare_input(decode_media(payload), order="hwc")
+        )
+        for ref, payload in _media_payloads(media)
+    }
+    texts = flat.column("text").to_pylist()
+    frefs = flat.column("media_ref").to_pylist()
+    kinds = flat.column("kind").to_pylist()
+    beam_texts = [
+        beam_by_ref[r] if k == "media" else t
+        for t, r, k in zip(texts, frefs, kinds)
+    ]
+    out["expected_flat_beam"] = pa.table(
+        {
+            "doc_id": flat.column("doc_id"),
+            "offset": flat.column("offset"),
+            "kind": flat.column("kind"),
+            "text": pa.array(beam_texts, type=pa.string()),
+            "media_ref": flat.column("media_ref"),
+        }
+    )
+    return out
 
 
 def generate_corpus(
@@ -224,6 +396,8 @@ def generate_corpus(
                 row_group_size=row_group_docs,
             )
     pq.write_table(expected, paths["expected_flat"], row_group_size=row_group_docs * 4)
+    for name, tbl in _golden_media_tables(media, expected).items():
+        pq.write_table(tbl, paths[name])
     return paths
 
 
@@ -236,9 +410,10 @@ def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
 
     paths = corpus_paths(root)
     manifest = os.path.join(root, "corpus_params.json")
-    # layout=2: sharded spans directory (one file per read task);
-    # bumping it invalidates cached single-file corpora.
-    params = {"n_docs": n_docs, "layout": 2, **{k: kwargs[k] for k in sorted(kwargs)}}
+    # layout=3: sharded spans directory (one file per read task) plus
+    # the media/layout/beam golden tables; bumping it invalidates
+    # cached corpora missing them.
+    params = {"n_docs": n_docs, "layout": 3, **{k: kwargs[k] for k in sorted(kwargs)}}
     try:
         if all(os.path.exists(p) for p in paths.values()):
             with open(manifest) as f:

@@ -36,10 +36,15 @@ def oracle_con():
 def test_query_matches_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as entry
 
-    # The ocr_* oracles compare against the deterministic golden that
-    # their queries generate under the sf0.01 corpus key (the driver's
-    # gate scale); the table-backed oracles run at sf0.001 for speed.
-    sf = "/root/testdata/sf0.01" if name.startswith("ocr_") else SF
+    # The ocr_*/media_*/video_* oracles compare against deterministic
+    # goldens that their queries generate under the sf0.01 corpus key
+    # (the driver's gate scale); table-backed oracles run at sf0.001
+    # for speed.
+    sf = (
+        "/root/testdata/sf0.01"
+        if name.startswith(("ocr_", "media_", "video_"))
+        else SF
+    )
     res = entry.queries()[name](sf)
     out = res.to_pandas() if hasattr(res, "to_pandas") else res
     exp = oracle_con.execute(entry.oracle_sql()[name]).df()

@@ -84,6 +84,23 @@ def test_ctc_beam_invariants(scores, width):
     assert all(0 <= s.pos < len(scores) for s in steps)
 
 
+@given(score_matrices(), st.integers(min_value=1, max_value=12))
+@settings(max_examples=100, deadline=None)
+def test_ctc_beam_matches_reference_impl(scores, width):
+    """Differential test: the vectorized beam search is bit-identical
+    to the dict-of-prefix-tuples textbook implementation."""
+    from ocrs_ray.ctc import _decode_beam_reference, decode_beam
+
+    if len(scores):
+        logp = scores - scores.max(axis=1, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
+    else:
+        logp = scores
+    fast = [(s.pos, s.label) for s in decode_beam(logp, beam_width=width)]
+    ref = [(s.pos, s.label) for s in _decode_beam_reference(logp, beam_width=width)]
+    assert fast == ref
+
+
 @given(
     st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=16),
     st.integers(min_value=2, max_value=16),
