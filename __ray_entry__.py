@@ -328,6 +328,62 @@ def _media_thumbnails(sf_dir: str):
     )
 
 
+def _digest_cols(ds, blob_cols: dict[str, str]):
+    """Reduce binary payload columns to md5 digests for stable
+    value-compare against the corpus goldens."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def digest(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.schema.names:
+            if name in blob_cols:
+                cols[blob_cols[name]] = pa.array(
+                    [
+                        hashlib.md5(b).hexdigest()
+                        for b in batch.column(name).to_pylist()
+                    ],
+                    type=pa.string(),
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def _ocr_annotated(sf_dir: str):
+    """S7 annotated-image sink (polygon outlines rasterized over the
+    input); blobs reduced to md5 against the single-process golden."""
+    from ocrs_ray.sinks import annotated_media
+
+    return _digest_cols(
+        annotated_media(_corpus_for(sf_dir)["media"]), {"image": "image_md5"}
+    )
+
+
+def _ocr_text_maps(sf_dir: str):
+    """S8 probability-map/mask sink, digested."""
+    from ocrs_ray.sinks import ocr_text_maps
+
+    return _digest_cols(
+        ocr_text_maps(_corpus_for(sf_dir)["media"]),
+        {"text_map": "text_map_md5", "text_mask": "text_mask_md5"},
+    )
+
+
+def _ocr_line_images(sf_dir: str):
+    """S8 preprocessed-line-crop sink (one row per detected line),
+    digested."""
+    from ocrs_ray.sinks import ocr_line_images
+
+    return _digest_cols(
+        ocr_line_images(_corpus_for(sf_dir)["media"]),
+        {"line_image": "line_image_md5"},
+    )
+
+
 def _video_frames(sf_dir: str):
     """Frame sampling fan-out (deterministic fake decode; see
     ocrs_ray/ops/multimodal.py docstring)."""
@@ -434,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash_neardup": _media_ahash_neardup,
         "media_ahash_survivors": _media_ahash_survivors,
         "video_frames": _video_frames,
+        "ocr_annotated": _ocr_annotated,
+        "ocr_text_maps": _ocr_text_maps,
+        "ocr_line_images": _ocr_line_images,
     }
     try:
         from ocrs_ray.ops import registry as ops_registry
@@ -480,6 +539,18 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": (
             f"SELECT media_ref, frame_index, height, width "
             f"FROM read_parquet('{g('expected_video_frames')}')"
+        ),
+        "ocr_annotated": (
+            f"SELECT media_ref, image_md5, height, width, channels, format "
+            f"FROM read_parquet('{g('expected_annotated')}')"
+        ),
+        "ocr_text_maps": (
+            f"SELECT media_ref, map_height, map_width, text_map_md5, "
+            f"text_mask_md5 FROM read_parquet('{g('expected_text_maps')}')"
+        ),
+        "ocr_line_images": (
+            f"SELECT media_ref, line_index, height, width, line_image_md5 "
+            f"FROM read_parquet('{g('expected_line_images')}')"
         ),
         "ocr_pipeline_flat": (
             f'SELECT doc_id, "offset", kind, text, media_ref '

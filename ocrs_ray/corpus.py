@@ -194,6 +194,11 @@ def corpus_paths(root: str) -> dict[str, str]:
         "expected_video_frames": os.path.join(
             root, "expected_video_frames.parquet"
         ),
+        "expected_annotated": os.path.join(root, "expected_annotated.parquet"),
+        "expected_text_maps": os.path.join(root, "expected_text_maps.parquet"),
+        "expected_line_images": os.path.join(
+            root, "expected_line_images.parquet"
+        ),
     }
 
 
@@ -293,6 +298,41 @@ def _golden_media_tables(
                 [r for r in refs if find(r) == r], type=pa.string()
             )
         }
+    )
+
+    # Debug/annotation sink goldens (S7/S8): the sink processors are
+    # plain callables over a media table, so the golden IS one
+    # single-process application per template, digested to md5.
+    from .sinks import (
+        AnnotatedImageProcessor,
+        LineImageProcessor,
+        TextMapProcessor,
+    )
+
+    def _digest(tbl: pa.Table, blob_cols: dict[str, str]) -> pa.Table:
+        cols = {}
+        for name in tbl.schema.names:
+            if name in blob_cols:
+                cols[blob_cols[name]] = pa.array(
+                    [
+                        hashlib.md5(b).hexdigest()
+                        for b in tbl.column(name).to_pylist()
+                    ],
+                    type=pa.string(),
+                )
+            else:
+                cols[name] = tbl.column(name)
+        return pa.table(cols)
+
+    out["expected_annotated"] = _digest(
+        AnnotatedImageProcessor()(media), {"image": "image_md5"}
+    )
+    out["expected_text_maps"] = _digest(
+        TextMapProcessor()(media),
+        {"text_map": "text_map_md5", "text_mask": "text_mask_md5"},
+    )
+    out["expected_line_images"] = _digest(
+        LineImageProcessor()(media), {"line_image": "line_image_md5"}
     )
 
     # Layout JSON golden (S6 sink) per media span: the layout is a pure
@@ -410,10 +450,10 @@ def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
 
     paths = corpus_paths(root)
     manifest = os.path.join(root, "corpus_params.json")
-    # layout=3: sharded spans directory (one file per read task) plus
-    # the media/layout/beam golden tables; bumping it invalidates
+    # layout=4: sharded spans directory (one file per read task) plus
+    # the media/layout/beam/sink golden tables; bumping it invalidates
     # cached corpora missing them.
-    params = {"n_docs": n_docs, "layout": 3, **{k: kwargs[k] for k in sorted(kwargs)}}
+    params = {"n_docs": n_docs, "layout": 4, **{k: kwargs[k] for k in sorted(kwargs)}}
     try:
         if all(os.path.exists(p) for p in paths.values()):
             with open(manifest) as f:
