@@ -39,6 +39,12 @@ class OcrEngineParams:
     alphabet: str | None = None
     allowed_chars: str | None = None
     detector_params: TextDetectorParams = field(default_factory=TextDetectorParams)
+    #: Drop recognized lines whose text is this many chars or shorter —
+    #: the "likely spurious detections" filter from the reference's
+    #: example pipeline (/root/reference/ocrs/examples/hello_ocr.rs:85-91,
+    #: `len() > 1` there == min_line_chars=1 here). 0 disables (M16 is
+    #: optional and off by default, matching the engine proper).
+    min_line_chars: int = 0
 
 
 @dataclass
@@ -64,6 +70,7 @@ class OcrEngine:
         self.debug = params.debug
         self.decode_method = params.decode_method
         self.beam_width = params.beam_width
+        self.min_line_chars = params.min_line_chars
 
         self.excluded_char_labels: list[int] | None = None
         if params.allowed_chars is not None:
@@ -129,4 +136,9 @@ class OcrEngine:
         words = self.detect_words(input)
         lines = self.find_text_lines(input, words)
         recognized = self.recognize_text(input, lines)
-        return "\n".join(str(line) for line in recognized if line is not None)
+        return "\n".join(
+            str(line)
+            for line in recognized
+            if line is not None
+            and (not self.min_line_chars or len(str(line)) > self.min_line_chars)
+        )

@@ -153,3 +153,36 @@ def test_ctc_beam_matches_greedy_on_peaked_scores():
     b = decode_beam(scores, beam_width=100)
     assert [s.label for s in g] == [3, 2, 5, 1]
     assert [s.label for s in b] == [s.label for s in g]
+
+
+def test_min_line_chars_filters_spurious_lines():
+    """M16: the optional spurious-line filter from the reference
+    example (hello_ocr.rs:85-91) drops lines at or below the length
+    threshold; off by default."""
+    import numpy as np
+
+    from ocrs_ray.engine import OcrEngine, OcrEngineParams
+    from ocrs_ray.models import (
+        FakeDetectionModel,
+        FakeRecognitionModel,
+        make_fake_alphabet,
+    )
+
+    img = np.zeros((100, 200, 1), dtype=np.uint8)
+    img[30:50, 0:50] = 255  # one short line (decodes to a single char)
+
+    def build(min_chars):
+        return OcrEngine(
+            OcrEngineParams(
+                detection_model=FakeDetectionModel(),
+                recognition_model=FakeRecognitionModel(),
+                alphabet=make_fake_alphabet(),
+                min_line_chars=min_chars,
+            )
+        )
+
+    default = build(0)
+    text = default.get_text(default.prepare_input(img, order="hwc"))
+    assert text != ""  # off by default: short line kept
+    filtered = build(len(text))
+    assert filtered.get_text(filtered.prepare_input(img, order="hwc")) == ""
