@@ -102,13 +102,20 @@ def pretrain_data_prep(
         split = np.where(nibble < 12, "train", np.where(nibble < 14, "val", "test"))
         n = df["n_tokens"].to_numpy()
         n_chunks = np.where(n == 0, 0, (np.maximum(n, 1) - 1) // stride + 1)
-        chunk_tokens = np.array(
-            [
-                sum(min(chunk_size, int(nt) - i * stride) for i in range(int(c)))
-                for nt, c in zip(n, n_chunks)
-            ],
-            dtype="int64",
-        )
+        # sum_{i<c} min(chunk_size, n - i*stride), closed form: the
+        # first f chunks are full (n - i*stride >= chunk_size <=>
+        # i <= (n - chunk_size)/stride), the rest are the arithmetic
+        # tail sum (c-f)*n - stride*(f + ... + c-1).
+        full = np.where(
+            n >= chunk_size, (n - chunk_size) // stride + 1, 0
+        ).astype("int64")
+        full = np.minimum(full, n_chunks)
+        tail = n_chunks - full
+        chunk_tokens = (
+            full * chunk_size
+            + tail * n
+            - stride * (tail * full + tail * (tail - 1) // 2)
+        ).astype("int64")
         out = pd.DataFrame(
             {
                 "split": split,

@@ -51,44 +51,47 @@ _MERSENNE = (1 << 61) - 1
 def dedup_exact(sf_dir: str) -> rd.Dataset:
     """Keep the smallest doc_id per distinct text (by md5 key).
 
-    Keyed repartition + per-block pandas min instead of the
-    hash-aggregate machinery: each md5 key's rows land in one block
-    (verified one-block-per-partition semantics), so a per-block
-    groupby-min is globally correct with the same shuffle volume and
-    none of the aggregate-actor overhead. Per-batch pre-dedupe trims
-    the shuffled rows first.
+    Keyed repartition + per-block min instead of the hash-aggregate
+    machinery: each md5 key's rows land in one block (verified
+    one-block-per-partition semantics), so a per-block groupby-min is
+    globally correct with the same shuffle volume and none of the
+    aggregate-actor overhead.
+
+    Arrow-native hot path: batches stay zero-copy pyarrow end to end;
+    the local pre-dedupe (vectorized Arrow group_by on the raw text)
+    runs BEFORE hashing, so md5 — the only per-row Python left, pinned
+    by the DuckDB-md5 oracle — runs once per distinct text per batch,
+    not once per row.
     """
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def add_hash(batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by("text").aggregate([("doc_id", "min")])
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in grouped.column("text").to_pylist()
+        ]
+        return pa.table(
             {
-                "text_md5": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
-                ],
-                "doc_id": batch["doc_id"].to_numpy(),
+                "text_md5": pa.array(keys, type=pa.string()),
+                "doc_id": grouped.column("doc_id_min"),
             }
         )
-        return out.groupby("text_md5", as_index=False)["doc_id"].min()
 
-    def block_min(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "text_md5": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                }
-            )
-        return df.groupby("text_md5", as_index=False)["doc_id"].min()
+    def block_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("text_md5").aggregate([("doc_id", "min")])
+        return pa.table(
+            {"text_md5": g.column("text_md5"), "doc_id": g.column("doc_id_min")}
+        )
 
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     npart = max(2, min(16, cluster_ncpu()))
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pandas"
+        add_hash, batch_format="pyarrow"
     )
     enable_hash_shuffle(ds)
     return ds.repartition(npart, keys=["text_md5"]).map_batches(
-        block_min, batch_format="pandas", batch_size=None
+        block_min, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -622,16 +625,31 @@ def minhash_lsh_pairs(
 
 def simhash64(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per document (Charikar 2002): sign of the
-    token-hash bit-vote vector, emitted as hex."""
+    token-hash bit-vote vector, emitted as hex.
+
+    The token hash is the first 8 bytes of md5 (big-endian) — stable
+    across library versions and exactly expressible in SQL
+    (CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)), so the op
+    carries an exact DuckDB oracle instead of a rows-only check."""
 
     def sh(batch: pa.Table) -> pa.Table:
         out = []
+        memo: dict[str, int] = {}
         for text in batch.column("text").to_pylist():
             toks = text.split()
             if not toks:
                 out.append("0" * 16)
                 continue
-            hashes = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+            hashes = np.array(
+                [
+                    memo.get(t)
+                    or memo.setdefault(
+                        t, int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    )
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
             shifts = np.arange(64, dtype=np.uint64)
             bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
@@ -1054,35 +1072,39 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
     """
     from .text import normalize_ws_lower
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = [normalize_ws_lower(t) for t in batch["text"]]
-        out = pd.DataFrame(
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # Pre-dedupe on the RAW text first (vectorized; raw-equal =>
+        # normalized-equal), then normalize + md5 only distinct texts.
+        grouped = batch.group_by("text").aggregate([("doc_id", "min")])
+        keys = [
+            hashlib.md5(normalize_ws_lower(t).encode("utf-8")).hexdigest()
+            for t in grouped.column("text").to_pylist()
+        ]
+        out = pa.table(
             {
-                "norm_md5": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
-                ],
-                "doc_id": batch["doc_id"].to_numpy(),
+                "norm_md5": pa.array(keys, type=pa.string()),
+                "doc_id": grouped.column("doc_id_min"),
             }
         )
-        return out.groupby("norm_md5", as_index=False)["doc_id"].min()
+        # Distinct raw texts can share a normalized key: dedupe again.
+        g = out.group_by("norm_md5").aggregate([("doc_id", "min")])
+        return pa.table(
+            {"norm_md5": g.column("norm_md5"), "doc_id": g.column("doc_id_min")}
+        )
 
-    def block_min(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "norm_md5": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                }
-            )
-        return df.groupby("norm_md5", as_index=False)["doc_id"].min()
+    def block_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("norm_md5").aggregate([("doc_id", "min")])
+        return pa.table(
+            {"norm_md5": g.column("norm_md5"), "doc_id": g.column("doc_id_min")}
+        )
 
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     npart = max(2, min(16, cluster_ncpu()))
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pandas"
+        add_hash, batch_format="pyarrow"
     )
     enable_hash_shuffle(ds)
     return ds.repartition(npart, keys=["norm_md5"]).map_batches(
-        block_min, batch_format="pandas", batch_size=None
+        block_min, batch_format="pyarrow", batch_size=None
     )

@@ -40,6 +40,36 @@ _MD5_BUCKET = (
 )
 
 
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """Winnowing oracle: direct polynomial k-gram hashes (base 257 mod
+    2^61-1 over what are ASCII == utf-8 bytes here) + a window-min over
+    full windows, distinct per doc; short docs (< window full windows)
+    contribute their single global min, matching
+    `text.winnow_fingerprint`."""
+    mod = (1 << 61) - 1
+    pows = [pow(257, k - 1 - j, mod) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i AS INTEGER) + {j}, 1)) AS HUGEINT)"
+        f" * {p}"
+        for j, p in enumerate(pows)
+    )
+    return (
+        f"WITH pos AS (SELECT doc_id, text, length(text) - {k} + 1 AS n, "
+        f"unnest(range(1, length(text) - {k} + 2)) AS i "
+        f"FROM documents WHERE length(text) >= {k}), "
+        f"g AS (SELECT doc_id, n, i, CAST(({terms}) % {mod} AS BIGINT) AS h "
+        f"FROM pos), "
+        f"w AS (SELECT doc_id, n, i, min(h) OVER (PARTITION BY doc_id "
+        f"ORDER BY i ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) "
+        f"AS m FROM g) "
+        f"SELECT DISTINCT doc_id, m AS fingerprint FROM w "
+        f"WHERE n > {window} AND i <= n - {window - 1} "
+        f"UNION "
+        f"SELECT doc_id, min(h) AS fingerprint FROM g WHERE n <= {window} "
+        f"GROUP BY doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis
@@ -830,7 +860,7 @@ def oracle_sql() -> dict[str, str]:
         # mutable actor index: survivor IDs are arrival-order-dependent
         # (rows-only; count + hash-uniqueness pinned in
         # tests/test_quarantine.py).
-        # lang_id, winnow_fingerprints, minhash_lsh_pairs, simhash64,
+        # lang_id, minhash_lsh_pairs,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,
         # events_daily_active_users_hll,
         # heavy_hitters_sketch, kmeans_embeddings, events_value_tdigest,
@@ -839,6 +869,22 @@ def oracle_sql() -> dict[str, str]:
         # rows-only for the driver, pinned by exact reference
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
+        "simhash64": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            r" '\S+')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) "
+            "AS UBIGINT) AS th FROM toks), "
+            "votes AS (SELECT doc_id, i, sum(CASE WHEN (th >> CAST(i AS "
+            "UTINYINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h CROSS JOIN range(64) r(i) GROUP BY doc_id, i), "
+            "agg AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN "
+            "(CAST(1 AS HUGEINT) << CAST(i AS INTEGER)) ELSE "
+            "CAST(0 AS HUGEINT) END) AS val FROM votes GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN a.val IS NULL THEN repeat('0', 16) "
+            "ELSE lpad(lower(to_hex(CAST(a.val AS UBIGINT))), 16, '0') END "
+            "AS simhash FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        "winnow_fingerprints": _winnow_sql(),
         "events_value_band_join": (
             "SELECT a.event_id AS event_a, b.event_id AS event_b, "
             "CAST(abs(CAST(round(a.value * 1000000) AS BIGINT) "

@@ -208,15 +208,26 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
 
 
 def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
-    """Winnowing fingerprints per doc (list<int64> column)."""
+    """Winnowing fingerprints, exploded to distinct (doc_id,
+    fingerprint) rows — the relational form of the fingerprint SET
+    (what containment/overlap joins consume; `winnow_fingerprint`
+    keeps the first-occurrence-ordered list for callers that need
+    positions). The rolling polynomial hash is base-257 mod 2^61-1
+    over the utf-8 bytes, which a DuckDB window-min reproduces
+    bit-exactly, so the op carries an exact SQL oracle."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        prints = [winnow_fingerprint(t) for t in texts]
+        ids, prints = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for v in winnow_fingerprint(t):
+                ids.append(d)
+                prints.append(v)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "fingerprints": pa.array(prints, type=pa.list_(pa.int64())),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "fingerprint": pa.array(prints, type=pa.int64()),
             }
         )
 

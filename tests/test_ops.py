@@ -88,8 +88,16 @@ def test_simhash_hamming_tracks_similarity():
     from ocrs_ray.ops.dedup import simhash64  # noqa: F401 — import check
 
     def sh(text: str) -> int:
+        import hashlib
+
         toks = text.split()
-        hashes = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+        hashes = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
         shifts = np.arange(64, dtype=np.uint64)
         bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
