@@ -323,7 +323,11 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def _attach_pair_texts(
-    pairs: rd.Dataset, docs: rd.Dataset, npart: int, n_bits: int = 1 << 22
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    npart: int,
+    n_bits: int = 1 << 22,
+    broadcast_limit_bytes: int = 64 << 20,
 ) -> rd.Dataset:
     """Resolve candidate-pair texts distributively: (doc_a, doc_b) ->
     (doc_a, doc_b, text_a, text_b).
@@ -336,11 +340,15 @@ def _attach_pair_texts(
     2. the documents scan is pruned through the Bloom probe, so only
        (a small superset of) the docs that appear in some candidate
        pair survive — this small side materializes in the OBJECT STORE
-       (not the driver) because two joins consume it;
-    3. two native hash joins attach text_a then text_b. The shuffle
-       payload is candidate pairs + candidate texts (+ Bloom false
-       positives, rate (1-e^{-kn/m})^k); the corpus streams through the
-       probe untouched.
+       (not the driver) because two consumers read it;
+    3. strategy selection on the MEASURED pruned size (the
+       autoBroadcastJoinThreshold move): under `broadcast_limit_bytes`
+       the candidate texts broadcast once via ray.put and attach in a
+       single map (no extra shuffle — this is the bounded candidate
+       set, never the corpus); above it, two native hash joins attach
+       text_a then text_b, shuffling only candidate pairs + candidate
+       texts (+ Bloom false positives, rate (1-e^{-kn/m})^k). The
+       corpus streams through the probe untouched either way.
 
     Ray's join keeps the LEFT key name when right_on differs, so the
     right side's doc_id never collides; the right `text` column is
@@ -377,6 +385,32 @@ def _attach_pair_texts(
         BloomProbe, fn_constructor_args=(bloom_ref,), batch_format="pandas",
         concurrency=(1, 2),
     ).materialize()  # bounded by the candidate set; consumed by 2 joins
+
+    if cand_docs.size_bytes() <= broadcast_limit_bytes:
+        texts: dict[int, str] = {}
+        for b in cand_docs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            texts.update(
+                zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist())
+            )
+        texts_ref = ray.put(texts)
+
+        class AttachBroadcast:
+            def __init__(self, ref):
+                self.texts = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                t = self.texts
+                return df.assign(
+                    text_a=[t[a] for a in df["doc_a"]],
+                    text_b=[t[b] for b in df["doc_b"]],
+                )
+
+        return pairs.map_batches(
+            AttachBroadcast,
+            fn_constructor_args=(texts_ref,),
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
 
     j1 = pairs.join(
         cand_docs, join_type="inner", num_partitions=npart,

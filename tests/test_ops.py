@@ -681,3 +681,33 @@ def test_hashing_embedder_kernel():
     out = emb(pd.DataFrame({"doc_id": [1, 2], "text": ["a b", ""]}))
     assert list(out.columns) == ["doc_id", "embedding"]
     assert len(out["embedding"][0]) == 8
+
+
+def test_attach_pair_texts_broadcast_equals_join(ray_session):
+    """The size-selected broadcast path and the hash-join path of the
+    candidate text resolver are interchangeable."""
+    import ray.data as rd
+
+    from ocrs_ray.ops.dedup import _attach_pair_texts
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"text number {i}"} for i in range(50)]
+    )
+    pairs = rd.from_items(
+        [{"doc_a": i, "doc_b": i + 25} for i in range(25)]
+    )
+    cols = ["doc_a", "doc_b", "text_a", "text_b"]
+    a = (
+        _attach_pair_texts(pairs, docs, npart=2)  # tiny -> broadcast
+        .to_pandas()[cols]
+        .sort_values(["doc_a"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _attach_pair_texts(pairs, docs, npart=2, broadcast_limit_bytes=0)
+        .to_pandas()[cols]
+        .sort_values(["doc_a"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["text_a"] == [f"text number {i}" for i in range(25)]).all()
