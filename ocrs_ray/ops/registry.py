@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # Sub-quadratic approximate path (hyperplane-LSH banding +
+        # exact per-bucket cosine verify): rows-only by design (recall
+        # < 1); recall >= 0.8 vs the exact op pinned in tests/test_ops.py.
+        "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
