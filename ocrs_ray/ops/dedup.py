@@ -520,6 +520,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     k: int = 3,
     documents: rd.Dataset | None = None,
+    broadcast_limit_bytes: int = 64 << 20,
 ) -> rd.Dataset:
     """EXACT all-pairs n-gram Jaccard dedup at threshold, without the
     O(n^2) cross join: prefix filtering (see `_prefix_rows`) generates a
@@ -588,12 +589,17 @@ def ngram_jaccard_pairs(
             keep.append(inter * 1_000_000 >= t_micro * uni)
         return batch.loc[np.asarray(keep, dtype=bool), ["doc_a", "doc_b"]]
 
-    with_texts = _attach_pair_texts(unique_pairs, docs, npart)
+    with_texts = _attach_pair_texts(
+        unique_pairs, docs, npart, broadcast_limit_bytes=broadcast_limit_bytes
+    )
     return with_texts.map_batches(exact_verify, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, cfg: MinHashConfig | None = None, documents: rd.Dataset | None = None
+    sf_dir: str,
+    cfg: MinHashConfig | None = None,
+    documents: rd.Dataset | None = None,
+    broadcast_limit_bytes: int = 64 << 20,
 ) -> rd.Dataset:
     """Verified near-duplicate pairs via MinHash+LSH banding.
 
@@ -653,7 +659,9 @@ def minhash_lsh_pairs(
         out = batch[batch["jaccard"] >= threshold]
         return out[["doc_a", "doc_b", "jaccard"]]
 
-    with_texts = _attach_pair_texts(unique_pairs, docs, npart)
+    with_texts = _attach_pair_texts(
+        unique_pairs, docs, npart, broadcast_limit_bytes=broadcast_limit_bytes
+    )
     return with_texts.map_batches(jaccard_verify, batch_format="pandas")
 
 

@@ -711,3 +711,18 @@ def test_attach_pair_texts_broadcast_equals_join(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a["text_a"] == [f"text number {i}" for i in range(25)]).all()
+
+
+def test_ngram_pairs_forced_join_path_matches(ray_session):
+    """The hash-join text-resolution strategy (what runs above the
+    broadcast threshold at corpus scale) produces the identical
+    verified pair set on real corpus data."""
+    from ocrs_ray.ops.dedup import ngram_jaccard_pairs
+
+    default = ngram_jaccard_pairs(SF).to_pandas()
+    joined = ngram_jaccard_pairs(SF, broadcast_limit_bytes=0).to_pandas()
+    key = ["doc_a", "doc_b"]
+    a = default.sort_values(key).reset_index(drop=True)
+    b = joined.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
