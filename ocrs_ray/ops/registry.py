@@ -40,6 +40,33 @@ _MD5_BUCKET = (
 )
 
 
+def _lang_id_sql() -> str:
+    """lang_id oracle, generated from the same _LANG_STOPWORDS tables
+    the op uses (no drift): per-language stopword hit counts over the
+    lowercased whitespace tokens, argmax with lang-ascending tie-break,
+    'und' at zero hits, integer ppm score."""
+    values = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in sorted(text._LANG_STOPWORDS[lang]))
+        )
+        for lang in sorted(text._LANG_STOPWORDS)
+    )
+    return (
+        r"WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all("
+        r"text, '\S+'), x -> lower(x)) AS toks FROM documents), "
+        f"L AS (SELECT * FROM (VALUES {values}) AS t(lang, stops)), "
+        "hits AS (SELECT doc_id, lang, length(list_filter(toks, "
+        "x -> list_contains(stops, x))) AS hits, "
+        "greatest(length(toks), 1) AS n FROM toks CROSS JOIN L), "
+        "best AS (SELECT doc_id, lang, hits, n, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM hits) "
+        "SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS "
+        "lang_pred, CAST(CASE WHEN hits = 0 THEN 0 ELSE "
+        "(1000000 * hits) // n END AS BIGINT) AS lang_score_ppm "
+        "FROM best WHERE rn = 1"
+    )
+
+
 def _winnow_sql(k: int = 8, window: int = 4) -> str:
     """Winnowing oracle: direct polynomial k-gram hashes (base 257 mod
     2^61-1 over what are ASCII == utf-8 bytes here) + a window-min over
@@ -864,7 +891,7 @@ def oracle_sql() -> dict[str, str]:
         # mutable actor index: survivor IDs are arrival-order-dependent
         # (rows-only; count + hash-uniqueness pinned in
         # tests/test_quarantine.py).
-        # lang_id, minhash_lsh_pairs,
+        # minhash_lsh_pairs,
         # ann_topk_lsh, ann_topk_ivf, events_distinct_users_hll,
         # events_daily_active_users_hll,
         # heavy_hitters_sketch, kmeans_embeddings, events_value_tdigest,
@@ -889,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
             "AS simhash FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "lang_id": _lang_id_sql(),
         "events_value_band_join": (
             "SELECT a.event_id AS event_a, b.event_id AS event_b, "
             "CAST(abs(CAST(round(a.value * 1000000) AS BIGINT) "

@@ -119,9 +119,11 @@ class LangId:
     """Stopword-overlap language identification (actor-pool stage).
 
     A deterministic heuristic: tokenize, score each candidate language
-    by its stopword hit count, argmax with 'und' fallback when nothing
-    matches. State (compiled regex + stopword tables) builds once per
-    actor.
+    by its stopword hit count, argmax (ties to the alphabetically first
+    language) with 'und' fallback when nothing matches. The score is
+    the integer hit rate in ppm ((1e6 * hits) // n_tokens), so the op
+    compares bit-exactly against its SQL oracle. State (compiled regex
+    + stopword tables) builds once per actor.
     """
 
     def __init__(self):
@@ -134,16 +136,19 @@ class LangId:
         for text in batch["text"]:
             toks = [t.lower() for t in self.ws.findall(text)]
             n = max(len(toks), 1)
-            best_lang, best = "und", 0.0
+            best_lang, best = "und", 0
             for lang in langs:
                 hits = sum(1 for t in toks if t in self.tables[lang])
-                s = hits / n
-                if s > best:
-                    best, best_lang = s, lang
+                if hits > best:
+                    best, best_lang = hits, lang
             preds.append(best_lang)
-            scores.append(best)
+            scores.append((1_000_000 * best) // n)
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "lang_pred": preds, "lang_score": scores}
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": preds,
+                "lang_score_ppm": pd.Series(scores, dtype="int64").to_numpy(),
+            }
         )
 
 

@@ -131,7 +131,9 @@ def test_lang_id_heuristic():
     )
     out = LangId()(df)
     assert list(out["lang_pred"]) == ["en", "de", "fr", "und"]
-    assert out["lang_score"].iloc[3] == 0.0
+    assert out["lang_score_ppm"].iloc[3] == 0
+    # 10 tokens, 7 hits ("the" x2, "is" x2, "on", "and", "it") -> 700000.
+    assert out["lang_score_ppm"].iloc[0] == 700_000
 
 
 # ---------------------------------------------------------------------------
