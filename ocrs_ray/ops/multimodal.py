@@ -8,9 +8,10 @@ so per-actor state (codec tables, resize kernels) builds once.
 
 Codec support in this container:
 - "raw8-hwc" decodes for real (numpy frombuffer, zero parsing);
-- PNG/JPEG decode is gated behind a PIL import-try and raises
-  NotImplementedError otherwise (the Ray-side plumbing — schema, batch
-  size, actor signature, output layout — is identical and tested);
+- "png" decodes for real via the stdlib-zlib codec (`ocrs_ray.png`);
+- JPEG/WebP need a native library absent here and raise
+  NotImplementedError (the Ray-side plumbing — schema, batch size,
+  actor signature, output layout — is identical and tested);
 - audio/video have no corpus payloads here: `audio_features` raises
   NotImplementedError for real codecs and `video_frame_sample`
   documents its contract over a deterministic fake frame stream so the

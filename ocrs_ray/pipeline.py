@@ -210,23 +210,25 @@ def load_media_store(media_path: str) -> dict[str, tuple[bytes, int, int, int, s
 def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
     """Decode an opaque media payload to an HWC uint8 array.
 
-    "raw8-hwc" is the only codec guaranteed in this environment; PNG
-    decode is gated on PIL being importable (stubbed otherwise), keeping
-    the Ray-side plumbing identical for real encoded images.
+    "raw8-hwc" is a zero-parse numpy view; "png" decodes for real via
+    the stdlib-zlib codec in `ocrs_ray.png` (8-bit grey/RGB/RGBA/
+    palette, all five filters — the subset the reference's fixtures
+    use). JPEG/WebP would need a native library absent from this
+    environment and raise NotImplementedError, keeping the Ray-side
+    plumbing identical for when one is available.
     """
     blob, h, w, c, fmt = payload
     if fmt == "raw8-hwc":
         return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, c)
     if fmt == "png":
-        try:
-            from PIL import Image  # noqa
-            import io
+        from .png import decode_png
 
-            return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-        except ImportError as exc:
-            raise NotImplementedError(
-                "png decode requires PIL, not present in this environment"
-            ) from exc
+        return decode_png(blob)
+    if fmt in ("jpeg", "jpg", "webp"):
+        raise NotImplementedError(
+            f"{fmt} decode requires a native codec library not present "
+            "in this environment"
+        )
     raise ValueError(f"unknown media format: {fmt}")
 
 

@@ -52,12 +52,19 @@ def _payloads(batch: pa.Table):
 
 class AnnotatedImageProcessor:
     """S7: input image + detection/recognition boxes -> annotated image
-    rows (media-table layout, format raw8-hwc u8)."""
+    rows (media-table layout). Output encoding is "raw8-hwc" (zero-copy
+    default) or "png" (real PNG bytes via the stdlib-zlib codec in
+    `ocrs_ray.png` — what the reference's --png flag writes to disk)."""
 
-    def __init__(self, engine_factory: Callable = make_engine):
+    def __init__(self, engine_factory: Callable = make_engine, encode: str = "raw8-hwc"):
+        if encode not in ("raw8-hwc", "png"):
+            raise ValueError(f"unknown annotated encoding: {encode!r}")
         self.engine = engine_factory()
+        self.encode = encode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import encode_png
+
         refs, blobs, hs, ws = [], [], [], []
         for ref, payload in _payloads(batch):
             img = decode_media(payload)
@@ -67,9 +74,11 @@ class AnnotatedImageProcessor:
             text_lines = self.engine.recognize_text(inp, lines)
             ann = generate_annotated_png(img, lines, text_lines)  # CHW f32
             out = np.clip(np.rint(ann * 255.0), 0, 255).astype(np.uint8)
-            out = out.transpose(1, 2, 0)  # -> HWC u8
+            out = np.ascontiguousarray(out.transpose(1, 2, 0))  # -> HWC u8
             refs.append(ref)
-            blobs.append(out.tobytes())
+            blobs.append(
+                encode_png(out) if self.encode == "png" else out.tobytes()
+            )
             hs.append(out.shape[0])
             ws.append(out.shape[1])
         return pa.table(
@@ -79,7 +88,7 @@ class AnnotatedImageProcessor:
                 "height": pa.array(hs, type=pa.int32()),
                 "width": pa.array(ws, type=pa.int32()),
                 "channels": pa.array([3] * len(refs), type=pa.int32()),
-                "format": pa.array(["raw8-hwc"] * len(refs), type=pa.string()),
+                "format": pa.array([self.encode] * len(refs), type=pa.string()),
             }
         )
 
@@ -157,8 +166,14 @@ def _stage(media_path: str, cls, batch_size: int = 32) -> rd.Dataset:
     )
 
 
-def annotated_media(media_path: str) -> rd.Dataset:
-    return _stage(media_path, AnnotatedImageProcessor)
+def annotated_media(media_path: str, encode: str = "raw8-hwc") -> rd.Dataset:
+    return _read_media(media_path).map_batches(
+        AnnotatedImageProcessor,
+        fn_constructor_kwargs={"encode": encode},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
 
 
 def ocr_text_maps(media_path: str) -> rd.Dataset:

@@ -107,3 +107,27 @@ def test_write_debug_sinks_roundtrip(ray_session, tmp_path):
     assert li.num_rows >= 8  # every template has at least one line
     l0 = li.slice(0, 1).to_pylist()[0]
     assert len(l0["line_image"]) == 4 * l0["height"] * l0["width"]
+
+
+def test_annotated_png_encoding_roundtrips(ray_session, tmp_path):
+    """S7 with encode='png': the sink emits genuine PNG payloads that
+    decode_media round-trips back to the raw8 variant's pixels."""
+    import numpy as np
+
+    from ocrs_ray.corpus import ensure_corpus
+    from ocrs_ray.pipeline import decode_media
+    from ocrs_ray.sinks import annotated_media
+
+    paths = ensure_corpus("/tmp/ocrs_sinks_smoke", n_docs=20, n_templates=8)
+    raw = annotated_media(paths["media"]).to_pandas().set_index("media_ref")
+    png = annotated_media(paths["media"], encode="png").to_pandas().set_index(
+        "media_ref"
+    )
+    assert set(png["format"]) == {"png"}
+    for ref in raw.index:
+        r = raw.loc[ref]
+        p = png.loc[ref]
+        a = decode_media((r["image"], r["height"], r["width"], r["channels"], r["format"]))
+        b = decode_media((p["image"], p["height"], p["width"], p["channels"], p["format"]))
+        np.testing.assert_array_equal(a, b)
+        assert bytes(p["image"])[:8] == b"\x89PNG\r\n\x1a\n"
