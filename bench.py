@@ -89,6 +89,7 @@ def run_headline(
         n_docs=n_docs,
         n_templates=N_TEMPLATES,
         row_group_docs=max(50, n_docs // 256),
+        goldens=False,
     )
     kinds = pq.read_table(paths["expected_flat"], columns=["kind"])
     n_media = pc.sum(pc.equal(kinds.column("kind"), "media")).as_py()
@@ -156,6 +157,7 @@ def run_checkpoint(num_cpus: int, n_docs: int = 8000) -> dict:
         n_docs=n_docs,
         n_templates=N_TEMPLATES,
         row_group_docs=max(50, n_docs // 256),
+        goldens=False,
     )
     out_root = os.path.join(corpus_root, "out")
     shutil.rmtree(out_root, ignore_errors=True)
@@ -206,6 +208,7 @@ def run_scaling(sf_dir: str, cpus: tuple[int, int] = (4, 16)) -> dict:
         n_docs=SCALING_DOCS,
         n_templates=N_TEMPLATES,
         row_group_docs=max(50, SCALING_DOCS // 256),
+        goldens=False,
     )
     runs = {}
     for ncpu in cpus:

@@ -401,6 +401,7 @@ def generate_corpus(
     seed: int = DEFAULT_SEED,
     row_group_docs: int = 2000,
     large_frac: float = 0.05,
+    goldens: bool = True,
 ) -> dict[str, str]:
     """Write the corpus (spans + media + expected goldens) under `root`.
 
@@ -436,8 +437,12 @@ def generate_corpus(
                 row_group_size=row_group_docs,
             )
     pq.write_table(expected, paths["expected_flat"], row_group_size=row_group_docs * 4)
-    for name, tbl in _golden_media_tables(media, expected).items():
-        pq.write_table(tbl, paths[name])
+    if goldens:
+        # Media/layout/beam/sink golden tables — the correctness-gate
+        # corpora need them; perf corpora (bench's 1024-template pool)
+        # skip the ~minutes of single-process golden computation.
+        for name, tbl in _golden_media_tables(media, expected).items():
+            pq.write_table(tbl, paths[name])
     return paths
 
 
@@ -454,8 +459,13 @@ def ensure_corpus(root: str, n_docs: int, **kwargs) -> dict[str, str]:
     # the media/layout/beam/sink golden tables; bumping it invalidates
     # cached corpora missing them.
     params = {"n_docs": n_docs, "layout": 4, **{k: kwargs[k] for k in sorted(kwargs)}}
+    required = (
+        paths.values()
+        if kwargs.get("goldens", True)
+        else [paths["spans"], paths["media"], paths["expected_flat"]]
+    )
     try:
-        if all(os.path.exists(p) for p in paths.values()):
+        if all(os.path.exists(p) for p in required):
             with open(manifest) as f:
                 if json.load(f) == params:
                     return paths
