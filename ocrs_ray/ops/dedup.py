@@ -41,6 +41,7 @@ __all__ = [
     "simhash64",
     "ngram_jaccard",
     "ngram_jaccard_pairs",
+    "repeated_substring_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
 ]
@@ -663,6 +664,124 @@ def minhash_lsh_pairs(
         unique_pairs, docs, npart, broadcast_limit_bytes=broadcast_limit_bytes
     )
     return with_texts.map_batches(jaccard_verify, batch_format="pandas")
+
+
+def repeated_substring_pairs(
+    sf_dir: str,
+    k: int = 32,
+    stride: int = 8,
+    max_docs_per_gram: int | None = None,
+) -> rd.Dataset:
+    """EXACT repeated-substring detection across documents — the
+    substring-level dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every unordered
+    doc pair sharing at least one exact `k`-char substring sampled at
+    `stride`, report the occurrence-pair count and each side's first
+    matching position.
+
+    Scale shape: per-doc gram extraction is a stateless map; a hash
+    repartition on the gram co-locates all occurrences of each
+    substring, so per-block pair partials are exact; partials (tiny:
+    one row per (pair, block)) re-shuffle once on the pair key for the
+    final sum/min combine. The gram payload is k bytes/row at 1/stride
+    density — at 100 TB set `max_docs_per_gram` to cap degenerate hot
+    substrings (boilerplate): buckets above the cap are dropped on
+    both the Ray and oracle sides (HAVING count(distinct doc) <= cap),
+    keeping the op exact for the capped semantics.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, poss, gs = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for pos in range(1, len(t) - k + 2, stride):
+                ids.append(d)
+                poss.append(pos)
+                gs.append(t[pos - 1 : pos - 1 + k])
+        return pa.table(
+            {
+                "gram": pa.array(gs, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pos": pa.array(poss, type=pa.int64()),
+            }
+        )
+
+    _EMPTY = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "n_shared_grams": pd.Series([], dtype="int64"),
+        "first_pos_a": pd.Series([], dtype="int64"),
+        "first_pos_b": pd.Series([], dtype="int64"),
+    }
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        out: dict[tuple[int, int], list[int]] = {}
+        for _, g in df.groupby("gram", sort=False):
+            per_doc = g.groupby("doc_id")["pos"].agg(["count", "min"])
+            if len(per_doc) < 2:
+                continue
+            if max_docs_per_gram is not None and len(per_doc) > max_docs_per_gram:
+                continue
+            docs = per_doc.index.to_numpy()
+            cnt = per_doc["count"].to_numpy()
+            mn = per_doc["min"].to_numpy()
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a, b = int(docs[i]), int(docs[j])
+                    if a > b:
+                        a, b = b, a
+                        ca, cb = int(cnt[j]), int(cnt[i])
+                        ma, mb = int(mn[j]), int(mn[i])
+                    else:
+                        ca, cb = int(cnt[i]), int(cnt[j])
+                        ma, mb = int(mn[i]), int(mn[j])
+                    acc = out.get((a, b))
+                    if acc is None:
+                        out[(a, b)] = [ca * cb, ma, mb]
+                    else:
+                        acc[0] += ca * cb
+                        acc[1] = min(acc[1], ma)
+                        acc[2] = min(acc[2], mb)
+        if not out:
+            return pd.DataFrame(_EMPTY)
+        keys = np.array(list(out.keys()), dtype="int64")
+        vals = np.array(list(out.values()), dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_a": keys[:, 0],
+                "doc_b": keys[:, 1],
+                "n_shared_grams": vals[:, 0],
+                "first_pos_a": vals[:, 1],
+                "first_pos_b": vals[:, 2],
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared_grams=("n_shared_grams", "sum"),
+            first_pos_a=("first_pos_a", "min"),
+            first_pos_b=("first_pos_b", "min"),
+        )
+        return g
+
+    ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+    enable_hash_shuffle(ds)
+    return (
+        ds.repartition(npart, keys=["gram"])
+        .map_batches(block_pairs, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["doc_a", "doc_b"])
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
 
 
 def simhash64(sf_dir: str) -> rd.Dataset:

@@ -40,6 +40,27 @@ _MD5_BUCKET = (
 )
 
 
+def _repeated_substring_sql(k: int = 32, stride: int = 8) -> str:
+    """repeated_substring_pairs oracle: k-char grams at `stride`
+    (1-based positions), self-joined on the exact substring; the pair
+    row counts occurrence pairs and carries each side's first matching
+    position — bit-exact against the Ray partial/combine aggregation."""
+    return (
+        f"WITH g AS (SELECT doc_id, unnest(list_transform(range(0, "
+        f"greatest((length(text) - {k}) // {stride} + 1, 0)), "
+        f"j -> 1 + j * {stride})) AS pos, text FROM documents "
+        f"WHERE length(text) >= {k}), "
+        f"gg AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"substr(text, CAST(pos AS INTEGER), {k}) AS gram FROM g) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST(count(*) AS BIGINT) AS n_shared_grams, "
+        f"CAST(min(a.pos) AS BIGINT) AS first_pos_a, "
+        f"CAST(min(b.pos) AS BIGINT) AS first_pos_b "
+        f"FROM gg a JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2"
+    )
+
+
 def _lang_id_sql() -> str:
     """lang_id oracle, generated from the same _LANG_STOPWORDS tables
     the op uses (no drift): per-language stopword hit counts over the
@@ -118,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-bucket cosine verify): rows-only by design (recall
         # < 1); recall >= 0.8 vs the exact op pinned in tests/test_ops.py.
         "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
+        "repeated_substring_pairs": dedup.repeated_substring_pairs,
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -917,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
+        "repeated_substring_pairs": _repeated_substring_sql(),
         "events_value_band_join": (
             "SELECT a.event_id AS event_a, b.event_id AS event_b, "
             "CAST(abs(CAST(round(a.value * 1000000) AS BIGINT) "

@@ -728,3 +728,41 @@ def test_ngram_pairs_forced_join_path_matches(ray_session):
     b = joined.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_repeated_substring_pairs_semantics(ray_session, tmp_path):
+    """Occurrence-pair counting and first positions on crafted docs:
+    doc 1 contains the 32-char block twice, doc 2 once, doc 3 never."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345"  # len 32
+    assert len(block) == 32
+    pad = lambda s: s + "z" * 7  # keep subsequent grams off-stride
+    t1 = block + "x" * 8 + block  # occurrences at pos 1 and 41
+    t2 = "y" * 8 + block  # occurrence at pos 9
+    t3 = "q" * 64
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [t1, t2, t3],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from ocrs_ray.ops.dedup import repeated_substring_pairs
+
+    out = (
+        repeated_substring_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    row = out[(out.doc_a == 1) & (out.doc_b == 2)]
+    assert len(row) == 1
+    # grams sampled at stride 8 from pos 1: doc1 has `block` at 1 and 41
+    # (both on-stride), doc2 at 9 (on-stride) -> 2x1 occurrence pairs.
+    assert int(row.n_shared_grams.iloc[0]) == 2
+    assert int(row.first_pos_a.iloc[0]) == 1
+    assert int(row.first_pos_b.iloc[0]) == 9
+    assert not ((out.doc_a == 3) | (out.doc_b == 3)).any()
