@@ -55,6 +55,7 @@ __all__ = [
     "neardup_survivors",
     "embedding_clusters",
     "connected_components",
+    "substring_dup_clusters",
 ]
 
 #: Lower-case letter runs; the SQL oracle tokenizes with the same
@@ -894,6 +895,28 @@ def neardup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup_clusters(sf_dir, threshold=threshold).map_batches(
         roots, batch_format="pandas"
     )
+
+
+def substring_dup_clusters(
+    sf_dir: str, k: int = 32, stride: int = 8, min_shared: int = 2
+) -> rd.Dataset:
+    """Cluster assignment over the repeated-substring graph: documents
+    sharing >= `min_shared` exact k-char gram occurrence-pairs
+    (`dedup.repeated_substring_pairs`) are connected; every doc labels
+    with its component's min doc_id. The boilerplate/template-copy
+    companion to the token-level `dedup_clusters` — substring overlap
+    catches partial copies n-gram Jaccard dilutes away. Same hybrid CC
+    + broadcast-relabel shape; singletons never shuffle."""
+    from .dedup import repeated_substring_pairs
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["n_shared_grams"] >= min_shared, ["doc_a", "doc_b"]]
+        return keep.rename(columns={"doc_a": "u", "doc_b": "v"})
+
+    pairs = repeated_substring_pairs(sf_dir, k=k, stride=stride).map_batches(
+        edges, batch_format="pandas"
+    )
+    return _cluster_assign(pairs, _read_docs(sf_dir, ["doc_id"]), "doc_id")
 
 
 def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:

@@ -61,6 +61,30 @@ def _repeated_substring_sql(k: int = 32, stride: int = 8) -> str:
     )
 
 
+def _substring_clusters_sql(k: int = 32, stride: int = 8, min_shared: int = 2) -> str:
+    """substring_dup_clusters oracle: the repeated-substring pair CTE
+    filtered at min_shared, symmetrized, then min-reachable-source over
+    the recursive closure (same convention as the dedup_clusters
+    oracle)."""
+    return (
+        f"WITH RECURSIVE g AS (SELECT doc_id, unnest(list_transform(range(0, "
+        f"greatest((length(text) - {k}) // {stride} + 1, 0)), "
+        f"j -> 1 + j * {stride})) AS pos, text FROM documents "
+        f"WHERE length(text) >= {k}), "
+        f"gg AS (SELECT doc_id, substr(text, CAST(pos AS INTEGER), {k}) "
+        f"AS gram FROM g), "
+        f"p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM gg a "
+        f"JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}), "
+        f"edges AS (SELECT doc_a AS u, doc_b AS v FROM p "
+        f"UNION ALL SELECT doc_b, doc_a FROM p), "
+        f"reach(src, node) AS (SELECT doc_id, doc_id FROM documents "
+        f"UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
+        f"SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id "
+        f"FROM reach GROUP BY node"
+    )
+
+
 def _lang_id_sql() -> str:
     """lang_id oracle, generated from the same _LANG_STOPWORDS tables
     the op uses (no drift): per-language stopword hit counts over the
@@ -202,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
         "stratified_sample_documents": analytics.stratified_sample_documents,
         "dedup_clusters": analytics.dedup_clusters,
+        "substring_dup_clusters": analytics.substring_dup_clusters,
         "neardup_survivors": analytics.neardup_survivors,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
@@ -940,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "repeated_substring_pairs": _repeated_substring_sql(),
+        "substring_dup_clusters": _substring_clusters_sql(),
         "events_value_band_join": (
             "SELECT a.event_id AS event_a, b.event_id AS event_b, "
             "CAST(abs(CAST(round(a.value * 1000000) AS BIGINT) "
