@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_data_prep": composed.pretrain_data_prep,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
+        "docs_arrow_ipc_roundtrip": sources.docs_arrow_ipc_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
         "user_click_purchase_full_outer": relational.user_click_purchase_full_outer,
         # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
@@ -1109,6 +1110,10 @@ def oracle_sql() -> dict[str, str]:
             "AS n_total FROM events"
         ),
         "docs_partitioned_sink_roundtrip": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
+        "docs_arrow_ipc_roundtrip": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1"
         ),

@@ -27,8 +27,11 @@ __all__ = [
     "documents_from_jsonl",
     "documents_from_jsonl_gz",
     "documents_from_csv",
+    "documents_from_arrow_ipc",
+    "write_documents_arrow_ipc",
     "write_documents_partitioned",
     "docs_partitioned_sink_roundtrip",
+    "docs_arrow_ipc_roundtrip",
 ]
 
 #: The documents table contract (TESTDATA.md): every reader must land
@@ -91,6 +94,84 @@ def documents_from_jsonl_gz(path: str) -> rd.Dataset:
         file_extensions=["gz"],
         arrow_open_stream_args={"compression": "gzip"},
     ).map_batches(_normalize, batch_format="pyarrow")
+
+
+def write_documents_arrow_ipc(ds: rd.Dataset, out_dir: str) -> int:
+    """Arrow IPC (Feather v2) sink: each BLOCK writes its own .arrow
+    file task-side (streaming — no driver collect), returning the
+    shard count. IPC files are the zero-copy interchange shape for
+    handing blocks to non-Ray Arrow consumers (DuckDB, polars, C++)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
+        with pa.OSFile(path, "wb") as f, pa.ipc.new_file(f, b.schema) as w:
+            w.write_table(b)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([b.num_rows], type=pa.int64())})
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return manifest.count()
+
+
+def documents_from_arrow_ipc(path_dir: str) -> rd.Dataset:
+    """Arrow IPC source: one read task per .arrow shard
+    (read_binary_files), decoded zero-copy via pa.ipc and normalized
+    to the documents schema — the same distributed-scan shape as the
+    parquet/JSONL readers."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [
+            pa.ipc.open_file(pa.BufferReader(raw)).read_all()
+            for raw in batch.column("bytes").to_pylist()
+        ]
+        if not tables:
+            return DOCUMENTS_SCHEMA.empty_table()
+        return _normalize(pa.concat_tables(tables))
+
+    return rd.read_binary_files(path_dir).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def docs_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Source/sink coverage for Arrow IPC: stream the documents table
+    into per-block .arrow shards, read them BACK as a distributed scan,
+    and report per-source counts off the round-tripped data — the same
+    lose-or-duplicate-a-row-and-fail contract as
+    `docs_partitioned_sink_roundtrip`, over the interchange format."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out_dir = tempfile.mkdtemp(prefix="ocrs_ray_ipc_")
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        write_documents_arrow_ipc(ds, out_dir)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("source", as_index=False).size()
+            return pd.DataFrame(
+                {"source": g["source"], "n_docs": g["size"].astype("int64")}
+            )
+
+        from .relational import tree_sum
+
+        counts = tree_sum(
+            documents_from_arrow_ipc(out_dir).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["source"],
+            ["n_docs"],
+        )
+        return counts.materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def write_documents_partitioned(ds: rd.Dataset, out_dir: str) -> None:
