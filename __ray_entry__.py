@@ -303,52 +303,29 @@ def _media_ahash_survivors(sf_dir: str):
 
 
 def _media_thumbnails(sf_dir: str):
-    """Thumbnail resize; blobs reduced to md5 for stable comparison."""
-    import hashlib
-
-    import pyarrow as pa
-
+    """Thumbnail resize; blobs reduced to md5 for stable comparison
+    (the golden digests through the same shared helper)."""
     from ocrs_ray.ops.multimodal import media_thumbnails
 
-    def digest(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_ref": batch.column("media_ref"),
-                "height": batch.column("height"),
-                "width": batch.column("width"),
-                "thumb_md5": pa.array(
-                    [hashlib.md5(b).hexdigest() for b in batch.column("image").to_pylist()],
-                    type=pa.string(),
-                ),
-            }
-        )
-
-    return media_thumbnails(_corpus_for(sf_dir)["media"]).map_batches(
-        digest, batch_format="pyarrow"
+    ds = _digest_cols(
+        media_thumbnails(_corpus_for(sf_dir)["media"]), {"image": "thumb_md5"}
+    )
+    return ds.map_batches(
+        lambda t: t.select(["media_ref", "height", "width", "thumb_md5"]),
+        batch_format="pyarrow",
     )
 
 
 def _digest_cols(ds, blob_cols: dict[str, str]):
     """Reduce binary payload columns to md5 digests for stable
-    value-compare against the corpus goldens."""
-    import hashlib
+    value-compare against the corpus goldens — the goldens digest
+    through the SAME `sinks.digest_blob_columns`, so the two sides
+    cannot drift."""
 
-    import pyarrow as pa
+    def digest(batch):
+        from ocrs_ray.sinks import digest_blob_columns
 
-    def digest(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in batch.schema.names:
-            if name in blob_cols:
-                cols[blob_cols[name]] = pa.array(
-                    [
-                        hashlib.md5(b).hexdigest()
-                        for b in batch.column(name).to_pylist()
-                    ],
-                    type=pa.string(),
-                )
-            else:
-                cols[name] = batch.column(name)
-        return pa.table(cols)
+        return digest_blob_columns(batch, blob_cols)
 
     return ds.map_batches(digest, batch_format="pyarrow")
 

@@ -203,12 +203,9 @@ def corpus_paths(root: str) -> dict[str, str]:
 
 
 def _media_payloads(media: pa.Table):
-    cols = [
-        media.column(c).to_pylist()
-        for c in ("media_ref", "image", "height", "width", "channels", "format")
-    ]
-    for ref, *payload in zip(*cols):
-        yield ref, tuple(payload)
+    from .sinks import _payloads  # deferred: sinks imports corpus.make_engine
+
+    yield from _payloads(media)
 
 
 def _golden_media_tables(
@@ -221,7 +218,6 @@ def _golden_media_tables(
     brute-force all-pairs hamming (banding-free, so it independently
     pins the distributed op's lossless-blocking claim) and a plain
     union-find for survivors."""
-    import hashlib
     import json
 
     from .ops.multimodal import (
@@ -232,25 +228,14 @@ def _golden_media_tables(
     )
     from .output import ocr_json
     from .pipeline import decode_media
+    from .sinks import digest_blob_columns
 
     out: dict[str, pa.Table] = {}
     out["expected_media_features"] = MediaFeatureExtractor()(media)
 
-    thumbs = MediaThumbnailer()(media)
-    out["expected_thumbnails"] = pa.table(
-        {
-            "media_ref": thumbs.column("media_ref"),
-            "height": thumbs.column("height"),
-            "width": thumbs.column("width"),
-            "thumb_md5": pa.array(
-                [
-                    hashlib.md5(b).hexdigest()
-                    for b in thumbs.column("image").to_pylist()
-                ],
-                type=pa.string(),
-            ),
-        }
-    )
+    out["expected_thumbnails"] = digest_blob_columns(
+        MediaThumbnailer()(media), {"image": "thumb_md5"}
+    ).select(["media_ref", "height", "width", "thumb_md5"])
 
     out["expected_video_frames"] = VideoFrameSampler()(media).drop_columns(
         ["frame"]
@@ -309,29 +294,14 @@ def _golden_media_tables(
         TextMapProcessor,
     )
 
-    def _digest(tbl: pa.Table, blob_cols: dict[str, str]) -> pa.Table:
-        cols = {}
-        for name in tbl.schema.names:
-            if name in blob_cols:
-                cols[blob_cols[name]] = pa.array(
-                    [
-                        hashlib.md5(b).hexdigest()
-                        for b in tbl.column(name).to_pylist()
-                    ],
-                    type=pa.string(),
-                )
-            else:
-                cols[name] = tbl.column(name)
-        return pa.table(cols)
-
-    out["expected_annotated"] = _digest(
+    out["expected_annotated"] = digest_blob_columns(
         AnnotatedImageProcessor()(media), {"image": "image_md5"}
     )
-    out["expected_text_maps"] = _digest(
+    out["expected_text_maps"] = digest_blob_columns(
         TextMapProcessor()(media),
         {"text_map": "text_map_md5", "text_mask": "text_mask_md5"},
     )
-    out["expected_line_images"] = _digest(
+    out["expected_line_images"] = digest_blob_columns(
         LineImageProcessor()(media), {"line_image": "line_image_md5"}
     )
 
@@ -437,12 +407,22 @@ def generate_corpus(
                 row_group_size=row_group_docs,
             )
     pq.write_table(expected, paths["expected_flat"], row_group_size=row_group_docs * 4)
+    golden_names = [n for n in paths if n.startswith("expected_") and n != "expected_flat"]
     if goldens:
         # Media/layout/beam/sink golden tables — the correctness-gate
         # corpora need them; perf corpora (bench's 1024-template pool)
         # skip the ~minutes of single-process golden computation.
         for name, tbl in _golden_media_tables(media, expected).items():
             pq.write_table(tbl, paths[name])
+    else:
+        # A root regenerated in place must not keep golden files from a
+        # previous generation: they'd describe a DIFFERENT media table
+        # while the directory looks complete to direct readers.
+        for name in golden_names:
+            try:
+                os.remove(paths[name])
+            except OSError:
+                pass
     return paths
 
 

@@ -164,15 +164,23 @@ def resolve_model(source: str, cache_dir: str | None = None) -> str:
         cached = os.path.join(cache, fname)
         if os.path.exists(cached):
             return cached
+        # Download to a process-unique temp file and atomically rename
+        # into place: concurrent actors cold-starting the same cache
+        # never interleave writes into one path, a completed peer file
+        # is never truncated or deleted, and a killed download can
+        # never masquerade as a cache hit (the final path only ever
+        # holds complete files).
+        tmp = f"{cached}.tmp-{os.getpid()}-{id(object())}"
         try:
             from urllib.request import urlopen
 
-            with urlopen(source, timeout=60) as resp, open(cached, "wb") as f:
+            with urlopen(source, timeout=60) as resp, open(tmp, "wb") as f:
                 shutil.copyfileobj(resp, f)
+            os.replace(tmp, cached)
             return cached
         except Exception as exc:
             try:
-                os.remove(cached)
+                os.remove(tmp)
             except OSError:
                 pass
             raise RuntimeError(

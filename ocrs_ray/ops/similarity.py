@@ -101,14 +101,6 @@ def _stream_head_sample(sf_dir: str, want: int) -> np.ndarray:
     )
 
 
-def _embedding_dim(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    rb = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    return len(rb.column("embedding")[0].as_py())
-
-
 def _unit(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
     n[n == 0] = 1.0

@@ -50,6 +50,26 @@ def _payloads(batch: pa.Table):
         yield ref, tuple(payload)
 
 
+def digest_blob_columns(tbl: pa.Table, blob_cols: dict[str, str]) -> pa.Table:
+    """Replace binary payload columns with md5 hex digests (rename per
+    `blob_cols`: old name -> digest column name). The single shared
+    value-compare form for blob-bearing tables — corpus goldens and
+    driver queries digest through this same function so they cannot
+    drift."""
+    import hashlib
+
+    cols = {}
+    for name in tbl.schema.names:
+        if name in blob_cols:
+            cols[blob_cols[name]] = pa.array(
+                [hashlib.md5(b).hexdigest() for b in tbl.column(name).to_pylist()],
+                type=pa.string(),
+            )
+        else:
+            cols[name] = tbl.column(name)
+    return pa.table(cols)
+
+
 class AnnotatedImageProcessor:
     """S7: input image + detection/recognition boxes -> annotated image
     rows (media-table layout). Output encoding is "raw8-hwc" (zero-copy
@@ -189,9 +209,12 @@ def write_debug_sinks(
     out_dir: str,
     which: tuple[str, ...] = ("annotated", "text_maps", "line_images"),
 ) -> dict[str, str]:
-    """Stream the enabled debug sinks to parquet under `out_dir`
-    (one directory per sink — resumable: a rerun can skip completed
-    sink directories). Returns sink -> output directory."""
+    """Stream the enabled debug sinks to parquet under `out_dir`, one
+    directory per sink. Resumable: a sibling `<sink>._SUCCESS` marker
+    (written after the sink's parquet completes; outside the directory
+    so parquet scans never see it) marks a finished sink, and a rerun
+    skips it — a partially-failed run only redoes unfinished sinks.
+    Returns sink -> output directory."""
     builders = {
         "annotated": annotated_media,
         "text_maps": ocr_text_maps,
@@ -200,6 +223,13 @@ def write_debug_sinks(
     out: dict[str, str] = {}
     for name in which:
         path = os.path.join(out_dir, name)
-        builders[name](media_path).write_parquet(path)
+        marker = f"{path}._SUCCESS"
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)  # drop partial output
+            builders[name](media_path).write_parquet(path)
+            with open(marker, "w"):
+                pass
         out[name] = path
     return out

@@ -738,7 +738,6 @@ def test_repeated_substring_pairs_semantics(ray_session, tmp_path):
 
     block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345"  # len 32
     assert len(block) == 32
-    pad = lambda s: s + "z" * 7  # keep subsequent grams off-stride
     t1 = block + "x" * 8 + block  # occurrences at pos 1 and 41
     t2 = "y" * 8 + block  # occurrence at pos 9
     t3 = "q" * 64

@@ -108,6 +108,17 @@ def test_write_debug_sinks_roundtrip(ray_session, tmp_path):
     l0 = li.slice(0, 1).to_pylist()[0]
     assert len(l0["line_image"]) == 4 * l0["height"] * l0["width"]
 
+    # Resume semantics: a rerun skips completed sinks (no duplicated
+    # rows), and a sink whose _SUCCESS marker is missing is redone
+    # from scratch rather than appended to.
+    out2 = write_debug_sinks(paths["media"], str(tmp_path / "sinks"))
+    assert pq.read_table(out2["annotated"]).num_rows == 8
+    import os
+
+    os.remove(out["text_maps"] + "._SUCCESS")
+    out3 = write_debug_sinks(paths["media"], str(tmp_path / "sinks"))
+    assert pq.read_table(out3["text_maps"]).num_rows == 8
+
 
 def test_annotated_png_encoding_roundtrips(ray_session, tmp_path):
     """S7 with encode='png': the sink emits genuine PNG payloads that
