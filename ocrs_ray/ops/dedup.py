@@ -721,6 +721,12 @@ def repeated_substring_pairs(
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(_EMPTY)
+        # Vectorized pre-filter: a gram occurring once in the whole
+        # block (the vast majority) can never produce a pair — drop
+        # before the per-gram Python loop.
+        df = df[df.duplicated("gram", keep=False)]
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
         out: dict[tuple[int, int], list[int]] = {}
         for _, g in df.groupby("gram", sort=False):
             per_doc = g.groupby("doc_id")["pos"].agg(["count", "min"])
