@@ -114,6 +114,27 @@ def test_rejects_bad_inputs():
         encode_png(img.astype(np.float32))
 
 
+def test_roundtrip_property():
+    """Hypothesis: encode->decode is the identity for any u8 image
+    shape/channel count the encoder accepts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    check()
+
+
 def test_decode_media_png_through_engine():
     """A real PNG payload flows through decode_media and OCRs to the
     same text as its raw8 twin."""
