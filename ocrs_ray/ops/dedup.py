@@ -858,7 +858,9 @@ def embedding_neardup_pairs(
 
     def replicate(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from .similarity import embedding_batch_matrix, f64_list_array
+
+        emb = embedding_batch_matrix(batch)
         if len(vid) == 0:
             return pa.table(
                 {
@@ -885,9 +887,7 @@ def embedding_neardup_pairs(
                 "pb": pa.array((i * B + j).ravel(), type=pa.int64()),
                 "vec_id": pa.array(np.repeat(vid, B), type=pa.int64()),
                 "blk": pa.array(np.repeat(blk, B), type=pa.int64()),
-                "unit": pa.array(
-                    np.repeat(unit, B, axis=0).tolist(), type=pa.list_(pa.float64())
-                ),
+                "unit": f64_list_array(np.repeat(unit, B, axis=0)),
             }
         )
 
@@ -964,7 +964,9 @@ def embedding_neardup_pairs_lsh(
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from .similarity import embedding_batch_matrix, f64_list_array
+
+        emb = embedding_batch_matrix(batch)
         if len(vid) == 0:
             return pa.table(
                 {
@@ -991,10 +993,7 @@ def embedding_neardup_pairs_lsh(
             {
                 "bucket": pa.array(np.concatenate(cols_b), type=pa.int64()),
                 "vec_id": pa.array(np.concatenate(cols_v), type=pa.int64()),
-                "unit": pa.array(
-                    np.concatenate(cols_u, axis=0).tolist(),
-                    type=pa.list_(pa.float64()),
-                ),
+                "unit": f64_list_array(np.concatenate(cols_u, axis=0)),
             }
         )
 

@@ -37,6 +37,30 @@ __all__ = [
 ]
 
 
+def embedding_batch_matrix(tbl: "pa.Table") -> np.ndarray:
+    """Vectorized (n, d) float64 matrix from an Arrow list<float>
+    embedding column: flatten -> numpy -> reshape. Replaces per-row
+    to_pylist (one Python object per element) on every corpus-scan hot
+    path; the corpus contract guarantees a fixed dimension."""
+    col = tbl.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
+def f64_list_array(mat: np.ndarray) -> "pa.Array":
+    """Arrow list<double> column from a 2-D float array with no
+    per-element Python objects (offsets + flat values)."""
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), type=pa.int64())
+    values = pa.array(np.ascontiguousarray(mat, dtype=np.float64).ravel(), type=pa.float64())
+    return pa.LargeListArray.from_arrays(offsets, values).cast(pa.list_(pa.float64()))
+
+
 def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Full-table driver read — TEST/REFERENCE USE ONLY (brute-force
     baselines in tests/). No corpus-path operator calls this; the ops
@@ -46,7 +70,7 @@ def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = embedding_batch_matrix(t)
     return ids, mat
 
 
@@ -77,7 +101,7 @@ def _query_vectors(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]
         filters=[("vec_id", "in", q_ids.tolist())],
     )
     vid = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    emb = embedding_batch_matrix(tbl)
     order = np.argsort(vid)
     return vid[order], emb[order]
 
@@ -95,10 +119,8 @@ def _stream_head_sample(sf_dir: str, want: int) -> np.ndarray:
         got += rb.num_rows
         if got >= want:
             break
-    return np.array(
-        [e for rb in frames for e in rb.column("embedding").to_pylist()][:want],
-        dtype=np.float64,
-    )
+    tbl = pa.Table.from_batches(frames)
+    return embedding_batch_matrix(tbl)[:want]
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -146,7 +168,7 @@ def ann_topk_bruteforce(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = embedding_batch_matrix(batch)
             sims = self.q_unit @ _unit(emb).T  # (Q, B)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.q_ids)):
@@ -240,7 +262,7 @@ def ann_topk_lsh(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = _unit(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            emb = _unit(embedding_batch_matrix(batch))
             n_t = self.planes.shape[0]
             n_p = self.planes.shape[1]
             out_q, out_n, out_s = [], [], []
@@ -342,7 +364,7 @@ def ann_topk_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = _unit(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            emb = _unit(embedding_batch_matrix(batch))
             assign = np.argmax(emb @ self.cents.T, axis=1)
             out_q, out_n, out_s = [], [], []
             for cell, qis in self.probe_by_cell.items():
@@ -437,7 +459,7 @@ def kmeans_embeddings(
                 }
             )
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_batch_matrix(batch)
         # Squared euclidean distance argmin (ties -> lowest cluster id).
         d2 = (emb**2).sum(1)[:, None] - 2 * emb @ c.T + (c**2).sum(1)[None, :]
         assign = np.argmin(d2, axis=1)
@@ -486,7 +508,7 @@ def kmeans_embeddings(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = embedding_batch_matrix(batch)
             d2 = (
                 (emb**2).sum(1)[:, None]
                 - 2 * emb @ self.cents.T
@@ -574,7 +596,7 @@ def embedding_top_component(sf_dir: str) -> rd.Dataset:
                 }
             )
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_batch_matrix(batch)
         g = emb.T @ emb
         return pa.table(
             {
@@ -629,7 +651,7 @@ def embedding_quantize_int8(sf_dir: str) -> rd.Dataset:
                 }
             )
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_batch_matrix(batch)
         scale = np.abs(emb).max(axis=1) / 127.0
         safe = np.where(scale == 0, 1.0, scale)
         codes = np.clip(np.rint(emb / safe[:, None]), -127, 127).astype(np.int8)
@@ -677,7 +699,7 @@ def ann_topk_int8(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = embedding_batch_matrix(batch)
             scale = np.abs(emb).max(axis=1) / 127.0
             safe = np.where(scale == 0, 1.0, scale)
             codes = np.clip(
