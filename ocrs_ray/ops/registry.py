@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
         "docs_arrow_ipc_roundtrip": sources.docs_arrow_ipc_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
+        "docs_pii_scrub": text.docs_pii_scrub,
+        "docs_normalize_text": text.docs_normalize_text,
         "user_click_purchase_full_outer": relational.user_click_purchase_full_outer,
         # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
@@ -279,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balance_customers": tpch.q22_idle_balance_customers,
         "q21_sole_returned_supplier": tpch.q21_sole_returned_supplier,
         "q8_market_share": tpch.q8_market_share,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q9_product_profit": tpch.q9_product_profit,
     }
 
 
@@ -1269,6 +1273,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000::HUGEINT * sum(tgt * rev)) // sum(rev) "
             "AS BIGINT) AS share_ppm "
             "FROM j GROUP BY 1"
+        ),
+        "docs_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.org or call 555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+            "CAST((doc_id // 256) % 256 AS VARCHAR) AS t FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            f"'{text.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{text.PII_IPV4_RE}', '<IP>', 'g'), "
+            f"'{text.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted, "
+            f"CAST(length(regexp_extract_all(t, '{text.PII_EMAIL_RE}')) "
+            "AS BIGINT) AS n_emails, "
+            f"CAST(length(regexp_extract_all(t, '{text.PII_PHONE_RE}')) "
+            "AS BIGINT) AS n_phones, "
+            f"CAST(length(regexp_extract_all(t, '{text.PII_IPV4_RE}')) "
+            "AS BIGINT) AS n_ips FROM aug"
+        ),
+        "docs_normalize_text": (
+            "WITH n AS (SELECT doc_id, "
+            r"trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) "
+            "AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS n_chars FROM n"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 1000000) AS BIGINT)) AS BIGINT) AS total_revenue_micro "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+            "SELECT r.s_suppkey, s.s_name, r.total_revenue_micro "
+            "FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey "
+            "WHERE r.total_revenue_micro = "
+            "(SELECT max(total_revenue_micro) FROM rev)"
+        ),
+        "q9_product_profit": (
+            "WITH j AS (SELECT n.n_name AS nation, "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) "
+            "AS BIGINT) - CAST(round(p.p_retailprice * l.l_quantity "
+            "* 100000) AS BIGINT) AS profit "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%red%') "
+            "SELECT nation, o_year, CAST(sum(profit) AS BIGINT) "
+            "AS profit_micro FROM j GROUP BY 1, 2"
         ),
         "q21_sole_returned_supplier": (
             "WITH ls AS (SELECT l_orderkey, l_suppkey, "

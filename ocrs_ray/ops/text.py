@@ -27,6 +27,8 @@ __all__ = [
     "docs_repetition_stats",
     "docs_chunk_overlap",
     "docs_gopher_quality_filter",
+    "docs_pii_scrub",
+    "docs_normalize_text",
     "gopher_signals",
     "normalize_ws_lower",
     "WS_TOKEN_RE",
@@ -418,4 +420,109 @@ def docs_gopher_quality_filter(
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pandas"
+    )
+
+
+#: PII patterns (RE2 syntax — evaluated by Arrow's regex kernels on the
+#: Ray side and DuckDB's regexp_* on the oracle side; BOTH engines are
+#: RE2, so match semantics are identical by construction).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def docs_pii_scrub(sf_dir: str, inject_synthetic: bool = True) -> rd.Dataset:
+    """PII detection + redaction over documents: count and mask emails,
+    phone fragments and IPv4 addresses, emitting the redacted text.
+
+    The sandbox corpus is PII-free word salad, so by default each doc
+    is first augmented with a DETERMINISTIC synthetic PII suffix derived
+    from doc_id (mirrored exactly in the SQL oracle) — this exercises
+    the kernels with real matches while keeping the op value-exact.
+    Production use is `inject_synthetic=False` over raw text.
+
+    Scale shape: stateless single-pass Arrow-native map — zero-copy
+    batches, RE2 kernels (`count_substring_regex`,
+    `replace_substring_regex`), no shuffle, no Python row loop. Counts
+    are taken on the augmented text per pattern, then redaction applies
+    email -> IPv4 -> phone in that fixed order on both sides.
+    """
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        if inject_synthetic:
+            ids = batch.column("doc_id")
+
+            def _mod(x, m):
+                # Arrow has no modulo kernel; int64 divide truncates,
+                # and doc_id >= 0, so x - (x // m) * m is exact.
+                return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+            id_s = pc.cast(ids, pa.string())
+            phone4 = pc.utf8_lpad(
+                pc.cast(_mod(ids, 10_000), pa.string()), 4, padding="0"
+            )
+            oct1 = pc.cast(_mod(ids, 256), pa.string())
+            oct2 = pc.cast(_mod(pc.divide(ids, 256), 256), pa.string())
+            text = pc.binary_join_element_wise(
+                text,
+                " contact user",
+                id_s,
+                "@example.org or call 555-",
+                phone4,
+                " from 10.0.",
+                oct1,
+                ".",
+                oct2,
+                "",
+            )
+        n_emails = pc.count_substring_regex(text, PII_EMAIL_RE)
+        n_phones = pc.count_substring_regex(text, PII_PHONE_RE)
+        n_ips = pc.count_substring_regex(text, PII_IPV4_RE)
+        red = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": red,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+                "n_ips": pc.cast(n_ips, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+def docs_normalize_text(sf_dir: str) -> rd.Dataset:
+    """Canonical text normalization: Unicode NFC, lowercase, collapse
+    runs of whitespace to single spaces, trim — the standard prelude to
+    exact/fuzzy dedup keys.
+
+    Scale shape: stateless single-pass Arrow-native map (zero-copy
+    batches, `utf8_normalize` / `utf8_lower` / RE2 collapse); no
+    shuffle, nothing leaves the block but (doc_id, norm_text, n_chars).
+    """
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("text"), pa.string())
+        t = pc.utf8_normalize(t, form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": t,
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
     )

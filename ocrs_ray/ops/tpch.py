@@ -61,6 +61,8 @@ __all__ = [
     "q22_idle_balance_customers",
     "q21_sole_returned_supplier",
     "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
 ]
 
 
@@ -1113,3 +1115,260 @@ def q8_market_share(
         ["rev_micro", "rev_target_micro"],
     )
     return sums.map_batches(share, batch_format="pandas", batch_size=None)
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> rd.Dataset:
+    """TPC-H Q15: the supplier(s) with the maximum total revenue in one
+    quarter — the scalar-subquery-over-an-aggregate / argmax-with-ties
+    shape (the reference view + `WHERE total = (SELECT max(total))`).
+
+    Scale shape: revenue reduces per supplier through the usual
+    partial -> keyed repartition -> block merge (suppkey is unbounded,
+    so the shuffle stays, but it ships one row per supplier per block).
+    The argmax is then TWO-PHASE with ties preserved: each merged block
+    emits only its local maximum rows, and a single-block final pass
+    picks the global maximum among those candidates — no driver-side
+    scalar pull, no re-execution of the aggregate, and the repartition(1)
+    input is at most one row per block (plus ties). Winner names attach
+    via a tiny native hash join against the supplier scan (the winner
+    side is O(ties), so the join is effectively a broadcast probe).
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "s_suppkey": b["l_suppkey"].to_numpy(),
+                "total_revenue_micro": _rev_micro(b),
+            }
+        )
+        return df.groupby("s_suppkey", as_index=False).sum()
+
+    def rev_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_suppkey", as_index=False)["total_revenue_micro"].sum()
+
+    def local_winners(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df[df["total_revenue_micro"] == df["total_revenue_micro"].max()]
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(
+                (pads.field("l_shipdate") >= _ts(date_from))
+                & (pads.field("l_shipdate") < _ts(date_to))
+            ),
+        )
+        .map_batches(rev_partial, batch_format="pandas")
+        .repartition(npart, keys=["s_suppkey"])
+        .map_batches(rev_merge, batch_format="pandas", batch_size=None)
+        .map_batches(local_winners, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(local_winners, batch_format="pandas", batch_size=None)
+    )
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    joined = rev.join(
+        supplier,
+        join_type="inner",
+        num_partitions=2,
+        on=("s_suppkey",),
+    )
+    return joined.select_columns(["s_suppkey", "s_name", "total_revenue_micro"])
+
+
+def q9_product_profit(
+    sf_dir: str,
+    name_token: str = "red",
+    cost_ppm_of_retail: int = 100_000,
+    part_broadcast_limit_bytes: int = 64 << 20,
+) -> rd.Dataset:
+    """TPC-H Q9 (partsupp-less variant): profit per (nation, order
+    year) over lineitems whose part name contains a token. The sandbox
+    corpus has no partsupp table, so unit cost is proxied as a fixed
+    fraction of `p_retailprice` (default 10% = 100 000 ppm) — the join
+    topology (lineitem x part x orders x supplier x nation, the
+    heaviest join chain in TPC-H) is preserved exactly.
+
+    Scale shape: the name-filtered part projection (partkey ->
+    retailprice) attaches by MEASURED-size strategy selection (the
+    `_attach_pair_texts` move): under `part_broadcast_limit_bytes` it
+    broadcasts once via ray.put and folds into the profit map; above
+    it, a native hash join on partkey (at that size the part side is
+    dense per partition — see the Ray caveat below). Profit is then
+    pre-aggregated per (orderkey, nation) to shrink the one big x big
+    shuffle, and re-keys onto orders for the order year. The
+    supplier -> nation-name chain folds into one broadcast dict (the
+    same dimension-fold q7/q8 use), and the final (nation, year)
+    key space is calendar x nation bounded, so it tree-reduces
+    shuffle-free.
+
+    Ray 2.49 caveat (why the small side must broadcast, not join): a
+    native `Dataset.join` partition that receives ZERO blocks from one
+    side is finalized as a schema-less empty table, and acero fails
+    with "No match or multiple matches for key field reference ... "
+    (`ray/data/_internal/execution/operators/join.py:118` builds it
+    from an empty ArrowBlockBuilder). A sparse build side (few
+    distinct keys vs num_partitions) hits this nondeterministically —
+    observed with ~25 filtered parts across 8 partitions.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_name = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_nation_ref = ray.put(
+        {
+            sk: nat_name[nk]
+            for sk, nk in zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_nationkey").to_pylist(),
+            )
+        }
+    )
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b["p_name"].str.contains(name_token, regex=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy()[sel],
+                "p_retailprice": b["p_retailprice"].to_numpy()[sel],
+            }
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(part_filter, batch_format="pandas").materialize()
+    # ^ bounded by name selectivity; measured to pick the attach path.
+    broadcast_parts = parts.size_bytes() <= part_broadcast_limit_bytes
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    cost_scale = MICRO * cost_ppm_of_retail / 1_000_000
+
+    class ProfitPartial:
+        """Profit per (orderkey, nation) partial; part retail prices
+        arrive either broadcast (price_ref) or pre-joined as a
+        `p_retailprice` column."""
+
+        def __init__(self, supp_ref, price_ref=None):
+            self.supp_nation = ray.get(supp_ref)
+            self.price = ray.get(price_ref) if price_ref is not None else None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.price is not None:
+                price = b["l_partkey"].map(self.price)
+                b = b[price.notna().to_numpy()]
+                retail = price.dropna().to_numpy(dtype="float64")
+            else:
+                retail = b["p_retailprice"].to_numpy(dtype="float64")
+            rev = _rev_micro(b)
+            cost = round_half_away(
+                retail * b["l_quantity"].to_numpy(dtype="float64") * cost_scale
+            ).astype("int64")
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "nation": b["l_suppkey"].map(self.supp_nation).to_numpy(),
+                    "profit_micro": rev - cost,
+                }
+            )
+            return df.groupby(["l_orderkey", "nation"], as_index=False).sum()
+
+    if broadcast_parts:
+        price_map: dict[int, float] = {}
+        for pb in parts.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            price_map.update(
+                zip(
+                    pb.column("p_partkey").to_pylist(),
+                    pb.column("p_retailprice").to_pylist(),
+                )
+            )
+        ctor_args = (supp_nation_ref, ray.put(price_map))
+        with_part = line
+    else:
+        ctor_args = (supp_nation_ref,)
+        with_part = line.join(
+            parts,
+            join_type="inner",
+            num_partitions=npart,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+    profit = with_part.map_batches(
+        ProfitPartial,
+        fn_constructor_args=ctor_args,
+        batch_format="pandas",
+        concurrency=(1, _pool(4)),
+    )
+
+    def orders_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "o_year": b["o_orderdate"].dt.year.to_numpy().astype("int64"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_proj, batch_format="pandas")
+
+    joined = profit.join(
+        orders,
+        join_type="inner",
+        num_partitions=npart,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["nation", "o_year"], as_index=False)[
+            ["profit_micro"]
+        ].sum()
+
+    return tree_sum(
+        joined.map_batches(year_partial, batch_format="pandas"),
+        ["nation", "o_year"],
+        ["profit_micro"],
+    )
