@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
         "docs_arrow_ipc_roundtrip": sources.docs_arrow_ipc_roundtrip,
+        "docs_jsonl_roundtrip": sources.docs_jsonl_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
         "docs_pii_scrub": text.docs_pii_scrub,
         "docs_normalize_text": text.docs_normalize_text,
@@ -1119,6 +1120,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_arrow_ipc_roundtrip": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
+        "docs_jsonl_roundtrip": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
         "docs_chunk_overlap": (

@@ -29,6 +29,8 @@ __all__ = [
     "documents_from_csv",
     "documents_from_arrow_ipc",
     "write_documents_arrow_ipc",
+    "write_documents_jsonl",
+    "docs_jsonl_roundtrip",
     "write_documents_partitioned",
     "docs_partitioned_sink_roundtrip",
     "docs_arrow_ipc_roundtrip",
@@ -223,6 +225,51 @@ def docs_partitioned_sink_roundtrip(sf_dir: str) -> rd.Dataset:
             rd.read_parquet(out_dir).map_batches(partial, batch_format="pandas"),
             ["source"],
             ["n_docs"],
+        )
+        return counts.materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def write_documents_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Newline-delimited JSON sink (Ray-native `write_json`): one
+    .json shard per block, written task-side — streaming, no driver
+    collect. The inverse of `documents_from_jsonl`; embedded newlines
+    survive because JSON escapes them."""
+    ds.write_json(out_dir)
+
+
+def docs_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Source/sink coverage for JSONL: stream documents into per-block
+    .json shards, read them BACK through `documents_from_jsonl` (the
+    crawl-dump ingestion path), and report per-source doc counts AND
+    total characters off the round-tripped rows — so a row lost,
+    duplicated, or a text mangled by the escape/unescape cycle fails
+    the value compare."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out_dir = tempfile.mkdtemp(prefix="ocrs_ray_jsonl_")
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        write_documents_jsonl(ds, out_dir)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("source", as_index=False).agg(
+                n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+            )
+            return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+        from .relational import tree_sum
+
+        counts = tree_sum(
+            documents_from_jsonl(out_dir).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["source"],
+            ["n_docs", "sum_chars"],
         )
         return counts.materialize()
     finally:
