@@ -765,3 +765,36 @@ def test_repeated_substring_pairs_semantics(ray_session, tmp_path):
     assert int(row.first_pos_a.iloc[0]) == 1
     assert int(row.first_pos_b.iloc[0]) == 9
     assert not ((out.doc_a == 3) | (out.doc_b == 3)).any()
+
+
+def test_pii_patterns_kernel():
+    """PII regexes via the same Arrow RE2 kernels the op uses (no Ray):
+    multi-match counting, masking order (email -> IP -> phone), and
+    non-matches (IP octets must not trip the phone pattern and vice
+    versa)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocrs_ray.ops.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    texts = pa.array(
+        [
+            "mail a.b+c@ex-1.org and d@e.io now",
+            "call 555-0199 or 555-0200 from 10.0.3.77",
+            "no pii here",
+            "ip 192.168.0.1 only",
+        ]
+    )
+    assert pc.count_substring_regex(texts, PII_EMAIL_RE).to_pylist() == [2, 0, 0, 0]
+    assert pc.count_substring_regex(texts, PII_PHONE_RE).to_pylist() == [0, 2, 0, 0]
+    assert pc.count_substring_regex(texts, PII_IPV4_RE).to_pylist() == [0, 1, 0, 1]
+
+    red = pc.replace_substring_regex(texts, PII_EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+    red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+    assert red.to_pylist() == [
+        "mail <EMAIL> and <EMAIL> now",
+        "call <PHONE> or <PHONE> from <IP>",
+        "no pii here",
+        "ip <IP> only",
+    ]
