@@ -897,6 +897,79 @@ def neardup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     )
 
 
+def neardup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Quality-ranked near-dup survivor selection: one representative
+    per connected component of the n-gram-Jaccard graph, keeping the
+    LONGEST member (n_chars desc, doc_id asc tie-break) instead of the
+    min-id root — the production dedup policy (keep the best copy, not
+    an arbitrary one). Emits (doc_id, cluster_id) for every survivor;
+    singletons keep themselves with cluster_id = doc_id.
+
+    Scale shape: component contraction is the hybrid distributed CC;
+    the winner pick needs quality only for docs INSIDE dup components
+    — the same tiny node set the star map already materializes — so
+    their n_chars rows are pushdown-read (doc_id isin) and ranked
+    driver-side in one bounded pass, never touching the corpus. The
+    corpus itself sees a single streaming relabel/filter with the
+    broadcast loser set; singletons never shuffle.
+    """
+    import pyarrow.dataset as pads
+
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold).map_batches(
+        lambda df: df.rename(columns={"doc_a": "u", "doc_b": "v"}),
+        batch_format="pandas",
+    )
+    mapping = connected_components(pairs)
+    winner_of: dict[int, int] = {}
+    if mapping:
+        members = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars"],
+                filter=pads.field("doc_id").isin(sorted(mapping)),
+            )
+            .to_pandas()
+            .astype({"doc_id": "int64", "n_chars": "int64"})
+        )
+        members["cluster_id"] = members["doc_id"].map(mapping).astype("int64")
+        members = members.sort_values(
+            ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        best = members.groupby("cluster_id", as_index=False).head(1)
+        winner_of = dict(zip(best["doc_id"], best["cluster_id"]))
+    losers_ref = ray.put(set(mapping) - set(winner_of))
+    winners_ref = ray.put(winner_of)
+
+    class _KeepBest:
+        def __init__(self, losers, winners):
+            self.losers = ray.get(losers)
+            self.winners = ray.get(winners)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].astype("int64")
+            keep = ~ids.isin(self.losers)
+            kept = ids[keep].to_numpy()
+            return pd.DataFrame(
+                {
+                    "doc_id": kept,
+                    "cluster_id": np.fromiter(
+                        (self.winners.get(int(d), int(d)) for d in kept),
+                        dtype="int64",
+                        count=len(kept),
+                    ),
+                }
+            )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        _KeepBest,
+        fn_constructor_args=(losers_ref, winners_ref),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+
 def substring_dup_clusters(
     sf_dir: str, k: int = 32, stride: int = 8, min_shared: int = 2
 ) -> rd.Dataset:

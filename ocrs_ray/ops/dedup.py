@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -787,6 +788,134 @@ def repeated_substring_pairs(
         .map_batches(block_pairs, batch_format="pandas", batch_size=None)
         .repartition(npart, keys=["doc_a", "doc_b"])
         .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+
+
+def dup_gram_doc_fraction(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """Per-document duplicated-n-gram fraction (the RefinedWeb /
+    Dolma-style cross-corpus quality signal): for each document, the
+    share of its word `n`-gram positions whose gram occurs in at least
+    two DISTINCT documents corpus-wide. Emits (doc_id, n_grams,
+    n_dup_grams, dup_ppm) with the fraction as integer parts-per-
+    million (floor), exactly matching the SQL oracle.
+
+    Scale shape: per-doc gram extraction is a stateless map emitting
+    one (gram, doc_id, cnt) row per DISTINCT gram per doc (local
+    pre-combine — repeated grams within a doc shuffle once, not per
+    occurrence); a hash repartition on the gram co-locates all docs
+    holding each gram, so the >= 2-distinct-docs decision is exact
+    per block and each block emits tiny (doc_id, n_dup) partials.
+    The per-doc totals never shuffle with the grams: they ride a
+    separate map branch and meet the partials in a UNION that hash-
+    repartitions on doc_id (one block per partition on 2.49, verified
+    across union branches — see CLAUDE.md), avoiding a sparse-side
+    native join. The gram string itself is the shuffle key for
+    bit-exactness vs the oracle; at 100 TB swap it for a 128-bit
+    fingerprint (collision odds negligible) to cut shuffle bytes.
+    """
+    import re as _re
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+    tok = _re.compile(r"\S+")
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, gs, cnts = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            w = tok.findall(t)
+            local: dict[str, int] = {}
+            for i in range(len(w) - n + 1):
+                g = " ".join(w[i : i + n])
+                local[g] = local.get(g, 0) + 1
+            for g, c in local.items():
+                ids.append(d)
+                gs.append(g)
+                cnts.append(c)
+        return pa.table(
+            {
+                "gram": pa.array(gs, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    def block_dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_dup": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        # Rows are (gram, doc_id, cnt) with one row per distinct gram
+        # per doc, so a gram appearing once in the block has exactly
+        # one distinct doc — drop before grouping.
+        df = df[df.duplicated("gram", keep=False)]
+        if df.empty:
+            return empty
+        per_doc = df.groupby("doc_id", as_index=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": per_doc["doc_id"].to_numpy(),
+                "n_dup": per_doc["cnt"].to_numpy(),
+                "n_grams": np.zeros(len(per_doc), dtype="int64"),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(
+            batch.column("text"), pattern=r"\S+"
+        ).to_numpy(zero_copy_only=False)
+        ng = np.maximum(nt.astype("int64") - (n - 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_dup": pa.array(np.zeros(len(ng), dtype="int64")),
+                "n_grams": pa.array(ng),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup_grams": pd.Series([], dtype="int64"),
+                    "dup_ppm": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_dup=("n_dup", "sum"), n_grams=("n_grams", "sum")
+        )
+        ng = g["n_grams"].to_numpy()
+        nd = g["n_dup"].to_numpy()
+        ppm = np.where(ng > 0, (1_000_000 * nd) // np.maximum(ng, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_grams": ng,
+                "n_dup_grams": nd,
+                "dup_ppm": ppm.astype("int64"),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    gram_rows = docs.map_batches(grams, batch_format="pyarrow")
+    enable_hash_shuffle(gram_rows)
+    dup_partials = gram_rows.repartition(npart, keys=["gram"]).map_batches(
+        block_dup_partials, batch_format="pandas", batch_size=None
+    )
+    total_rows = docs.map_batches(totals, batch_format="pyarrow")
+    merged = dup_partials.union(total_rows)
+    enable_hash_shuffle(merged)
+    return merged.repartition(npart, keys=["doc_id"]).map_batches(
+        combine, batch_format="pandas", batch_size=None
     )
 
 

@@ -85,6 +85,29 @@ def _substring_clusters_sql(k: int = 32, stride: int = 8, min_shared: int = 2) -
     )
 
 
+def _dup_gram_fraction_sql(n: int = 5) -> str:
+    """docs_dup_gram_fraction oracle: word n-grams (whitespace tokens,
+    stride 1), a gram is duplicated when it occurs in >= 2 distinct
+    docs; per-doc duplicated-position share as floor ppm, zero-gram
+    docs kept with zeros via the LEFT JOIN."""
+    concat = " || ' ' || ".join(f"w[j+{i + 1}]" for i in range(n))
+    return (
+        r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(0, "
+        f"greatest(length(w) - {n - 1}, 0)), j -> {concat})) AS gram FROM toks), "
+        "nd AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram), "
+        "per AS (SELECT g.doc_id, count(*) AS n_grams, "
+        "sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup "
+        "FROM g JOIN nd USING (gram) GROUP BY g.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+        "CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0 "
+        "ELSE (1000000 * per.n_dup) // per.n_grams END AS BIGINT) AS dup_ppm "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )
+
+
 def _lang_id_sql() -> str:
     """lang_id oracle, generated from the same _LANG_STOPWORDS tables
     the op uses (no drift): per-language stopword hit counts over the
@@ -164,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # < 1); recall >= 0.8 vs the exact op pinned in tests/test_ops.py.
         "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
         "repeated_substring_pairs": dedup.repeated_substring_pairs,
+        "docs_dup_gram_fraction": dedup.dup_gram_doc_fraction,
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -189,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active_users_hll": relational.events_daily_active_users_hll,
         "customer_order_counts": relational.customer_order_counts,
         "orders_with_returns": relational.orders_with_returns,
+        "late_shipment_orders": relational.late_shipment_orders,
         "part_small_quantity_revenue": relational.part_small_quantity_revenue,
         "part_type_revenue": relational.part_type_revenue,
         "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
@@ -228,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": analytics.dedup_clusters,
         "substring_dup_clusters": analytics.substring_dup_clusters,
         "neardup_survivors": analytics.neardup_survivors,
+        "neardup_best_survivors": analytics.neardup_best_survivors,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "events_user_lag_diff": analytics.events_user_lag_diff,
@@ -402,6 +428,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
             "GROUP BY 1"
         ),
+        "late_shipment_orders": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders "
+            "FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY 1"
+        ),
         "q3_top_orders": (
             "WITH c AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "
@@ -515,6 +551,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
             "SELECT CAST(node AS BIGINT) AS doc_id "
             "FROM reach GROUP BY node HAVING min(src) = node"
+        ),
+        "neardup_best_survivors": (
+            # One survivor per component, ranked by quality: longest
+            # member wins (n_chars desc, doc_id asc); singletons keep
+            # themselves with cluster_id = doc_id.
+            f"WITH RECURSIVE {_NGRAM_PAIRS_CTE}, "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "WHERE 10 * inter >= 8 * uni "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs "
+            "WHERE 10 * inter >= 8 * uni), "
+            "reach(src, node) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u), "
+            "cl AS (SELECT node AS doc_id, min(src) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "ranked AS (SELECT cl.doc_id, cl.cluster_id, "
+            "row_number() OVER (PARTITION BY cl.cluster_id "
+            "ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn "
+            "FROM cl JOIN documents d ON cl.doc_id = d.doc_id) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(cluster_id AS BIGINT) AS cluster_id "
+            "FROM ranked WHERE rn = 1"
         ),
         "embedding_clusters": (
             "WITH RECURSIVE prs AS (SELECT a.vec_id AS u, b.vec_id AS v "
@@ -971,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "repeated_substring_pairs": _repeated_substring_sql(),
+        "docs_dup_gram_fraction": _dup_gram_fraction_sql(),
         "substring_dup_clusters": _substring_clusters_sql(),
         "events_value_band_join": (
             "SELECT a.event_id AS event_a, b.event_id AS event_b, "

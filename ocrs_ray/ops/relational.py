@@ -676,6 +676,82 @@ def orders_with_returns(
     return tree_sum(partials, ["o_orderpriority"], ["order_count"])
 
 
+def late_shipment_orders(
+    sf_dir: str,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+    late_days: int = 90,
+) -> rd.Dataset:
+    """TPC-H Q4-shaped CORRELATED NON-EQUI EXISTS: count orders per
+    priority (within a date window) having at least one lineitem
+    shipped `late_days` or more after the order date. Unlike
+    `orders_with_returns` (equi-semi-join EXISTS), the predicate
+    compares a lineitem column against the OUTER row's o_orderdate, so
+    no native semi-join expresses it directly.
+
+    Decorrelation: EXISTS(l_shipdate >= o_orderdate + D) over an
+    order's lineitems is equivalent to max(l_shipdate) >= o_orderdate
+    + D, so the shape is aggregate-then-rejoin (same as
+    `part_small_quantity_revenue`): block-partial per-order max
+    shrinks lineitem to ~unique keys per block, a keyed repartition +
+    block merge makes the max exact (one block per partition on 2.49),
+    and a dense big x big hash join ships one tiny (key, max) row per
+    order next to the window-filtered orders. The final per-priority
+    count is a bounded key space and tree-reduces shuffle-free.
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    start_ts, end_ts = pd.Timestamp(start), pd.Timestamp(end)
+    late = pd.Timedelta(days=late_days)
+
+    def max_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        return out.rename(columns={"l_shipdate": "max_ship"})
+
+    def max_combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return batch
+        return batch.groupby("l_orderkey", as_index=False)["max_ship"].max()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(max_partial, batch_format="pandas")
+    enable_hash_shuffle(li)
+    maxes = li.repartition(npart, keys=["l_orderkey"]).map_batches(
+        max_combine, batch_format="pandas", batch_size=None
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate") >= start_ts.to_pydatetime())
+            & (pads.field("o_orderdate") < end_ts.to_pydatetime())
+        ),
+    )
+
+    joined = orders.join(
+        maxes,
+        join_type="inner",
+        num_partitions=npart,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def late_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch["max_ship"] >= (batch["o_orderdate"] + late)
+        out = batch.loc[sel].groupby("o_orderpriority", as_index=False).size()
+        out.columns = ["o_orderpriority", "late_orders"]
+        return out.astype({"late_orders": "int64"})
+
+    partials = joined.map_batches(late_partial, batch_format="pandas")
+    return tree_sum(partials, ["o_orderpriority"], ["late_orders"])
+
+
 def part_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
     """TPC-H Q17-shaped correlated scalar aggregate: total revenue and
     row count of lineitems whose quantity is below 20% of their own
