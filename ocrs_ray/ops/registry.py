@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
         "docs_arrow_ipc_roundtrip": sources.docs_arrow_ipc_roundtrip,
         "docs_jsonl_roundtrip": sources.docs_jsonl_roundtrip,
+        "docs_webdataset_roundtrip": sources.docs_webdataset_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
         "docs_pii_scrub": text.docs_pii_scrub,
         "docs_normalize_text": text.docs_normalize_text,
@@ -1186,6 +1187,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "docs_webdataset_roundtrip": (
+            # Full-row identity: the roundtrip must reconstruct every
+            # document bit-exactly from the tar shards.
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "docs_chunk_overlap": (
             r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "

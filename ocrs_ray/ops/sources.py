@@ -34,6 +34,9 @@ __all__ = [
     "write_documents_partitioned",
     "docs_partitioned_sink_roundtrip",
     "docs_arrow_ipc_roundtrip",
+    "write_documents_webdataset",
+    "documents_from_webdataset",
+    "docs_webdataset_roundtrip",
 ]
 
 #: The documents table contract (TESTDATA.md): every reader must land
@@ -172,6 +175,120 @@ def docs_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
             ["n_docs"],
         )
         return counts.materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def write_documents_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """WebDataset-style tar shard sink: each BLOCK writes one
+    `shard-<min_doc_id>.tar` task-side (streaming — no driver collect)
+    holding, per document, a `<key>.txt` payload and a `<key>.json`
+    sidecar with the remaining columns — the sample-per-key-prefix
+    convention multimodal training loaders consume sequentially.
+    Shard names derive from block contents (min doc_id), so a rerun
+    overwrites rather than duplicates; tar member mtimes are pinned to
+    0 for byte-deterministic shards. Returns the materialized
+    (path, n_docs) manifest."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        cols = {name: b.column(name).to_pylist() for name in _COLUMNS}
+        path = os.path.join(out_dir, f"shard-{min(cols['doc_id']):012d}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i in range(b.num_rows):
+                key = f"{cols['doc_id'][i]:012d}"
+                meta = {
+                    name: cols[name][i]
+                    for name in _COLUMNS
+                    if name != "text"
+                }
+                for ext, payload in (
+                    (".txt", cols["text"][i].encode("utf-8")),
+                    (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
+                ):
+                    ti = tarfile.TarInfo(key + ext)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(payload))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        return pa.table(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "n_docs": pa.array([b.num_rows], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def documents_from_webdataset(path_dir: str) -> rd.Dataset:
+    """WebDataset source: one read task per .tar shard
+    (read_binary_files), samples regrouped by key prefix and
+    normalized to the documents schema — same distributed-scan shape
+    as the parquet/JSONL readers, over the loader-native format."""
+    import io
+    import json
+    import tarfile
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {name: [] for name in _COLUMNS}
+        for raw in batch.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                samples: dict[str, dict[str, bytes]] = {}
+                for m in tf.getmembers():
+                    key, ext = m.name.rsplit(".", 1)
+                    samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
+                for key in sorted(samples):
+                    s = samples[key]
+                    meta = json.loads(s["json"].decode("utf-8"))
+                    rows["text"].append(s["txt"].decode("utf-8"))
+                    for name in _COLUMNS:
+                        if name != "text":
+                            rows[name].append(meta[name])
+        return _normalize(
+            pa.table(
+                {
+                    name: pa.array(rows[name], type=DOCUMENTS_SCHEMA.field(name).type)
+                    for name in _COLUMNS
+                }
+            )
+        )
+
+    return rd.read_binary_files(path_dir).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def docs_webdataset_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Source/sink coverage for WebDataset tar shards: stream the full
+    documents table out as tar shards and read it BACK, returning the
+    reconstructed table itself — the oracle compares EVERY row and
+    column against the parquet original, so a lost/duplicated sample,
+    a mangled payload, or a dropped sidecar field all fail."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="ocrs_ray_wds_")
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        write_documents_webdataset(ds, out_dir)
+        return documents_from_webdataset(out_dir).materialize()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
