@@ -449,6 +449,7 @@ _GATE_ORDER = [
     "q3_top_orders",
     "q18_large_orders",
     "q8_market_share",
+    "docs_dup_gram_fraction",
 ]
 
 

@@ -1008,6 +1008,22 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     return _cluster_assign(pairs, ids, "vec_id")
 
 
+def embedding_cluster_survivors(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """SemDeDup-style semantic dedup apply-side (Abbas et al. 2023):
+    one representative vector per connected component of the
+    cosine-similarity graph — the embedding-space mirror of
+    `neardup_survivors`. Min-label roots keep themselves, so survivors
+    are a streaming filter over the cluster relabel pass; singletons
+    never shuffle."""
+
+    def roots(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["vec_id"] == df["cluster_id"], ["vec_id"]]
+
+    return embedding_clusters(sf_dir, threshold=threshold).map_batches(
+        roots, batch_format="pandas"
+    )
+
+
 def events_user_lag_diff(sf_dir: str) -> rd.Dataset:
     """Per-user deltas between consecutive events (the LAG window
     function): time since previous event and value change. Same

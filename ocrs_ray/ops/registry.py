@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_clusters": analytics.substring_dup_clusters,
         "neardup_survivors": analytics.neardup_survivors,
         "neardup_best_survivors": analytics.neardup_best_survivors,
+        "embedding_cluster_survivors": analytics.embedding_cluster_survivors,
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "events_user_lag_diff": analytics.events_user_lag_diff,
@@ -588,6 +589,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
             "SELECT node AS vec_id, CAST(min(src) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
+        ),
+        "embedding_cluster_survivors": (
+            "WITH RECURSIVE prs AS (SELECT a.vec_id AS u, b.vec_id AS v "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+            "edges AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs), "
+            "reach(src, node) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u) "
+            "SELECT CAST(node AS BIGINT) AS vec_id "
+            "FROM reach GROUP BY node HAVING min(src) = node"
         ),
         "vocab_top_terms": (
             "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("

@@ -34,6 +34,8 @@ __all__ = [
     "write_documents_partitioned",
     "docs_partitioned_sink_roundtrip",
     "docs_arrow_ipc_roundtrip",
+    "encode_webdataset_shard",
+    "decode_webdataset_shard",
     "write_documents_webdataset",
     "documents_from_webdataset",
     "docs_webdataset_roundtrip",
@@ -179,20 +181,65 @@ def docs_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def encode_webdataset_shard(cols: dict[str, list]) -> bytes:
+    """Pure kernel: documents columns -> one WebDataset tar shard.
+    Per document a `<key>.txt` payload and a `<key>.json` sidecar with
+    the remaining columns, key = zero-padded doc_id; member mtimes
+    pinned to 0 and keys emitted in input order, so identical input
+    yields byte-identical shards."""
+    import io
+    import json
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(len(cols["doc_id"])):
+            key = f"{cols['doc_id'][i]:012d}"
+            meta = {name: cols[name][i] for name in _COLUMNS if name != "text"}
+            for ext, payload in (
+                (".txt", cols["text"][i].encode("utf-8")),
+                (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
+            ):
+                ti = tarfile.TarInfo(key + ext)
+                ti.size = len(payload)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def decode_webdataset_shard(raw: bytes) -> dict[str, list]:
+    """Pure kernel: one tar shard -> documents columns, samples
+    regrouped by key prefix (sorted by key)."""
+    import io
+    import json
+    import tarfile
+
+    rows: dict[str, list] = {name: [] for name in _COLUMNS}
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+        samples: dict[str, dict[str, bytes]] = {}
+        for m in tf.getmembers():
+            key, ext = m.name.rsplit(".", 1)
+            samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
+        for key in sorted(samples):
+            s = samples[key]
+            meta = json.loads(s["json"].decode("utf-8"))
+            rows["text"].append(s["txt"].decode("utf-8"))
+            for name in _COLUMNS:
+                if name != "text":
+                    rows[name].append(meta[name])
+    return rows
+
+
 def write_documents_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
     """WebDataset-style tar shard sink: each BLOCK writes one
     `shard-<min_doc_id>.tar` task-side (streaming — no driver collect)
-    holding, per document, a `<key>.txt` payload and a `<key>.json`
-    sidecar with the remaining columns — the sample-per-key-prefix
-    convention multimodal training loaders consume sequentially.
-    Shard names derive from block contents (min doc_id), so a rerun
-    overwrites rather than duplicates; tar member mtimes are pinned to
-    0 for byte-deterministic shards. Returns the materialized
+    in the sample-per-key-prefix convention multimodal training
+    loaders consume sequentially. Shard names derive from block
+    contents (min doc_id), so a rerun overwrites rather than
+    duplicates; shards are byte-deterministic (see
+    `encode_webdataset_shard`). Returns the materialized
     (path, n_docs) manifest."""
-    import io
-    import json
     import os
-    import tarfile
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -206,25 +253,8 @@ def write_documents_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
             )
         cols = {name: b.column(name).to_pylist() for name in _COLUMNS}
         path = os.path.join(out_dir, f"shard-{min(cols['doc_id']):012d}.tar")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            for i in range(b.num_rows):
-                key = f"{cols['doc_id'][i]:012d}"
-                meta = {
-                    name: cols[name][i]
-                    for name in _COLUMNS
-                    if name != "text"
-                }
-                for ext, payload in (
-                    (".txt", cols["text"][i].encode("utf-8")),
-                    (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
-                ):
-                    ti = tarfile.TarInfo(key + ext)
-                    ti.size = len(payload)
-                    ti.mtime = 0
-                    tf.addfile(ti, io.BytesIO(payload))
         with open(path, "wb") as f:
-            f.write(buf.getvalue())
+            f.write(encode_webdataset_shard(cols))
         return pa.table(
             {
                 "path": pa.array([path], type=pa.string()),
@@ -239,28 +269,16 @@ def write_documents_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
 
 def documents_from_webdataset(path_dir: str) -> rd.Dataset:
     """WebDataset source: one read task per .tar shard
-    (read_binary_files), samples regrouped by key prefix and
+    (read_binary_files), decoded via `decode_webdataset_shard` and
     normalized to the documents schema — same distributed-scan shape
     as the parquet/JSONL readers, over the loader-native format."""
-    import io
-    import json
-    import tarfile
 
     def decode(batch: pa.Table) -> pa.Table:
         rows: dict[str, list] = {name: [] for name in _COLUMNS}
         for raw in batch.column("bytes").to_pylist():
-            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
-                samples: dict[str, dict[str, bytes]] = {}
-                for m in tf.getmembers():
-                    key, ext = m.name.rsplit(".", 1)
-                    samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
-                for key in sorted(samples):
-                    s = samples[key]
-                    meta = json.loads(s["json"].decode("utf-8"))
-                    rows["text"].append(s["txt"].decode("utf-8"))
-                    for name in _COLUMNS:
-                        if name != "text":
-                            rows[name].append(meta[name])
+            shard = decode_webdataset_shard(raw)
+            for name in _COLUMNS:
+                rows[name].extend(shard[name])
         return _normalize(
             pa.table(
                 {
