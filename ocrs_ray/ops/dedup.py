@@ -958,6 +958,107 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     )
 
 
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Text near-duplicate pairs by SimHash hamming distance <=
+    `max_hamming` (Manku, Jain & Das Sarma 2007 — the production
+    web-scale simhash dedup design), EXACT over the banded candidate
+    space: the 64-bit fingerprint splits into `max_hamming + 1` bands,
+    so any pair within the distance budget agrees exactly on at least
+    one band (pigeonhole) — banding is lossless for the threshold,
+    the text mirror of `multimodal.media_ahash_neardup`.
+
+    Scale shape: fingerprints are 8 bytes/doc (the whole corpus never
+    shuffles); one keyed repartition on (band, band value) groups
+    candidates, per-block buckets hamming-verify exactly, and a second
+    repartition on doc_a collapses pairs that matched in multiple
+    bands. Carries an exact DuckDB oracle (xor + bit_count over the
+    same md5-derived fingerprints), unlike typical LSH ops whose
+    recall is < 1.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = max(2, min(16, cluster_ncpu()))
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = np.array(
+            [int(s, 16) for s in batch.column("simhash").to_pylist()],
+            dtype=np.uint64,
+        )
+        out_b, out_v, out_i, out_h = [], [], [], []
+        for band in range(n_bands):
+            shift = np.uint64(band * width)
+            mask = (
+                np.uint64((1 << width) - 1)
+                if band < n_bands - 1
+                else np.uint64((1 << (64 - band * width)) - 1)
+            )
+            vals = (hashes >> shift) & mask
+            out_b.extend([band] * len(ids))
+            out_v.extend(vals.tolist())
+            out_i.extend(ids.tolist())
+            out_h.extend(hashes.tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_b, type=pa.int32()),
+                "band_val": pa.array(np.array(out_v, dtype=np.uint64)),
+                "doc_id": pa.array(out_i, type=pa.int64()),
+                "h": pa.array(np.array(out_h, dtype=np.uint64)),
+            }
+        )
+
+    _EMPTY = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "hamming": pd.Series([], dtype="int64"),
+    }
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        df = df[df.duplicated(["band", "band_val"], keep=False)]
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        a_out, b_out, d_out = [], [], []
+        for _, g in df.groupby(["band", "band_val"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            hs = g["h"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            ids, hs = ids[order], hs[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        d_out.append(d)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(a_out, dtype="int64"),
+                "doc_b": pd.Series(b_out, dtype="int64"),
+                "hamming": pd.Series(d_out, dtype="int64"),
+            }
+        )
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    ds = simhash64(sf_dir).map_batches(bands, batch_format="pyarrow")
+    return (
+        ds.repartition(npart, keys=["band", "band_val"])
+        .map_batches(pairs, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["doc_a"])
+        .map_batches(dedupe, batch_format="pandas", batch_size=None)
+    )
+
+
 def embedding_neardup_pairs(
     sf_dir: str, threshold: float = 0.4, n_blocks: int | None = None
 ) -> rd.Dataset:

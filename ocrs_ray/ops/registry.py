@@ -85,6 +85,35 @@ def _substring_clusters_sql(k: int = 32, stride: int = 8, min_shared: int = 2) -
     )
 
 
+_SIMHASH_CTE = (
+    r"toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+    r" '\S+')) AS tok FROM documents), "
+    "th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) "
+    "AS UBIGINT) AS th FROM toks), "
+    "votes AS (SELECT doc_id, i, sum(CASE WHEN (th >> CAST(i AS "
+    "UTINYINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM th CROSS JOIN range(64) r(i) GROUP BY doc_id, i), "
+    "agg AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN "
+    "(CAST(1 AS HUGEINT) << CAST(i AS INTEGER)) ELSE "
+    "CAST(0 AS HUGEINT) END) AS val FROM votes GROUP BY doc_id), "
+    "sh AS (SELECT d.doc_id, CAST(coalesce(a.val, 0) AS UBIGINT) AS h "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)"
+)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """simhash_neardup_pairs oracle: exact hamming distance over the
+    same md5-token-vote fingerprints the op computes (xor + bit_count),
+    all pairs at distance <= max_hamming."""
+    return (
+        f"WITH {_SIMHASH_CTE} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"
+    )
+
+
 def _dup_gram_fraction_sql(n: int = 5) -> str:
     """docs_dup_gram_fraction oracle: word n-grams (whitespace tokens,
     stride 1), a gram is duplicated when it occurs in >= 2 distinct
@@ -181,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # Sub-quadratic approximate path (hyperplane-LSH banding +
         # exact per-bucket cosine verify): rows-only by design (recall
@@ -1042,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE lpad(lower(to_hex(CAST(a.val AS UBIGINT))), 16, '0') END "
             "AS simhash FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
+        "simhash_neardup_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "repeated_substring_pairs": _repeated_substring_sql(),
