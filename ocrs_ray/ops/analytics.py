@@ -468,6 +468,91 @@ def events_user_running_sum(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_global_cumsum(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
+    """GLOBAL ordered prefix scan: cumulative value total over the
+    whole event ledger in event_id (arrival) order — `SUM(...) OVER
+    (ORDER BY event_id)` with NO partition key, the one window shape a
+    per-key shuffle cannot express. Classic two-phase distributed scan:
+
+    Pass 1 streams associative (bucket, partial_sum) rows per read
+    block — no shuffle; the collected partials are tiny (blocks x
+    buckets) and reduce to n_buckets exclusive prefix offsets on the
+    driver. Pass 2 repartitions once on the contiguous event_id bucket
+    and finishes each bucket with a vectorized per-block sort + cumsum
+    + broadcast offset. Bucket boundaries derive from max(event_id)
+    (one pruned-column aggregate), so buckets are contiguous ranges
+    regardless of id density; at 100 TB raise `n_buckets` with the
+    partition budget — one bucket must fit a worker block. Values ride
+    as round-half-away micro-units, bit-exact vs the SQL window.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+    max_id = int(_read_events(sf_dir, ["event_id"]).max("event_id"))
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        vm = round_half_away(df["value"].to_numpy() * MICRO).astype("int64")
+        g = pd.DataFrame(
+            {
+                "bucket": (df["event_id"].to_numpy() // width).astype("int64"),
+                "vm": vm,
+            }
+        ).groupby("bucket", as_index=False)["vm"].sum()
+        return g
+
+    parts = (
+        _read_events(sf_dir, ["event_id", "value"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    totals = parts.groupby("bucket")["vm"].sum().sort_index()
+    prefix = {int(b): int(v) for b, v in totals.cumsum().shift(fill_value=0).items()}
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["event_id"].to_numpy() // width).astype("int64"),
+                "event_id": df["event_id"].to_numpy().astype("int64"),
+                "vm": round_half_away(df["value"].to_numpy() * MICRO).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    def scan_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "cum_value_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        out = []
+        # A hash partition may host several buckets; each bucket is
+        # whole within its block, so the scan is exact per group.
+        for b, g in df.groupby("bucket", sort=False):
+            g = g.sort_values("event_id", kind="stable")
+            cum = g["vm"].cumsum().to_numpy() + prefix.get(int(b), 0)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "cum_value_micro": cum.astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    ds = _read_events(sf_dir, ["event_id", "value"]).map_batches(
+        add_bucket, batch_format="pandas"
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["bucket"]).map_batches(
+        scan_block, batch_format="pandas", batch_size=None
+    )
+
+
 def events_user_pivot(sf_dir: str) -> rd.Dataset:
     """Per-user event counts pivoted across the (closed) event-type set
     plus total value. Partial pivot per batch, then a keyed repartition

@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": analytics.lm_bigram_score,
         "events_topk_per_group": analytics.events_topk_per_group,
         "events_user_running_sum": analytics.events_user_running_sum,
+        "events_global_cumsum": analytics.events_global_cumsum,
         "events_user_pivot": analytics.events_user_pivot,
         "heavy_hitters_exact": analytics.heavy_hitters_exact,
         "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
@@ -666,6 +667,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_micro "
             "FROM events"
+        ),
+        "events_global_cumsum": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_value_micro FROM events"
         ),
         "events_user_pivot": (
             "SELECT user_id, "
