@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_webdataset_roundtrip": sources.docs_webdataset_roundtrip,
         "docs_gopher_quality_filter": text.docs_gopher_quality_filter,
         "docs_pii_scrub": text.docs_pii_scrub,
+        "docs_extract_matches": text.docs_extract_matches,
         "docs_normalize_text": text.docs_normalize_text,
         "user_click_purchase_full_outer": relational.user_click_purchase_full_outer,
         # TPC-H-shaped relational suite (Q6/Q7/Q10/Q12/Q14/Q16/Q19/Q22)
@@ -1415,6 +1416,21 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_phones, "
             f"CAST(length(regexp_extract_all(t, '{text.PII_IPV4_RE}')) "
             "AS BIGINT) AS n_ips FROM aug"
+        ),
+        "docs_extract_matches": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.org or call 555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+            "CAST((doc_id // 256) % 256 AS VARCHAR) AS t FROM documents) "
+            "SELECT doc_id, kind, matched FROM ("
+            "SELECT doc_id, 'email' AS kind, "
+            f"unnest(regexp_extract_all(t, '{text.PII_EMAIL_RE}')) "
+            "AS matched FROM aug "
+            "UNION ALL SELECT doc_id, 'phone', "
+            f"unnest(regexp_extract_all(t, '{text.PII_PHONE_RE}')) FROM aug "
+            "UNION ALL SELECT doc_id, 'ip', "
+            f"unnest(regexp_extract_all(t, '{text.PII_IPV4_RE}')) FROM aug)"
         ),
         "docs_normalize_text": (
             "WITH n AS (SELECT doc_id, "

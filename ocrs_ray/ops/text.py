@@ -431,6 +431,36 @@ PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def _pii_augment(text: "pa.Array", ids: "pa.Array") -> "pa.Array":
+    """Append the deterministic synthetic PII suffix derived from
+    doc_id (email + 555- phone fragment + 10.0.x.y address), mirrored
+    exactly in the SQL oracles of every op that sets
+    inject_synthetic=True."""
+    import pyarrow.compute as pc
+
+    def _mod(x, m):
+        # Arrow has no modulo kernel; int64 divide truncates, and
+        # doc_id >= 0, so x - (x // m) * m is exact.
+        return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+    id_s = pc.cast(ids, pa.string())
+    phone4 = pc.utf8_lpad(pc.cast(_mod(ids, 10_000), pa.string()), 4, padding="0")
+    oct1 = pc.cast(_mod(ids, 256), pa.string())
+    oct2 = pc.cast(_mod(pc.divide(ids, 256), 256), pa.string())
+    return pc.binary_join_element_wise(
+        text,
+        " contact user",
+        id_s,
+        "@example.org or call 555-",
+        phone4,
+        " from 10.0.",
+        oct1,
+        ".",
+        oct2,
+        "",
+    )
+
+
 def docs_pii_scrub(sf_dir: str, inject_synthetic: bool = True) -> rd.Dataset:
     """PII detection + redaction over documents: count and mask emails,
     phone fragments and IPv4 addresses, emitting the redacted text.
@@ -452,31 +482,7 @@ def docs_pii_scrub(sf_dir: str, inject_synthetic: bool = True) -> rd.Dataset:
     def scrub(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch.column("text"), pa.string())
         if inject_synthetic:
-            ids = batch.column("doc_id")
-
-            def _mod(x, m):
-                # Arrow has no modulo kernel; int64 divide truncates,
-                # and doc_id >= 0, so x - (x // m) * m is exact.
-                return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
-
-            id_s = pc.cast(ids, pa.string())
-            phone4 = pc.utf8_lpad(
-                pc.cast(_mod(ids, 10_000), pa.string()), 4, padding="0"
-            )
-            oct1 = pc.cast(_mod(ids, 256), pa.string())
-            oct2 = pc.cast(_mod(pc.divide(ids, 256), 256), pa.string())
-            text = pc.binary_join_element_wise(
-                text,
-                " contact user",
-                id_s,
-                "@example.org or call 555-",
-                phone4,
-                " from 10.0.",
-                oct1,
-                ".",
-                oct2,
-                "",
-            )
+            text = _pii_augment(text, batch.column("doc_id"))
         n_emails = pc.count_substring_regex(text, PII_EMAIL_RE)
         n_phones = pc.count_substring_regex(text, PII_PHONE_RE)
         n_ips = pc.count_substring_regex(text, PII_IPV4_RE)
@@ -495,6 +501,55 @@ def docs_pii_scrub(sf_dir: str, inject_synthetic: bool = True) -> rd.Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         scrub, batch_format="pyarrow"
+    )
+
+
+def docs_extract_matches(sf_dir: str, inject_synthetic: bool = True) -> rd.Dataset:
+    """Structured extraction explode: every email / phone-fragment /
+    IPv4 match becomes its own row (doc_id, kind, matched) — the
+    long-format counterpart of `docs_pii_scrub`'s counts, and the
+    shape entity/link-extraction pipelines emit. Uses the same
+    deterministic synthetic augmentation so the sandbox corpus has
+    real matches.
+
+    Scale shape: stateless map explode, no shuffle; output volume is
+    bounded by match density. The patterns are simple character
+    classes, so Python re and the oracle's RE2 produce identical
+    leftmost non-overlapping match lists.
+    """
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    pats = [
+        ("email", _re.compile(PII_EMAIL_RE)),
+        ("phone", _re.compile(PII_PHONE_RE)),
+        ("ip", _re.compile(PII_IPV4_RE)),
+    ]
+
+    def extract(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        if inject_synthetic:
+            text = _pii_augment(text, batch.column("doc_id"))
+        ids_out: list[int] = []
+        kinds: list[str] = []
+        matches: list[str] = []
+        for d, t in zip(batch.column("doc_id").to_pylist(), text.to_pylist()):
+            for kind, rx in pats:
+                for m in rx.findall(t):
+                    ids_out.append(d)
+                    kinds.append(kind)
+                    matches.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "matched": pa.array(matches, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
     )
 
 
