@@ -958,6 +958,94 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     )
 
 
+def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Corpus snapshot diff — the incremental-ingest primitive: compare
+    snapshot A (the documents table) against snapshot B (a
+    deterministic in-flight mutation of A: doc_id % 7 == 0 deleted,
+    surviving doc_id % 11 == 0 re-texted, doc_id % 13 == 0 re-ingested
+    under a new id) and emit one (doc_id, status) row per difference,
+    status in {added, removed, changed}; unchanged docs are filtered
+    out, so output is proportional to churn, not corpus size.
+
+    Scale shape: both snapshots stream as tagged (doc_id, side,
+    content-md5) rows into a UNION + one doc_id hash repartition; each
+    block classifies its co-located id groups vectorized — no native
+    full-outer join (and none of its sparse-side hazards), and text
+    never shuffles, only 16-byte digests. In production B would be a
+    second table/scan; here it derives from A so the oracle is closed
+    over the same parquet.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def side_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "side": np.zeros(len(batch), dtype="int64"),
+                "h": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    def side_b(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy()
+        keep = ids % 7 != 0
+        changed = keep & (ids % 11 == 0)
+        out_ids = ids[keep].tolist()
+        out_h = [
+            hashlib.md5((("rev2 " + t) if c else t).encode("utf-8")).hexdigest()
+            for t, c in zip(texts[keep], changed[keep])
+        ]
+        new_mask = ids % 13 == 0
+        out_ids += (ids[new_mask] + 10_000_000).tolist()
+        out_h += [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts[new_mask]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "side": np.ones(len(out_ids), dtype="int64"),
+                "h": out_h,
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "status": pd.Series([], dtype="object"),
+            }
+        )
+        if df.empty:
+            return empty
+        g = df.pivot_table(
+            index="doc_id", columns="side", values="h", aggfunc="first"
+        )
+        a = g[0] if 0 in g.columns else pd.Series(index=g.index, dtype="object")
+        b = g[1] if 1 in g.columns else pd.Series(index=g.index, dtype="object")
+        status = np.where(
+            b.isna(),
+            "removed",
+            np.where(a.isna(), "added", np.where(a != b, "changed", "unchanged")),
+        )
+        out = pd.DataFrame({"doc_id": g.index.to_numpy(), "status": status})
+        return out[out["status"] != "unchanged"].reset_index(drop=True)
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    tagged = docs.map_batches(side_a, batch_format="pandas").union(
+        docs.map_batches(side_b, batch_format="pandas")
+    )
+    enable_hash_shuffle(tagged)
+    return tagged.repartition(npart, keys=["doc_id"]).map_batches(
+        classify, batch_format="pandas", batch_size=None
+    )
+
+
 def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """Text near-duplicate pairs by SimHash hamming distance <=
     `max_hamming` (Manku, Jain & Das Sarma 2007 — the production

@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "docs_snapshot_diff": dedup.docs_snapshot_diff,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # Sub-quadratic approximate path (hyperplane-LSH banding +
         # exact per-bucket cosine verify): rows-only by design (recall
@@ -1081,6 +1082,21 @@ def oracle_sql() -> dict[str, str]:
             "AS simhash FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "simhash_neardup_pairs": _simhash_pairs_sql(),
+        "docs_snapshot_diff": (
+            "WITH a AS (SELECT doc_id, md5(text) AS h FROM documents), "
+            "b AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
+            "THEN md5('rev2 ' || text) ELSE md5(text) END AS h "
+            "FROM documents WHERE doc_id % 7 != 0 "
+            "UNION ALL SELECT doc_id + 10000000 AS doc_id, md5(text) AS h "
+            "FROM documents WHERE doc_id % 13 = 0), "
+            "f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN a.h != b.h THEN 'changed' ELSE 'unchanged' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, status FROM f "
+            "WHERE status != 'unchanged'"
+        ),
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "repeated_substring_pairs": _repeated_substring_sql(),
