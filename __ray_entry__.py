@@ -302,6 +302,16 @@ def _media_ahash_survivors(sf_dir: str):
     return media_ahash_survivors(_corpus_for(sf_dir)["media"])
 
 
+def _media_webdataset_roundtrip(sf_dir: str):
+    """Binary-payload WebDataset tar roundtrip over the corpus media
+    table (rows-only at the driver: the media table is corpus-internal,
+    not a SQL view; tests/test_multimodal.py value-compares the
+    roundtrip against the source table exactly)."""
+    from ocrs_ray.ops.multimodal import media_webdataset_roundtrip
+
+    return media_webdataset_roundtrip(_corpus_for(sf_dir)["media"])
+
+
 def _media_thumbnails(sf_dir: str):
     """Thumbnail resize; blobs reduced to md5 for stable comparison
     (the golden digests through the same shared helper)."""
@@ -467,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": _media_thumbnails,
         "media_ahash_neardup": _media_ahash_neardup,
         "media_ahash_survivors": _media_ahash_survivors,
+        "media_webdataset_roundtrip": _media_webdataset_roundtrip,
         "video_frames": _video_frames,
         "ocr_annotated": _ocr_annotated,
         "ocr_text_maps": _ocr_text_maps,

@@ -38,6 +38,9 @@ __all__ = [
     "media_ahash",
     "media_ahash_neardup",
     "media_ahash_survivors",
+    "write_media_webdataset",
+    "media_from_webdataset",
+    "media_webdataset_roundtrip",
 ]
 
 MEDIA_COLUMNS = ["media_ref", "image", "height", "width", "channels", "format"]
@@ -420,3 +423,144 @@ def media_ahash_survivors(media_path: str, max_hamming: int = 2) -> rd.Dataset:
         return df.loc[df["media_ref"] == df["cluster_id"], ["media_ref"]]
 
     return labeled.map_batches(roots, batch_format="pandas")
+
+
+def write_media_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """WebDataset tar shard sink for the MEDIA table: per sample a
+    `<media_ref>.bin` opaque image payload and a `<media_ref>.json`
+    sidecar with the typed metadata (height/width/channels/format) —
+    the layout multimodal training loaders stream sequentially. Each
+    BLOCK writes one shard task-side (no driver collect); shard names
+    derive from block contents and member mtimes are pinned, so
+    identical input rewrites byte-identical shards. Returns the
+    materialized (path, n_media) manifest."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], type=pa.string()),
+                    "n_media": pa.array([], type=pa.int64()),
+                }
+            )
+        cols = {name: b.column(name).to_pylist() for name in MEDIA_COLUMNS}
+        shard = min(cols["media_ref"])
+        path = os.path.join(out_dir, f"shard-{shard}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i in range(b.num_rows):
+                key = cols["media_ref"][i]
+                meta = {
+                    "media_ref": key,
+                    "height": cols["height"][i],
+                    "width": cols["width"][i],
+                    "channels": cols["channels"][i],
+                    "format": cols["format"][i],
+                }
+                for ext, payload in (
+                    (".bin", cols["image"][i]),
+                    (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
+                ):
+                    ti = tarfile.TarInfo(key + ext)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(payload))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        return pa.table(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "n_media": pa.array([b.num_rows], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def media_from_webdataset(path_dir: str) -> rd.Dataset:
+    """WebDataset source for the media table: one read task per .tar
+    shard, samples regrouped by key prefix into MEDIA_COLUMNS with the
+    image payload intact as opaque binary."""
+    import io
+    import json
+    import tarfile
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {name: [] for name in MEDIA_COLUMNS}
+        for raw in batch.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                samples: dict[str, dict[str, bytes]] = {}
+                for m in tf.getmembers():
+                    key, ext = m.name.rsplit(".", 1)
+                    samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
+                for key in sorted(samples):
+                    s = samples[key]
+                    meta = json.loads(s["json"].decode("utf-8"))
+                    rows["media_ref"].append(meta["media_ref"])
+                    rows["image"].append(s["bin"])
+                    for name in ("height", "width", "channels"):
+                        rows[name].append(int(meta[name]))
+                    rows["format"].append(meta["format"])
+        return pa.table(
+            {
+                "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+                "image": pa.array(rows["image"], type=pa.binary()),
+                "height": pa.array(rows["height"], type=pa.int32()),
+                "width": pa.array(rows["width"], type=pa.int32()),
+                "channels": pa.array(rows["channels"], type=pa.int32()),
+                "format": pa.array(rows["format"], type=pa.string()),
+            }
+        )
+
+    return rd.read_binary_files(path_dir).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def media_webdataset_roundtrip(media_path: str) -> rd.Dataset:
+    """Sink/source coverage for binary-payload WebDataset shards: tar
+    out the full media table, read it BACK, and emit per-row metadata
+    plus the payload md5 — a lost sample, flipped byte, or mangled
+    sidecar all change the output. Registered rows-only at the driver
+    (the media table is corpus-internal, not a SQL view); the in-repo
+    test value-compares the roundtrip against the source table
+    exactly."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="ocrs_ray_mwds_")
+    try:
+        write_media_webdataset(read_media(media_path), out_dir)
+
+        def digest(b: pa.Table) -> pa.Table:
+            md5s = [
+                hashlib.md5(raw).hexdigest()
+                for raw in b.column("image").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "media_ref": b.column("media_ref"),
+                    "image_md5": pa.array(md5s, type=pa.string()),
+                    "height": b.column("height"),
+                    "width": b.column("width"),
+                    "channels": b.column("channels"),
+                    "format": b.column("format"),
+                }
+            )
+
+        return (
+            media_from_webdataset(out_dir)
+            .map_batches(digest, batch_format="pyarrow")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

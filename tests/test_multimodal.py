@@ -163,3 +163,34 @@ def test_media_ahash_survivors(ray_session, tmp_path):
     pq.write_table(tbl, path)
     surv = sorted(media_ahash_survivors(path, max_hamming=2).to_pandas()["media_ref"])
     assert surv == ["m0", "m2"]
+
+
+def test_media_webdataset_roundtrip_exact(media_path):
+    # Full value pin for the binary-payload tar sink/source: the
+    # roundtrip digest table must equal the digest of the source media
+    # table row-for-row (payload bytes, metadata, and sample count).
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.multimodal import media_webdataset_roundtrip
+
+    got = (
+        media_webdataset_roundtrip(media_path)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    src = pq.read_table(media_path).to_pandas()
+    exp = pd.DataFrame(
+        {
+            "media_ref": src["media_ref"],
+            "image_md5": [hashlib.md5(b).hexdigest() for b in src["image"]],
+            "height": src["height"],
+            "width": src["width"],
+            "channels": src["channels"],
+            "format": src["format"],
+        }
+    ).sort_values("media_ref").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
