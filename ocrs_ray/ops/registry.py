@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": tpch.q8_market_share,
         "q15_top_supplier": tpch.q15_top_supplier,
         "q9_product_profit": tpch.q9_product_profit,
+        "q11_important_parts": tpch.q11_important_parts,
+        "q20_heavy_shippers": tpch.q20_heavy_shippers,
     }
 
 
@@ -1454,6 +1456,31 @@ def oracle_sql() -> dict[str, str]:
             "AS norm_text FROM documents) "
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS n_chars FROM n"
+        ),
+        "q11_important_parts": (
+            "WITH rev AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 1000000) AS BIGINT)) AS HUGEINT) AS r "
+            "FROM lineitem GROUP BY 1), "
+            "tot AS (SELECT sum(r) AS t FROM rev) "
+            "SELECT CAST(l_partkey AS BIGINT) AS l_partkey, "
+            "CAST(r AS BIGINT) AS revenue_micro FROM rev, tot "
+            "WHERE r > (CAST(3 AS HUGEINT) * t) "
+            "// (2 * (SELECT count(*) FROM part))"
+        ),
+        "q20_heavy_shippers": (
+            "WITH typed AS (SELECT l.l_suppkey, l.l_partkey, l.l_quantity "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_type = 'PROMO' "
+            "AND l.l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01'), "
+            "pairs AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q "
+            "FROM typed GROUP BY 1, 2), "
+            "winners AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(count(*) AS BIGINT) AS n_heavy_parts "
+            "FROM pairs WHERE q > 50 GROUP BY 1) "
+            "SELECT w.s_suppkey, s.s_name, w.n_heavy_parts "
+            "FROM winners w JOIN supplier s ON w.s_suppkey = s.s_suppkey"
         ),
         "q15_top_supplier": (
             "WITH rev AS (SELECT l_suppkey AS s_suppkey, "

@@ -63,6 +63,8 @@ __all__ = [
     "q8_market_share",
     "q15_top_supplier",
     "q9_product_profit",
+    "q11_important_parts",
+    "q20_heavy_shippers",
 ]
 
 
@@ -1371,4 +1373,226 @@ def q9_product_profit(
         joined.map_batches(year_partial, batch_format="pandas"),
         ["nation", "o_year"],
         ["profit_micro"],
+    )
+
+
+def q11_important_parts(
+    sf_dir: str, mult_num: int = 3, mult_den: int = 2
+) -> rd.Dataset:
+    """TPC-H Q11-shaped GLOBAL-SCALAR HAVING: per-part lineitem revenue
+    for parts earning more than mult_num/mult_den (default 1.5x) the
+    MEAN per-part share of total corpus revenue (Q11's "important
+    stock" filter restated over lineitem — no partsupp table in the
+    sandbox; the mean-relative threshold keeps the filter meaningful
+    at every corpus scale, where a fixed global fraction degenerates
+    as the part count grows — and 1.5x sits inside this corpus's
+    observed max/mean band of ~1.75-1.9x).
+
+    Shape: the global total is one tiny scan-aggregate (Q6-style, no
+    shuffle) and the part count one metadata count; both scalars close
+    over the per-part chain — the Q22 scalar-subquery pattern applied
+    to a HAVING. Per-part revenue reduces through block partials + one
+    keyed repartition; the threshold test
+    `rev_micro > (mult_num * total) // (mult_den * n_parts)` is a
+    single int64-safe compare against a Python-int threshold (the
+    floor-division rewrite of
+    `rev * mult_den * n_parts > mult_num * total`, exact for
+    integers), matching the oracle's HUGEINT arithmetic bit for bit.
+    """
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    def total_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [0], "rev": [int(_rev_micro(batch).sum())]})
+
+    total = int(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_discount"],
+        )
+        .map_batches(total_partial, batch_format="pandas")
+        .sum("rev")
+    )
+    n_parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).count()
+    thr = (mult_num * total) // max(mult_den * n_parts, 1)
+
+    def part_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(),
+                "revenue_micro": _rev_micro(batch),
+            }
+        )
+        return df.groupby("l_partkey", as_index=False)["revenue_micro"].sum()
+
+    def combine_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_partkey": pd.Series([], dtype="int64"),
+                    "revenue_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("l_partkey", as_index=False)["revenue_micro"].sum()
+        return g[g["revenue_micro"] > thr].reset_index(drop=True)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(part_partial, batch_format="pandas")
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["l_partkey"]).map_batches(
+        combine_filter, batch_format="pandas", batch_size=None
+    )
+
+
+def q20_heavy_shippers(
+    sf_dir: str,
+    p_type: str = "PROMO",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    qty_threshold: int = 50,
+) -> rd.Dataset:
+    """TPC-H Q20-shaped NESTED EXISTS-OVER-AGGREGATE: suppliers that
+    shipped more than `qty_threshold` total units of at least one
+    `p_type` part in the date window — Q20's "excess availability"
+    chain (part filter -> per-(supplier, part) aggregate -> threshold
+    EXISTS -> supplier decoration) restated over lineitem quantities.
+
+    Shape: the date window pushes into the parquet read (row-group
+    pruning); the type filter rides a native left_semi hash join
+    against the filtered part keys (the key set is proportional to
+    the part table, so it is NEVER broadcast); per-(suppkey, partkey)
+    quantities reduce through block partials + one keyed repartition,
+    and the threshold + per-supplier distinct-part count collapses in
+    the same co-located block (suppkey is in the partition key's
+    prefix... partition key is the pair, so a second tiny repartition
+    on suppkey finishes the count). Supplier names decorate the small
+    winner set via one more native join.
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    npart = _npart()
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _ts(date_from))
+            & (pads.field("l_shipdate") < _ts(date_to))
+        ),
+    ).map_batches(
+        lambda b: b[["l_partkey", "l_suppkey", "l_quantity"]],
+        batch_format="pandas",
+    )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.loc[b["p_type"] == p_type, ["p_partkey"]],
+        batch_format="pandas",
+    )
+
+    typed = line.join(
+        parts,
+        join_type="left_semi",
+        num_partitions=npart,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_suppkey", "l_partkey"], as_index=False)[
+            "l_quantity"
+        ].sum()
+        return out
+
+    def pair_threshold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "n_heavy_parts": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["l_suppkey", "l_partkey"], as_index=False)[
+            "l_quantity"
+        ].sum()
+        heavy = g[g["l_quantity"] > qty_threshold]
+        out = heavy.groupby("l_suppkey", as_index=False).size()
+        out.columns = ["l_suppkey", "n_heavy_parts"]
+        return out.astype({"n_heavy_parts": "int64"})
+
+    pairs = typed.map_batches(pair_partial, batch_format="pandas")
+    enable_hash_shuffle(pairs)
+    supp_counts = (
+        pairs.repartition(npart, keys=["l_suppkey", "l_partkey"])
+        .map_batches(pair_threshold, batch_format="pandas", batch_size=None)
+        .repartition(npart, keys=["l_suppkey"])
+        .map_batches(
+            lambda df: df.groupby("l_suppkey", as_index=False)[
+                "n_heavy_parts"
+            ].sum()
+            if not df.empty
+            else df,
+            batch_format="pandas",
+            batch_size=None,
+        )
+    )
+
+    # Name decoration via a tagged union + one keyed repartition: the
+    # winner set is sparse (few rows over many blocks), exactly the
+    # shape that crashes Ray 2.49's native join (CLAUDE.md); the union
+    # streams both sides and each co-located block pairs name and
+    # count vectorized.
+    def tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["l_suppkey"].to_numpy().astype("int64"),
+                "n_heavy_parts": df["n_heavy_parts"].to_numpy().astype("int64"),
+                "s_name": pd.Series([""] * len(df), dtype="object"),
+            }
+        )
+
+    def tag_names(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].to_numpy().astype("int64"),
+                "n_heavy_parts": np.zeros(len(df), dtype="int64"),
+                "s_name": df["s_name"].to_numpy(),
+            }
+        )
+
+    def decorate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "n_heavy_parts": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        g = df.groupby("s_suppkey", as_index=False).agg(
+            n_heavy_parts=("n_heavy_parts", "sum"), s_name=("s_name", "max")
+        )
+        g = g[g["n_heavy_parts"] > 0]
+        return g[["s_suppkey", "s_name", "n_heavy_parts"]].reset_index(drop=True)
+
+    names = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(tag_names, batch_format="pandas")
+    tagged = supp_counts.map_batches(tag_counts, batch_format="pandas").union(
+        names
+    )
+    enable_hash_shuffle(tagged)
+    return tagged.repartition(npart, keys=["s_suppkey"]).map_batches(
+        decorate, batch_format="pandas", batch_size=None
     )
