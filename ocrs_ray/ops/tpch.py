@@ -28,6 +28,12 @@ Each op demonstrates one distinct physical shape at 100 TB scale:
   chain folded into broadcast key sets; exact bigint ppm per group.
 - Q22 — scalar-subquery threshold (computed as one tiny distributed
   aggregate, then closed over) + anti-join + bounded-key rollup.
+- Q11 — GLOBAL-scalar HAVING: per-key aggregate filtered against a
+  threshold derived from the whole-corpus total (exact integer
+  floor-division rewrite; the scalar closes over the chain).
+- Q20 — nested EXISTS-over-aggregate: semi-join type filter, two-level
+  (supplier, part) aggregate, threshold EXISTS, sparse winner
+  decoration via tagged union instead of a native join.
 
 Reference parity note: the ocrs reference has no relational engine —
 these extend the engine's query surface for training-data pipelines
