@@ -1169,6 +1169,79 @@ def docs_length_histogram(sf_dir: str, bucket: int = 100) -> rd.Dataset:
     )
 
 
+def docs_global_length_rank(sf_dir: str) -> rd.Dataset:
+    """Global BY-VALUE row numbering — `ROW_NUMBER() OVER (ORDER BY
+    n_chars DESC, doc_id ASC)` with no partition key, the curriculum-
+    ordering primitive (rank the whole corpus by a quality/length
+    signal without ever running a global sort).
+
+    Terasort-style decomposition: the value histogram is a bounded-key
+    tree reduce (one streaming pass, no shuffle); the driver turns it
+    into exclusive prefix offsets per distinct length (descending);
+    one keyed repartition on n_chars co-locates each value class,
+    whose members rank locally by doc_id plus the broadcast offset.
+    Contrast `docs_shuffle_rank` (hash-ranked for unbiased splits) —
+    this one orders by the VALUE. With real-valued scores the same
+    shape works over histogram buckets with a per-bucket local sort.
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch["n_chars"].value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "n_chars": g.index.to_numpy().astype("int64"),
+                "n_docs": g.to_numpy().astype("int64"),
+            }
+        )
+
+    counts = (
+        _tree_sum(
+            _read_docs(sf_dir, ["n_chars"]).map_batches(
+                count_partial, batch_format="pandas"
+            ),
+            "n_chars",
+            "n_docs",
+        )
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+    )
+    n_below = counts["n_docs"].cumsum().shift(fill_value=0)
+    offsets = {
+        int(v): int(o) for v, o in zip(counts["n_chars"], n_below)
+    }
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "length_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        out = []
+        for v, g in df.groupby("n_chars", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "length_rank": offsets[int(v)]
+                        + np.arange(1, len(ids) + 1, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["n_chars"]).map_batches(
+        rank_block, batch_format="pandas", batch_size=None
+    )
+
+
 def bm25_topk(
     sf_dir: str,
     query: str = "the quick brown fox",

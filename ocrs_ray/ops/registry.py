@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_group": analytics.events_topk_per_group,
         "events_user_running_sum": analytics.events_user_running_sum,
         "events_global_cumsum": analytics.events_global_cumsum,
+        "docs_global_length_rank": analytics.docs_global_length_rank,
         "events_user_pivot": analytics.events_user_pivot,
         "heavy_hitters_exact": analytics.heavy_hitters_exact,
         "heavy_hitters_sketch": analytics.heavy_hitters_sketch,
@@ -671,6 +672,11 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_micro "
             "FROM events"
+        ),
+        "docs_global_length_rank": (
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) "
+            "AS length_rank FROM documents"
         ),
         "events_global_cumsum": (
             "SELECT CAST(event_id AS BIGINT) AS event_id, "
