@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .text import read_documents
+from .text import TOKEN_CLASS_RE, read_documents
 
 __all__ = [
     "dedup_normalized",
@@ -812,13 +812,20 @@ def dup_gram_doc_fraction(sf_dir: str, n: int = 5) -> rd.Dataset:
     native join. The gram string itself is the shuffle key for
     bit-exactness vs the oracle; at 100 TB swap it for a 128-bit
     fingerprint (collision odds negligible) to cut shuffle bytes.
+
+    Tokenizer note: the token class is the EXPLICIT ASCII-whitespace
+    complement `TOKEN_CLASS_RE` on all three engines (Python re for
+    gram extraction, Arrow RE2 for the denominator count, DuckDB RE2
+    in the oracle) — `\\S` means different things to Python re
+    (Unicode) and RE2 (ASCII), so under mixed `\\S` a doc containing
+    NBSP would tokenize differently in numerator and denominator.
     """
     import re as _re
 
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     npart = max(2, min(16, cluster_ncpu()))
-    tok = _re.compile(r"\S+")
+    tok = _re.compile(TOKEN_CLASS_RE)
 
     def grams(batch: pa.Table) -> pa.Table:
         ids, gs, cnts = [], [], []
@@ -869,7 +876,7 @@ def dup_gram_doc_fraction(sf_dir: str, n: int = 5) -> rd.Dataset:
 
     def totals(batch: pa.Table) -> pa.Table:
         nt = pc.count_substring_regex(
-            batch.column("text"), pattern=r"\S+"
+            batch.column("text"), pattern=TOKEN_CLASS_RE
         ).to_numpy(zero_copy_only=False)
         ng = np.maximum(nt.astype("int64") - (n - 1), 0)
         return pa.table(

@@ -430,16 +430,17 @@ def write_media_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
     `<media_ref>.bin` opaque image payload and a `<media_ref>.json`
     sidecar with the typed metadata (height/width/channels/format) —
     the layout multimodal training loaders stream sequentially. Each
-    BLOCK writes one shard task-side (no driver collect); shard names
-    derive from block contents and member mtimes are pinned, so
-    identical input rewrites byte-identical shards. Returns the
+    BLOCK writes one shard task-side (no driver collect) through the
+    shared `sources.encode_shard_samples` kernel (byte-deterministic);
+    stale shard-*.tar files are cleared first so reruns with different
+    block boundaries cannot leave old generations behind. Returns the
     materialized (path, n_media) manifest."""
-    import io
-    import json
     import os
-    import tarfile
+
+    from .sources import clear_webdataset_shards, encode_shard_samples
 
     os.makedirs(out_dir, exist_ok=True)
+    clear_webdataset_shards(out_dir)
 
     def write_block(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -450,29 +451,21 @@ def write_media_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
                 }
             )
         cols = {name: b.column(name).to_pylist() for name in MEDIA_COLUMNS}
-        shard = min(cols["media_ref"])
-        path = os.path.join(out_dir, f"shard-{shard}.tar")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            for i in range(b.num_rows):
-                key = cols["media_ref"][i]
-                meta = {
-                    "media_ref": key,
-                    "height": cols["height"][i],
-                    "width": cols["width"][i],
-                    "channels": cols["channels"][i],
-                    "format": cols["format"][i],
-                }
-                for ext, payload in (
-                    (".bin", cols["image"][i]),
-                    (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
-                ):
-                    ti = tarfile.TarInfo(key + ext)
-                    ti.size = len(payload)
-                    ti.mtime = 0
-                    tf.addfile(ti, io.BytesIO(payload))
+        items = [
+            (
+                cols["media_ref"][i],
+                cols["image"][i],
+                {
+                    name: cols[name][i]
+                    for name in MEDIA_COLUMNS
+                    if name != "image"
+                },
+            )
+            for i in range(b.num_rows)
+        ]
+        path = os.path.join(out_dir, f"shard-{min(cols['media_ref'])}.tar")
         with open(path, "wb") as f:
-            f.write(buf.getvalue())
+            f.write(encode_shard_samples(items, ".bin"))
         return pa.table(
             {
                 "path": pa.array([path], type=pa.string()),
@@ -487,28 +480,20 @@ def write_media_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
 
 def media_from_webdataset(path_dir: str) -> rd.Dataset:
     """WebDataset source for the media table: one read task per .tar
-    shard, samples regrouped by key prefix into MEDIA_COLUMNS with the
-    image payload intact as opaque binary."""
-    import io
-    import json
-    import tarfile
+    shard, decoded through the shared `sources.decode_shard_samples`
+    kernel into MEDIA_COLUMNS with the image payload intact as opaque
+    binary."""
+    from .sources import decode_shard_samples
 
     def decode(batch: pa.Table) -> pa.Table:
         rows: dict[str, list] = {name: [] for name in MEDIA_COLUMNS}
         for raw in batch.column("bytes").to_pylist():
-            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
-                samples: dict[str, dict[str, bytes]] = {}
-                for m in tf.getmembers():
-                    key, ext = m.name.rsplit(".", 1)
-                    samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
-                for key in sorted(samples):
-                    s = samples[key]
-                    meta = json.loads(s["json"].decode("utf-8"))
-                    rows["media_ref"].append(meta["media_ref"])
-                    rows["image"].append(s["bin"])
-                    for name in ("height", "width", "channels"):
-                        rows[name].append(int(meta[name]))
-                    rows["format"].append(meta["format"])
+            for _key, payload, meta in decode_shard_samples(raw, ".bin"):
+                rows["image"].append(payload)
+                rows["media_ref"].append(meta["media_ref"])
+                for name in ("height", "width", "channels"):
+                    rows[name].append(int(meta[name]))
+                rows["format"].append(meta["format"])
         return pa.table(
             {
                 "media_ref": pa.array(rows["media_ref"], type=pa.string()),

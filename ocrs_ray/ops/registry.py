@@ -121,7 +121,8 @@ def _dup_gram_fraction_sql(n: int = 5) -> str:
     docs kept with zeros via the LEFT JOIN."""
     concat = " || ' ' || ".join(f"w[j+{i + 1}]" for i in range(n))
     return (
-        r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w "
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, "
+        f"'{text.TOKEN_CLASS_RE}') AS w "
         "FROM documents), "
         f"g AS (SELECT doc_id, unnest(list_transform(range(0, "
         f"greatest(length(w) - {n - 1}, 0)), j -> {concat})) AS gram FROM toks), "
@@ -1075,19 +1076,13 @@ def oracle_sql() -> dict[str, str]:
         # implementations, recall/error bounds, or 1e-12 score parity in
         # tests/test_ops.py, tests/test_analytics.py, tests/test_sketch.py.
         "simhash64": (
-            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
-            r" '\S+')) AS tok FROM documents), "
-            "h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) "
-            "AS UBIGINT) AS th FROM toks), "
-            "votes AS (SELECT doc_id, i, sum(CASE WHEN (th >> CAST(i AS "
-            "UTINYINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
-            "FROM h CROSS JOIN range(64) r(i) GROUP BY doc_id, i), "
-            "agg AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN "
-            "(CAST(1 AS HUGEINT) << CAST(i AS INTEGER)) ELSE "
-            "CAST(0 AS HUGEINT) END) AS val FROM votes GROUP BY doc_id) "
-            "SELECT d.doc_id, CASE WHEN a.val IS NULL THEN repeat('0', 16) "
-            "ELSE lpad(lower(to_hex(CAST(a.val AS UBIGINT))), 16, '0') END "
-            "AS simhash FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+            # Derived from the same _SIMHASH_CTE the pairs oracle uses
+            # (single fingerprint definition — no drift possible); the
+            # CTE coalesces the no-token case to h = 0, whose lpad'd
+            # hex is exactly the '0' * 16 the op emits.
+            f"WITH {_SIMHASH_CTE} "
+            "SELECT doc_id, lpad(lower(to_hex(h)), 16, '0') AS simhash "
+            "FROM sh"
         ),
         "simhash_neardup_pairs": _simhash_pairs_sql(),
         "docs_snapshot_diff": (

@@ -181,40 +181,44 @@ def docs_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def encode_webdataset_shard(cols: dict[str, list]) -> bytes:
-    """Pure kernel: documents columns -> one WebDataset tar shard.
-    Per document a `<key>.txt` payload and a `<key>.json` sidecar with
-    the remaining columns, key = zero-padded doc_id; member mtimes
-    pinned to 0 and keys emitted in input order, so identical input
-    yields byte-identical shards."""
+def encode_shard_samples(
+    items: list[tuple[str, bytes, dict]], payload_ext: str
+) -> bytes:
+    """Generic WebDataset tar kernel: (key, payload bytes, meta dict)
+    samples -> one shard with `<key><payload_ext>` + `<key>.json` per
+    sample. Member mtimes pinned to 0 and keys emitted in input order,
+    so identical input yields byte-identical shards. Shared by the
+    documents (.txt) and media (.bin) sinks — one tar walk to fix."""
     import io
     import json
     import tarfile
 
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w") as tf:
-        for i in range(len(cols["doc_id"])):
-            key = f"{cols['doc_id'][i]:012d}"
-            meta = {name: cols[name][i] for name in _COLUMNS if name != "text"}
-            for ext, payload in (
-                (".txt", cols["text"][i].encode("utf-8")),
+        for key, payload, meta in items:
+            for ext, data in (
+                (payload_ext, payload),
                 (".json", json.dumps(meta, sort_keys=True).encode("utf-8")),
             ):
                 ti = tarfile.TarInfo(key + ext)
-                ti.size = len(payload)
+                ti.size = len(data)
                 ti.mtime = 0
-                tf.addfile(ti, io.BytesIO(payload))
+                tf.addfile(ti, io.BytesIO(data))
     return buf.getvalue()
 
 
-def decode_webdataset_shard(raw: bytes) -> dict[str, list]:
-    """Pure kernel: one tar shard -> documents columns, samples
-    regrouped by key prefix (sorted by key)."""
+def decode_shard_samples(
+    raw: bytes, payload_ext: str
+) -> list[tuple[str, bytes, dict]]:
+    """Generic WebDataset tar kernel inverse: shard bytes -> (key,
+    payload bytes, meta dict) samples regrouped by key prefix, sorted
+    by key."""
     import io
     import json
     import tarfile
 
-    rows: dict[str, list] = {name: [] for name in _COLUMNS}
+    want = payload_ext.lstrip(".")
+    out: list[tuple[str, bytes, dict]] = []
     with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
         samples: dict[str, dict[str, bytes]] = {}
         for m in tf.getmembers():
@@ -222,11 +226,45 @@ def decode_webdataset_shard(raw: bytes) -> dict[str, list]:
             samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
         for key in sorted(samples):
             s = samples[key]
-            meta = json.loads(s["json"].decode("utf-8"))
-            rows["text"].append(s["txt"].decode("utf-8"))
-            for name in _COLUMNS:
-                if name != "text":
-                    rows[name].append(meta[name])
+            out.append((key, s[want], json.loads(s["json"].decode("utf-8"))))
+    return out
+
+
+def clear_webdataset_shards(out_dir: str) -> None:
+    """Remove any existing shard-*.tar in `out_dir` so a rerun whose
+    block boundaries differ (different CPU count -> different shard
+    names) cannot leave stale shards that read back as duplicates."""
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        os.remove(f)
+
+
+def encode_webdataset_shard(cols: dict[str, list]) -> bytes:
+    """Documents columns -> one WebDataset tar shard (`<key>.txt`
+    payload + `<key>.json` sidecar, key = zero-padded doc_id), via the
+    shared `encode_shard_samples` kernel."""
+    items = [
+        (
+            f"{cols['doc_id'][i]:012d}",
+            cols["text"][i].encode("utf-8"),
+            {name: cols[name][i] for name in _COLUMNS if name != "text"},
+        )
+        for i in range(len(cols["doc_id"]))
+    ]
+    return encode_shard_samples(items, ".txt")
+
+
+def decode_webdataset_shard(raw: bytes) -> dict[str, list]:
+    """One tar shard -> documents columns, via the shared
+    `decode_shard_samples` kernel (sorted by key)."""
+    rows: dict[str, list] = {name: [] for name in _COLUMNS}
+    for _key, payload, meta in decode_shard_samples(raw, ".txt"):
+        rows["text"].append(payload.decode("utf-8"))
+        for name in _COLUMNS:
+            if name != "text":
+                rows[name].append(meta[name])
     return rows
 
 
@@ -234,14 +272,16 @@ def write_documents_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
     """WebDataset-style tar shard sink: each BLOCK writes one
     `shard-<min_doc_id>.tar` task-side (streaming — no driver collect)
     in the sample-per-key-prefix convention multimodal training
-    loaders consume sequentially. Shard names derive from block
-    contents (min doc_id), so a rerun overwrites rather than
-    duplicates; shards are byte-deterministic (see
-    `encode_webdataset_shard`). Returns the materialized
-    (path, n_docs) manifest."""
+    loaders consume sequentially. Stale shard-*.tar files in `out_dir`
+    are cleared first, so a rerun whose block boundaries differ
+    (different parallelism -> different shard names) cannot leave old
+    generations behind to read back as duplicates; shards are
+    byte-deterministic (see `encode_webdataset_shard`). Returns the
+    materialized (path, n_docs) manifest."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    clear_webdataset_shards(out_dir)
 
     def write_block(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -38,6 +38,12 @@ __all__ = [
 
 #: Whitespace tokenization (both sides of the oracle use `\S+`).
 WS_TOKEN_RE = r"\S+"
+
+#: Engine-independent whitespace tokenizer: the explicit ASCII
+#: whitespace complement, identical under Python re, Arrow RE2 and
+#: DuckDB RE2 (unlike \S, which is Unicode in Python and ASCII in
+#: RE2 — they disagree on NBSP and friends).
+TOKEN_CLASS_RE = r"[^ \t\n\r\f\v]+"
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols.
 WORD_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -513,18 +519,20 @@ def docs_extract_matches(sf_dir: str, inject_synthetic: bool = True) -> rd.Datas
     real matches.
 
     Scale shape: stateless map explode, no shuffle; output volume is
-    bounded by match density. The patterns are simple character
-    classes, so Python re and the oracle's RE2 produce identical
-    leftmost non-overlapping match lists.
+    bounded by match density. Patterns compile under re.ASCII so
+    Python's \\d and \\b mean what RE2's do (ASCII digits / ASCII word
+    boundary) — without it, Unicode digits match \\d and accented
+    letters count as word chars on the Python side only, and the two
+    engines emit different match lists on non-ASCII text.
     """
     import re as _re
 
     import pyarrow.compute as pc
 
     pats = [
-        ("email", _re.compile(PII_EMAIL_RE)),
-        ("phone", _re.compile(PII_PHONE_RE)),
-        ("ip", _re.compile(PII_IPV4_RE)),
+        ("email", _re.compile(PII_EMAIL_RE, _re.ASCII)),
+        ("phone", _re.compile(PII_PHONE_RE, _re.ASCII)),
+        ("ip", _re.compile(PII_IPV4_RE, _re.ASCII)),
     ]
 
     def extract(batch: pa.Table) -> pa.Table:

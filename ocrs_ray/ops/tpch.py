@@ -1410,22 +1410,6 @@ def q11_important_parts(
     enable_hash_shuffle()
     npart = _npart()
 
-    def total_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"k": [0], "rev": [int(_rev_micro(batch).sum())]})
-
-    total = int(
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_extendedprice", "l_discount"],
-        )
-        .map_batches(total_partial, batch_format="pandas")
-        .sum("rev")
-    )
-    n_parts = rd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey"]
-    ).count()
-    thr = (mult_num * total) // max(mult_den * n_parts, 1)
-
     def part_partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -1434,6 +1418,24 @@ def q11_important_parts(
             }
         )
         return df.groupby("l_partkey", as_index=False)["revenue_micro"].sum()
+
+    # ONE lineitem scan: the per-part block partials are materialized
+    # (small — bounded by parts-per-block x blocks) and serve both the
+    # global total (their sum IS the corpus total) and the keyed
+    # combine, instead of scanning the biggest table twice.
+    partials = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(part_partial, batch_format="pandas")
+        .materialize()
+    )
+    total = int(partials.sum("revenue_micro"))
+    n_parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).count()
+    thr = (mult_num * total) // max(mult_den * n_parts, 1)
 
     def combine_filter(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1446,12 +1448,8 @@ def q11_important_parts(
         g = df.groupby("l_partkey", as_index=False)["revenue_micro"].sum()
         return g[g["revenue_micro"] > thr].reset_index(drop=True)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_extendedprice", "l_discount"],
-    ).map_batches(part_partial, batch_format="pandas")
-    enable_hash_shuffle(ds)
-    return ds.repartition(npart, keys=["l_partkey"]).map_batches(
+    enable_hash_shuffle(partials)
+    return partials.repartition(npart, keys=["l_partkey"]).map_batches(
         combine_filter, batch_format="pandas", batch_size=None
     )
 
@@ -1589,7 +1587,10 @@ def q20_heavy_shippers(
         g = df.groupby("s_suppkey", as_index=False).agg(
             n_heavy_parts=("n_heavy_parts", "sum"), s_name=("s_name", "max")
         )
-        g = g[g["n_heavy_parts"] > 0]
+        # Require BOTH sides present (count > 0 AND a real name), the
+        # oracle's inner-join semantics — a winner key somehow missing
+        # from supplier drops instead of surfacing an empty name.
+        g = g[(g["n_heavy_parts"] > 0) & (g["s_name"] != "")]
         return g[["s_suppkey", "s_name", "n_heavy_parts"]].reset_index(drop=True)
 
     names = rd.read_parquet(
