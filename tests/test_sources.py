@@ -114,3 +114,96 @@ def test_webdataset_shard_kernel_roundtrip_and_determinism():
     order = sorted(range(len(cols["doc_id"])), key=lambda i: cols["doc_id"][i])
     for name, vals in cols.items():
         assert back[name] == [vals[i] for i in order], name
+
+
+def test_token_class_re_tri_engine_agreement():
+    # Pin the dup-gram tokenizer contract: the explicit ASCII
+    # whitespace complement tokenizes identically under Python re,
+    # Arrow RE2 and DuckDB RE2 — including Unicode whitespace (NBSP,
+    # thin space, line separator), where \S would diverge.
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocrs_ray.ops.text import TOKEN_CLASS_RE
+
+    con = duckdb.connect()
+    texts = [
+        "a b c d e f",
+        "x y z",
+        "a  b",
+        "plain text only here",
+        "tab\there\nnow",
+        "",
+    ]
+    for t in texts:
+        py = re.findall(TOKEN_CLASS_RE, t)
+        rx = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, TOKEN_CLASS_RE]
+        ).fetchone()[0]
+        arrow_n = pc.count_substring_regex(
+            pa.array([t]), pattern=TOKEN_CLASS_RE
+        )[0].as_py()
+        assert py == rx, (repr(t), py, rx)
+        assert arrow_n == len(py), (repr(t), arrow_n, len(py))
+
+
+def test_generic_tar_kernel_property_roundtrip():
+    # encode_shard_samples / decode_shard_samples are the shared tar
+    # walk under both the documents (.txt) and media (.bin) formats:
+    # roundtrip must be the identity (sorted by key) for arbitrary
+    # binary payloads and json-able metadata, and byte-deterministic.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocrs_ray.ops.sources import decode_shard_samples, encode_shard_samples
+
+    keys = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_", min_size=1, max_size=20
+    )
+    metas = st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=8),
+        st.one_of(st.integers(-1000, 1000), st.text(max_size=12)),
+        max_size=4,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(keys, st.binary(max_size=64), metas),
+            max_size=8,
+            unique_by=lambda s: s[0],
+        ),
+        st.sampled_from([".bin", ".txt"]),
+    )
+    def check(items, ext):
+        raw = encode_shard_samples(items, ext)
+        assert raw == encode_shard_samples(list(items), ext)
+        back = decode_shard_samples(raw, ext)
+        assert back == sorted(items, key=lambda s: s[0])
+
+    check()
+
+
+def test_webdataset_rerun_overwrites_stale_shards(ray_session, tmp_path):
+    # A rerun with DIFFERENT block boundaries must not leave stale
+    # shards behind (they would read back as duplicate documents).
+    import glob
+
+    import ray.data as rd
+
+    from ocrs_ray.ops.sources import (
+        documents_from_webdataset,
+        write_documents_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    write_documents_webdataset(ds, out)
+    n_first = len(glob.glob(f"{out}/shard-*.tar"))
+    write_documents_webdataset(ds.repartition(3), out)
+    n_second = len(glob.glob(f"{out}/shard-*.tar"))
+    assert n_second == 3 and n_first != n_second
+    assert documents_from_webdataset(out).count() == 500
