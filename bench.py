@@ -278,10 +278,14 @@ def main() -> None:
 
     if args.checkpoint:
         result = run_checkpoint(num_cpus)
-        print(json.dumps(result))
         import ray
 
+        # Shutdown BEFORE printing: Ray forwards worker log lines to the
+        # driver's streams asynchronously, and anything emitted after the
+        # JSON makes the record machine-unparseable (BENCH_r02.json had
+        # "parsed": null from exactly this).
         ray.shutdown()
+        print(json.dumps(result), flush=True)
         return
 
     n_docs = args.n_docs or HEADLINE_DOCS[sf_name]
@@ -304,11 +308,14 @@ def main() -> None:
         "docs_per_sec": headline["docs_per_sec"],
         "media_spans_per_sec": headline["media_spans_per_sec"],
     }
-    print(json.dumps(result))
 
     import ray
 
+    # Shutdown BEFORE printing so the JSON is guaranteed to be the LAST
+    # stdout line: Ray forwards worker log lines asynchronously, and a
+    # single trailing line makes the driver's bench record unparseable.
     ray.shutdown()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

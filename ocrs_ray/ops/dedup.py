@@ -17,6 +17,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -933,13 +934,18 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     The token hash is the first 8 bytes of md5 (big-endian) — stable
     across library versions and exactly expressible in SQL
     (CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)), so the op
-    carries an exact DuckDB oracle instead of a rows-only check."""
+    carries an exact DuckDB oracle instead of a rows-only check.
+    Tokenization is the tri-engine `TOKEN_CLASS_RE` (ASCII whitespace
+    complement), matching the oracle's RE2 '\\S+' — Python str.split()
+    would additionally split on Unicode whitespace (NBSP etc.) and
+    silently diverge on non-ASCII-spaced text."""
+    tok_re = re.compile(TOKEN_CLASS_RE)
 
     def sh(batch: pa.Table) -> pa.Table:
         out = []
         memo: dict[str, int] = {}
         for text in batch.column("text").to_pylist():
-            toks = text.split()
+            toks = tok_re.findall(text)
             if not toks:
                 out.append("0" * 16)
                 continue

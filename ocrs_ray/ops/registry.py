@@ -170,7 +170,13 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
     2^61-1 over what are ASCII == utf-8 bytes here) + a window-min over
     full windows, distinct per doc; short docs (< window full windows)
     contribute their single global min, matching
-    `text.winnow_fingerprint`."""
+    `text.winnow_fingerprint`.
+
+    The SQL side hashes via code-point `ascii(substr(...))` and gates on
+    code-point `length(text)`, while the op hashes utf-8 BYTES — they
+    agree only on pure-ASCII text. The `chk` CTE makes that assumption
+    loud: any non-ASCII doc (octet_length != length) raises a DuckDB
+    error instead of silently hash-mismatching."""
     mod = (1 << 61) - 1
     pows = [pow(257, k - 1 - j, mod) for j in range(k)]
     terms = " + ".join(
@@ -179,9 +185,14 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
         for j, p in enumerate(pows)
     )
     return (
-        f"WITH pos AS (SELECT doc_id, text, length(text) - {k} + 1 AS n, "
+        f"WITH chk AS (SELECT coalesce(max(CASE WHEN "
+        f"octet_length(encode(text)) <> length(text) THEN "
+        f"CAST(error('winnow oracle requires ASCII-only text: doc_id ' "
+        f"|| CAST(doc_id AS VARCHAR) || ' is non-ASCII') AS BIGINT) "
+        f"ELSE 0 END), 0) AS ok FROM documents), "
+        f"pos AS (SELECT doc_id, text, length(text) - {k} + 1 AS n, "
         f"unnest(range(1, length(text) - {k} + 2)) AS i "
-        f"FROM documents WHERE length(text) >= {k}), "
+        f"FROM documents, chk WHERE length(text) >= {k} AND chk.ok = 0), "
         f"g AS (SELECT doc_id, n, i, CAST(({terms}) % {mod} AS BIGINT) AS h "
         f"FROM pos), "
         f"w AS (SELECT doc_id, n, i, min(h) OVER (PARTITION BY doc_id "

@@ -107,11 +107,19 @@ def write_documents_arrow_ipc(ds: rd.Dataset, out_dir: str) -> int:
     """Arrow IPC (Feather v2) sink: each BLOCK writes its own .arrow
     file task-side (streaming — no driver collect), returning the
     shard count. IPC files are the zero-copy interchange shape for
-    handing blocks to non-Ray Arrow consumers (DuckDB, polars, C++)."""
+    handing blocks to non-Ray Arrow consumers (DuckDB, polars, C++).
+    Stale part-*.arrow shards from a previous run are removed first —
+    shard names are per-run UUIDs, so without the sweep a rerun into
+    the same out_dir would accumulate old generations that
+    `documents_from_arrow_ipc` reads back as duplicated rows (the same
+    rerun-overwrite hazard `clear_webdataset_shards` closes for tar)."""
+    import glob
     import os
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
+    for f in glob.glob(os.path.join(out_dir, "part-*.arrow")):
+        os.remove(f)
 
     def write_block(b: pa.Table) -> pa.Table:
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")

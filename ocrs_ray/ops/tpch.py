@@ -1556,7 +1556,22 @@ def q20_heavy_shippers(
     # shape that crashes Ray 2.49's native join (CLAUDE.md); the union
     # streams both sides and each co-located block pairs name and
     # count vectorized.
-    def tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def _tagged_empty():
+        # Typed Arrow empty — see decorate() below for why zero-row
+        # object-dtype pandas columns must never leave a stage.
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "n_heavy_parts": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+            }
+        )
+
+    def tag_counts(df: pd.DataFrame):
+        if df.empty:
+            return _tagged_empty()
         return pd.DataFrame(
             {
                 "s_suppkey": df["l_suppkey"].to_numpy().astype("int64"),
@@ -1565,7 +1580,9 @@ def q20_heavy_shippers(
             }
         )
 
-    def tag_names(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_names(df: pd.DataFrame):
+        if df.empty:
+            return _tagged_empty()
         return pd.DataFrame(
             {
                 "s_suppkey": df["s_suppkey"].to_numpy().astype("int64"),
@@ -1574,16 +1591,21 @@ def q20_heavy_shippers(
             }
         )
 
-    def decorate(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "s_suppkey": pd.Series([], dtype="int64"),
-                "s_name": pd.Series([], dtype="object"),
-                "n_heavy_parts": pd.Series([], dtype="int64"),
-            }
-        )
+    def decorate(df: pd.DataFrame):
         if df.empty:
-            return empty
+            # Typed Arrow empty (NOT an object-dtype pandas frame): Ray's
+            # block size estimator can't size a zero-row object column
+            # and spams "cannot call `vectorize` on size 0 inputs" to the
+            # driver's streams for every empty partition.
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], type=pa.int64()),
+                    "s_name": pa.array([], type=pa.string()),
+                    "n_heavy_parts": pa.array([], type=pa.int64()),
+                }
+            )
         g = df.groupby("s_suppkey", as_index=False).agg(
             n_heavy_parts=("n_heavy_parts", "sum"), s_name=("s_name", "max")
         )
