@@ -55,6 +55,7 @@ __all__ = [
     "neardup_survivors",
     "embedding_clusters",
     "connected_components",
+    "cc_star_map",
     "substring_dup_clusters",
 ]
 
@@ -798,16 +799,20 @@ def _union_find(u: np.ndarray, v: np.ndarray) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def connected_components(
+def _cc_converge(
     edges: rd.Dataset,
     partitions: int = 8,
     max_rounds: int = 64,
     local_threshold: int = 2_000_000,
-) -> dict[int, int]:
-    """Connected components over an edge Dataset with columns
-    (u:int64, v:int64). Returns {node: component_min} for every node
-    incident to an edge (singletons are their own component and never
-    enter the edge set).
+) -> tuple[str, "pd.DataFrame | rd.Dataset | None"]:
+    """Shared convergence core for `connected_components` /
+    `cc_star_map`. Returns one of
+      ("empty", None)            — no edges;
+      ("local", DataFrame)       — small edge set, solved by one
+                                   union-find pass: (node, root) rows;
+      ("star", Dataset)          — converged directed star edges,
+                                   materialized in the object store and
+                                   NEVER pulled to the driver here.
 
     Hybrid, as production dedup pipelines do it: the near-dup edge set
     is orders of magnitude smaller than the corpus, so when it fits on
@@ -854,12 +859,21 @@ def connected_components(
     if cur.count() <= 2 * local_threshold:
         tbl = cur.to_pandas()
         if tbl.empty:
-            return {}
+            return ("empty", None)
         # _canonical_edges emits both directions; u > v rows carry each
         # undirected edge exactly once.
         sel = tbl["u"].to_numpy() > tbl["v"].to_numpy()
-        return _union_find(
+        mapping = _union_find(
             tbl["u"].to_numpy(dtype="int64")[sel], tbl["v"].to_numpy(dtype="int64")[sel]
+        )
+        return (
+            "local",
+            pd.DataFrame(
+                {
+                    "node": np.fromiter(mapping.keys(), dtype="int64", count=len(mapping)),
+                    "root": np.fromiter(mapping.values(), dtype="int64", count=len(mapping)),
+                }
+            ),
         )
     prev_sig = None
     for _ in range(max_rounds):
@@ -882,7 +896,7 @@ def connected_components(
         cur = cur.materialize()
         sig = checksum(cur)
         if sig[1] == 0:
-            return {}
+            return ("empty", None)
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -891,16 +905,96 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds "
             f"({prev_sig[1] if prev_sig else '?'} directed edges remaining)"
         )
-    # Converged: every component is a star u -> min, i.e. the edge set
-    # IS the (node -> root) map — only now does it come to the driver,
-    # bounded by the dup-component node count (it is broadcast for the
-    # relabel pass right after).
-    tbl = cur.to_pandas()
+    return ("star", cur)
+
+
+_STAR_SCHEMA = {"node": "int64", "root": "int64"}
+
+
+def _empty_star() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], dtype=t) for c, t in _STAR_SCHEMA.items()}
+    )
+
+
+def cc_star_map(
+    edges: rd.Dataset,
+    partitions: int = 8,
+    max_rounds: int = 64,
+    local_threshold: int = 2_000_000,
+) -> rd.Dataset:
+    """Connected components over an edge Dataset (u:int64, v:int64),
+    returned as a materialized (node, root) star-map DATASET — one row
+    per node incident to an edge, root = component min; roots map to
+    themselves. Unlike `connected_components` (the dict form) nothing
+    corpus-scale ever touches the driver: on the distributed path the
+    converged star edges collapse to (node, min root) via one keyed
+    repartition, and the root self-rows ride the same shuffle."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    mode, payload = _cc_converge(edges, partitions, max_rounds, local_threshold)
+    if mode == "empty":
+        return rd.from_pandas(_empty_star())
+    if mode == "local":
+        return rd.from_pandas(payload)
+
+    def star_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_star()
+        hi = np.maximum(df["u"].to_numpy(), df["v"].to_numpy()).astype("int64")
+        lo = np.minimum(df["u"].to_numpy(), df["v"].to_numpy()).astype("int64")
+        # Converged star edges point node -> component min directly, so
+        # roots never appear on the hi side: (lo, lo) self-rows cannot
+        # collide with a different root for lo. Emit both and min-reduce.
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate([hi, lo]),
+                "root": np.concatenate([lo, lo]),
+            }
+        )
+        return out.drop_duplicates(["node", "root"])
+
+    def min_root(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_star()
+        return df.groupby("node", as_index=False)["root"].min()
+
+    rows = payload.map_batches(star_rows, batch_format="pandas")
+    enable_hash_shuffle(rows)
+    return (
+        rows.repartition(partitions, keys=["node"])
+        .map_batches(min_root, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+
+def connected_components(
+    edges: rd.Dataset,
+    partitions: int = 8,
+    max_rounds: int = 64,
+    local_threshold: int = 2_000_000,
+) -> dict[int, int]:
+    """Connected components over an edge Dataset with columns
+    (u:int64, v:int64). Returns {node: component_min} for every node
+    incident to an edge (singletons are their own component and never
+    enter the edge set).
+
+    This is the DICT form — it pulls the star map to the driver and is
+    bounded by the dup-component node count. Scale-sensitive callers
+    (`_cluster_assign` and friends) use `cc_star_map` + a measured-size
+    strategy so the pull only happens when the map is provably small.
+    """
+    mode, payload = _cc_converge(edges, partitions, max_rounds, local_threshold)
+    if mode == "empty":
+        return {}
+    if mode == "local":
+        return dict(zip(payload["node"].tolist(), payload["root"].tolist()))
+    tbl = payload.to_pandas()
     hi = np.maximum(tbl["u"].to_numpy(), tbl["v"].to_numpy())
     lo = np.minimum(tbl["u"].to_numpy(), tbl["v"].to_numpy())
     mapping: dict[int, int] = {}
-    for node, root in zip(hi, lo):
-        mapping[int(node)] = min(int(root), mapping.get(int(node), int(root)))
+    for node, root in zip(hi.tolist(), lo.tolist()):
+        mapping[node] = min(root, mapping.get(node, root))
     # Roots map to themselves.
     for root in set(mapping.values()):
         mapping.setdefault(root, root)
@@ -909,62 +1003,180 @@ def connected_components(
 
 class _Relabel:
     """Broadcast (node -> component root) relabel: rows keep their own
-    id as the label when absent from the map (singleton components)."""
+    id as the label when absent from the map (singleton components).
+    The map ships as two sorted parallel arrays and probes via
+    searchsorted — fully vectorized; this stage runs over EVERY corpus
+    row in the cluster/survivor pipelines, so a per-row dict lookup
+    here would be the hot-loop Python the rest of the repo avoids."""
 
     def __init__(self, ref, id_col: str):
-        self.roots = ray.get(ref)
+        nodes, roots = ray.get(ref)
+        self.nodes = nodes
+        self.roots = roots
         self.id_col = id_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[self.id_col].astype("int64")
+        ids = df[self.id_col].to_numpy(dtype="int64")
+        out = ids.copy()
+        if len(self.nodes):
+            pos = np.searchsorted(self.nodes, ids)
+            pos[pos == len(self.nodes)] = 0
+            hit = self.nodes[pos] == ids
+            out[hit] = self.roots[pos[hit]]
+        return pd.DataFrame({self.id_col: ids, "cluster_id": out})
+
+
+def _sorted_star_arrays(star: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Pull a (node, root) star-map Dataset into sorted parallel numpy
+    arrays for the broadcast relabel path. Caller has already verified
+    the map is under the broadcast byte limit."""
+    tbl = star.to_pandas()
+    if tbl.empty:
+        return np.empty(0, dtype="int64"), np.empty(0, dtype="int64")
+    nodes = tbl["node"].to_numpy(dtype="int64")
+    roots = tbl["root"].to_numpy(dtype="int64")
+    order = np.argsort(nodes, kind="stable")
+    return nodes[order], roots[order]
+
+
+def _relabel_cogroup(
+    ids: rd.Dataset,
+    star: rd.Dataset,
+    id_col: str,
+    npart: int | None = None,
+) -> rd.Dataset:
+    """Distributed relabel: tag ids (root = -1 sentinel) and star rows
+    into one UNION + a single id-keyed hash repartition; each co-located
+    block resolves its ids against its star rows vectorized. The
+    tagged-union-cogroup shape (not a native join) deliberately dodges
+    the Ray 2.49 sparse-side join crash (CLAUDE.md): the star side is
+    exactly the sparse shape — few dup-component rows over many blocks.
+    Node ids must be non-negative (doc_id/vec_id are)."""
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_star().rename(columns={"node": id_col})
         return pd.DataFrame(
             {
-                self.id_col: ids,
-                "cluster_id": np.fromiter(
-                    (self.roots.get(int(d), int(d)) for d in ids),
-                    dtype="int64",
-                    count=len(ids),
-                ),
+                id_col: df[id_col].to_numpy(dtype="int64"),
+                "root": np.full(len(df), -1, dtype="int64"),
             }
         )
 
+    def tag_star(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_star().rename(columns={"node": id_col})
+        return pd.DataFrame(
+            {
+                id_col: df["node"].to_numpy(dtype="int64"),
+                "root": df["root"].to_numpy(dtype="int64"),
+            }
+        )
 
-def _cluster_assign(
-    pairs: rd.Dataset, ids: rd.Dataset, id_col: str
-) -> rd.Dataset:
-    """CC over `pairs` (u, v), then broadcast-relabel every row of
-    `ids`: the star map holds only nodes inside dup components, so
-    singletons never shuffle."""
-    mapping = connected_components(pairs)
-    map_ref = ray.put(mapping)
-    return ids.map_batches(
-        _Relabel,
-        fn_constructor_args=(map_ref, id_col),
-        batch_format="pandas",
-        concurrency=(1, 2),
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                }
+            )
+        keys = df[id_col].to_numpy(dtype="int64")
+        roots = df["root"].to_numpy(dtype="int64")
+        is_id = roots < 0
+        # Map each star row's key -> root via the sorted-probe kernel;
+        # ids with no star row keep themselves.
+        s_keys = keys[~is_id]
+        s_roots = roots[~is_id]
+        order = np.argsort(s_keys, kind="stable")
+        s_keys, s_roots = s_keys[order], s_roots[order]
+        out_ids = keys[is_id]
+        out = out_ids.copy()
+        if len(s_keys):
+            pos = np.searchsorted(s_keys, out_ids)
+            pos[pos == len(s_keys)] = 0
+            hit = s_keys[pos] == out_ids
+            out[hit] = s_roots[pos[hit]]
+        return pd.DataFrame({id_col: out_ids, "cluster_id": out})
+
+    tagged = ids.map_batches(tag_ids, batch_format="pandas").union(
+        star.map_batches(tag_star, batch_format="pandas")
+    )
+    enable_hash_shuffle(tagged)
+    return tagged.repartition(npart, keys=[id_col]).map_batches(
+        resolve, batch_format="pandas", batch_size=None
     )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+#: Broadcast the star map as a dict only below this measured size; above
+#: it the relabel runs as a distributed cogroup. At a realistic 30-50%
+#: web dup rate the map is O(corpus), so the fallback is the 100-TB path.
+STAR_BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def _cluster_assign(
+    pairs: rd.Dataset,
+    ids: rd.Dataset,
+    id_col: str,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
+    """CC over `pairs` (u, v), then relabel every row of `ids` with its
+    component min (singletons label themselves). Measured-size strategy
+    on the star map (the autoBroadcastJoinThreshold move): under
+    `broadcast_limit_bytes` it broadcasts once via ray.put into a
+    vectorized searchsorted probe (no shuffle over the corpus); above
+    it, the relabel is a tagged-union cogroup — one id-keyed shuffle,
+    nothing dup-count-sized on the driver. Both paths are exact and
+    test-pinned equal (broadcast_limit_bytes=0 forces the cogroup)."""
+    star = cc_star_map(pairs)
+    if star.size_bytes() <= broadcast_limit_bytes:
+        map_ref = ray.put(_sorted_star_arrays(star))
+        return ids.map_batches(
+            _Relabel,
+            fn_constructor_args=(map_ref, id_col),
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+    return _relabel_cogroup(ids, star, id_col)
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Near-duplicate cluster assignment: every document labeled with
     the min doc_id of its connected component in the n-gram-Jaccard
     similarity graph (exact edges from `ngram_jaccard_pairs`).
 
     Edge generation and component contraction are distributed; the
-    final (node -> root) star map is tiny (only docs inside dup
-    components) and is broadcast into a streaming relabel pass over the
-    full corpus — singletons label themselves without ever shuffling.
-    """
+    relabel pass over the full corpus picks its strategy from the
+    MEASURED star-map size (broadcast probe under the limit, tagged
+    cogroup above — see `_cluster_assign`); singletons label themselves
+    either way without an extra shuffle."""
     from .dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold).map_batches(
         lambda df: df.rename(columns={"doc_a": "u", "doc_b": "v"}),
         batch_format="pandas",
     )
-    return _cluster_assign(pairs, _read_docs(sf_dir, ["doc_id"]), "doc_id")
+    return _cluster_assign(
+        pairs,
+        _read_docs(sf_dir, ["doc_id"]),
+        "doc_id",
+        broadcast_limit_bytes=broadcast_limit_bytes,
+    )
 
 
-def neardup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def neardup_survivors(
+    sf_dir: str,
+    threshold: float = 0.8,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Near-dup-filtered corpus: one representative per connected
     component of the n-gram-Jaccard graph — the apply-side of
     `dedup_clusters`. The min-label convention makes the root itself
@@ -977,12 +1189,54 @@ def neardup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     def roots(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["doc_id"] == df["cluster_id"], ["doc_id"]]
 
-    return dedup_clusters(sf_dir, threshold=threshold).map_batches(
-        roots, batch_format="pandas"
+    return dedup_clusters(
+        sf_dir, threshold=threshold, broadcast_limit_bytes=broadcast_limit_bytes
+    ).map_batches(roots, batch_format="pandas")
+
+
+def _member_schema() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "cluster_id": pd.Series([], dtype="int64"),
+            "win": pd.Series([], dtype="int64"),
+        }
     )
 
 
-def neardup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def _pick_winners(members: rd.Dataset, npart: int) -> rd.Dataset:
+    """(doc_id, root, n_chars) member rows -> (doc_id, cluster_id, win)
+    with exactly one win=1 row per component (n_chars desc, doc_id asc),
+    via one root-keyed repartition + a per-block vectorized rank."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _member_schema()
+        df = df.sort_values(
+            ["root", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        win = (df.groupby("root").cumcount() == 0).to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "cluster_id": df["root"].to_numpy(dtype="int64"),
+                "win": win,
+            }
+        )
+
+    enable_hash_shuffle(members)
+    return members.repartition(npart, keys=["root"]).map_batches(
+        rank, batch_format="pandas", batch_size=None
+    )
+
+
+def neardup_best_survivors(
+    sf_dir: str,
+    threshold: float = 0.8,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Quality-ranked near-dup survivor selection: one representative
     per connected component of the n-gram-Jaccard graph, keeping the
     LONGEST member (n_chars desc, doc_id asc tie-break) instead of the
@@ -991,13 +1245,16 @@ def neardup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     singletons keep themselves with cluster_id = doc_id.
 
     Scale shape: component contraction is the hybrid distributed CC;
-    the winner pick needs quality only for docs INSIDE dup components
-    — the same tiny node set the star map already materializes — so
-    their n_chars rows are pushdown-read (doc_id isin) and ranked
-    driver-side in one bounded pass, never touching the corpus. The
-    corpus itself sees a single streaming relabel/filter with the
-    broadcast loser set; singletons never shuffle.
-    """
+    the winner pick needs quality only for docs INSIDE dup components —
+    the star map's own node set. Measured-size strategy on that map:
+    under `broadcast_limit_bytes` the members are pushdown-read
+    (doc_id isin) and ranked in one bounded driver pass, and the corpus
+    streams through a vectorized broadcast filter; above it everything
+    is cogroups — members resolve via a Bloom-pruned doc_id cogroup
+    with the star map, winners rank per root-keyed block, and the
+    corpus labels through one id-keyed tagged-union shuffle. Both paths
+    are exact and test-pinned equal (broadcast_limit_bytes=0 forces the
+    distributed one)."""
     import pyarrow.dataset as pads
 
     from .dedup import ngram_jaccard_pairs
@@ -1006,57 +1263,205 @@ def neardup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         lambda df: df.rename(columns={"doc_a": "u", "doc_b": "v"}),
         batch_format="pandas",
     )
-    mapping = connected_components(pairs)
-    winner_of: dict[int, int] = {}
-    if mapping:
-        members = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "n_chars"],
-                filter=pads.field("doc_id").isin(sorted(mapping)),
-            )
-            .to_pandas()
-            .astype({"doc_id": "int64", "n_chars": "int64"})
-        )
-        members["cluster_id"] = members["doc_id"].map(mapping).astype("int64")
-        members = members.sort_values(
-            ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
-        )
-        best = members.groupby("cluster_id", as_index=False).head(1)
-        winner_of = dict(zip(best["doc_id"], best["cluster_id"]))
-    losers_ref = ray.put(set(mapping) - set(winner_of))
-    winners_ref = ray.put(winner_of)
+    star = cc_star_map(pairs)
 
-    class _KeepBest:
-        def __init__(self, losers, winners):
-            self.losers = ray.get(losers)
-            self.winners = ray.get(winners)
+    if star.size_bytes() <= broadcast_limit_bytes:
+        tbl = star.to_pandas()
+        winner_doc = np.empty(0, dtype="int64")
+        winner_root = np.empty(0, dtype="int64")
+        losers = np.empty(0, dtype="int64")
+        if not tbl.empty:
+            members = (
+                rd.read_parquet(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"],
+                    filter=pads.field("doc_id").isin(
+                        sorted(tbl["node"].tolist())
+                    ),
+                )
+                .to_pandas()
+                .astype({"doc_id": "int64", "n_chars": "int64"})
+            )
+            roots = dict(zip(tbl["node"].tolist(), tbl["root"].tolist()))
+            members["cluster_id"] = members["doc_id"].map(roots).astype("int64")
+            members = members.sort_values(
+                ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
+            )
+            best = members.groupby("cluster_id", as_index=False).head(1)
+            winner_doc = best["doc_id"].to_numpy(dtype="int64")
+            winner_root = best["cluster_id"].to_numpy(dtype="int64")
+            order = np.argsort(winner_doc, kind="stable")
+            winner_doc, winner_root = winner_doc[order], winner_root[order]
+            losers = np.sort(
+                np.setdiff1d(
+                    members["doc_id"].to_numpy(dtype="int64"), winner_doc
+                )
+            )
+        ref = ray.put((losers, winner_doc, winner_root))
+
+        class _KeepBest:
+            def __init__(self, r):
+                self.losers, self.wdoc, self.wroot = ray.get(r)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ids = df["doc_id"].to_numpy(dtype="int64")
+                if len(self.losers):
+                    pos = np.searchsorted(self.losers, ids)
+                    pos[pos == len(self.losers)] = 0
+                    ids = ids[self.losers[pos] != ids]
+                out = ids.copy()
+                if len(self.wdoc):
+                    pos = np.searchsorted(self.wdoc, ids)
+                    pos[pos == len(self.wdoc)] = 0
+                    hit = self.wdoc[pos] == ids
+                    out[hit] = self.wroot[pos[hit]]
+                return pd.DataFrame({"doc_id": ids, "cluster_id": out})
+
+        return _read_docs(sf_dir, ["doc_id"]).map_batches(
+            _KeepBest,
+            fn_constructor_args=(ref,),
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+
+    # Distributed path: nothing dup-count-sized on the driver.
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    from .sketch import build_bloom
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    bloom_ref = ray.put(
+        build_bloom(
+            star.map_batches(
+                lambda df: pd.DataFrame({"doc_id": df["node"]}),
+                batch_format="pandas",
+            ),
+            "doc_id",
+            1 << 22,
+        )
+    )
+
+    class BloomProbe:
+        def __init__(self, r):
+            self.bf = ray.get(r)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["doc_id"].astype("int64")
-            keep = ~ids.isin(self.losers)
-            kept = ids[keep].to_numpy()
+            if df.empty:
+                return df
+            return df.loc[self.bf.contains(df["doc_id"].to_numpy(dtype="int64"))]
+
+    cand = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        BloomProbe, fn_constructor_args=(bloom_ref,), batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    # Cogroup candidate quality rows with star rows on doc_id: drops
+    # Bloom false positives and attaches each member's root.
+    def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame(
                 {
-                    "doc_id": kept,
-                    "cluster_id": np.fromiter(
-                        (self.winners.get(int(d), int(d)) for d in kept),
-                        dtype="int64",
-                        count=len(kept),
-                    ),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_chars": pd.Series([], dtype="int64"),
+                    "root": pd.Series([], dtype="int64"),
                 }
             )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "n_chars": df["n_chars"].to_numpy(dtype="int64"),
+                "root": np.full(len(df), -1, dtype="int64"),
+            }
+        )
 
-    return _read_docs(sf_dir, ["doc_id"]).map_batches(
-        _KeepBest,
-        fn_constructor_args=(losers_ref, winners_ref),
-        batch_format="pandas",
-        concurrency=(1, 2),
+    def tag_star_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_chars": pd.Series([], dtype="int64"),
+                    "root": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(dtype="int64"),
+                "n_chars": np.full(len(df), -1, dtype="int64"),
+                "root": df["root"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def resolve_members(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "root": pd.Series([], dtype="int64"),
+                    "n_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        is_star = df["root"].to_numpy() >= 0
+        stars = df.loc[is_star, ["doc_id", "root"]]
+        quals = df.loc[~is_star, ["doc_id", "n_chars"]]
+        m = quals.merge(stars, on="doc_id", how="inner")
+        return m[["doc_id", "root", "n_chars"]].reset_index(drop=True)
+
+    tagged = cand.map_batches(tag_cand, batch_format="pandas").union(
+        star.map_batches(tag_star_rows, batch_format="pandas")
+    )
+    enable_hash_shuffle(tagged)
+    members = tagged.repartition(npart, keys=["doc_id"]).map_batches(
+        resolve_members, batch_format="pandas", batch_size=None
+    )
+    winners = _pick_winners(members, npart)
+
+    # Label the corpus: one id-keyed tagged-union shuffle — winners keep
+    # their component root, losers drop, non-members keep themselves.
+    def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _member_schema()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "cluster_id": np.full(len(df), -1, dtype="int64"),
+                "win": np.full(len(df), -1, dtype="int64"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                }
+            )
+        member = df.loc[df["win"] >= 0, ["doc_id", "cluster_id", "win"]]
+        corpus = df.loc[df["win"] < 0, ["doc_id"]]
+        m = corpus.merge(member, on="doc_id", how="left")
+        keep = m["win"].isna() | (m["win"] == 1)
+        m = m.loc[keep]
+        ids = m["doc_id"].to_numpy(dtype="int64")
+        cluster = m["cluster_id"].to_numpy()
+        cluster = np.where(np.isnan(cluster), ids, cluster).astype("int64")
+        return pd.DataFrame({"doc_id": ids, "cluster_id": cluster})
+
+    merged = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        tag_corpus, batch_format="pandas"
+    ).union(winners)
+    enable_hash_shuffle(merged)
+    return merged.repartition(npart, keys=["doc_id"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
     )
 
 
 def substring_dup_clusters(
-    sf_dir: str, k: int = 32, stride: int = 8, min_shared: int = 2
+    sf_dir: str,
+    k: int = 32,
+    stride: int = 8,
+    min_shared: int = 2,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
 ) -> rd.Dataset:
     """Cluster assignment over the repeated-substring graph: documents
     sharing >= `min_shared` exact k-char gram occurrence-pairs
@@ -1074,10 +1479,19 @@ def substring_dup_clusters(
     pairs = repeated_substring_pairs(sf_dir, k=k, stride=stride).map_batches(
         edges, batch_format="pandas"
     )
-    return _cluster_assign(pairs, _read_docs(sf_dir, ["doc_id"]), "doc_id")
+    return _cluster_assign(
+        pairs,
+        _read_docs(sf_dir, ["doc_id"]),
+        "doc_id",
+        broadcast_limit_bytes=broadcast_limit_bytes,
+    )
 
 
-def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+def embedding_clusters(
+    sf_dir: str,
+    threshold: float = 0.4,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Cluster assignment over the embedding near-duplicate graph:
     every vector labeled with the min vec_id of its connected component
     under cosine-similarity >= threshold (exact edges from
@@ -1090,10 +1504,16 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
         batch_format="pandas",
     )
     ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    return _cluster_assign(pairs, ids, "vec_id")
+    return _cluster_assign(
+        pairs, ids, "vec_id", broadcast_limit_bytes=broadcast_limit_bytes
+    )
 
 
-def embedding_cluster_survivors(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+def embedding_cluster_survivors(
+    sf_dir: str,
+    threshold: float = 0.4,
+    broadcast_limit_bytes: int = STAR_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """SemDeDup-style semantic dedup apply-side (Abbas et al. 2023):
     one representative vector per connected component of the
     cosine-similarity graph — the embedding-space mirror of
@@ -1104,9 +1524,9 @@ def embedding_cluster_survivors(sf_dir: str, threshold: float = 0.4) -> rd.Datas
     def roots(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["vec_id"] == df["cluster_id"], ["vec_id"]]
 
-    return embedding_clusters(sf_dir, threshold=threshold).map_batches(
-        roots, batch_format="pandas"
-    )
+    return embedding_clusters(
+        sf_dir, threshold=threshold, broadcast_limit_bytes=broadcast_limit_bytes
+    ).map_batches(roots, batch_format="pandas")
 
 
 def events_user_lag_diff(sf_dir: str) -> rd.Dataset:

@@ -322,6 +322,8 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
                         a_out.append(refs[i])
                         b_out.append(refs[j])
                         d_out.append(d)
+        if not a_out:
+            return _empty_pairs()
         return pd.DataFrame(
             {
                 "media_a": pd.Series(a_out, dtype="object"),
@@ -330,8 +332,11 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
             }
         )
 
-    def dedupe(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.drop_duplicates(["media_a", "media_b"])
+    def dedupe(df: "pd.DataFrame"):
+        out = df.drop_duplicates(["media_a", "media_b"])
+        if out.empty:
+            return _empty_pairs()
+        return out
 
     ds = media_ahash(media_path).map_batches(bands, batch_format="pyarrow")
     return (
@@ -342,87 +347,308 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
     )
 
 
-def media_ahash_survivors(media_path: str, max_hamming: int = 2) -> rd.Dataset:
+def _empty_refs() -> pa.Table:
+    """Typed Arrow empty for the single-column media_ref result shape —
+    zero-row object-dtype pandas columns trip Ray's size estimator (see
+    the q20 decorate note in tpch.py)."""
+    return pa.table({"media_ref": pa.array([], type=pa.string())})
+
+
+def _empty_pairs() -> pa.Table:
+    """Typed Arrow empty for the (media_a, media_b, hamming) pair shape
+    — same size-estimator rationale as `_empty_refs`."""
+    return pa.table(
+        {
+            "media_a": pa.array([], type=pa.string()),
+            "media_b": pa.array([], type=pa.string()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def media_ahash_survivors(
+    media_path: str,
+    max_hamming: int = 2,
+    broadcast_limit_bytes: int = 64 << 20,
+) -> rd.Dataset:
     """Image dedup survivors: one representative per connected
     component of the aHash near-dup graph — the full image-dedup
     pipeline (hash -> lossless banded pairs -> distributed CC ->
-    broadcast relabel -> streaming keep-roots filter), the media-side
-    mirror of the text corpus' `neardup_survivors`.
+    relabel -> keep-roots filter), the media-side mirror of the text
+    corpus' `neardup_survivors`. The keeper is the lexicographically
+    smallest media_ref of each component; singleton images survive
+    unconditionally.
 
-    The min-label (lexicographic on media_ref) convention makes the
-    root its own keeper, so survivors are the rows where
-    media_ref == cluster_id — singleton images never shuffle.
-    """
+    Measured-size strategy on the PAIRED-ref set: under
+    `broadcast_limit_bytes` the refs get a dense sorted int encoding in
+    a driver dict (int order == lex order, so the CC min root IS the
+    keeper) and the corpus streams through a vectorized isin filter
+    against the broadcast loser set; above it nothing ref-count-sized
+    touches the driver — refs hash-encode to 63-bit ints task-side
+    (collision-checked via distinct counts), CC runs on the hashes, the
+    lex-min keeper per component resolves via a root-keyed cogroup, and
+    the corpus filters through a ref-keyed tagged union against the
+    loser rows. Both paths are exact and test-pinned equal
+    (broadcast_limit_bytes=0 forces the distributed one)."""
+    import hashlib
+
+    import numpy as np
     import pandas as pd
 
     import ray
 
-    from .analytics import connected_components
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
+    from .analytics import cc_star_map, connected_components
+
+    npart = max(2, min(16, cluster_ncpu()))
     pairs = media_ahash_neardup(media_path, max_hamming=max_hamming)
-    # CC works on int64 nodes; only PAIRED refs enter the graph, and
-    # that set is orders of magnitude smaller than the corpus (the
-    # same size class as the star map _cluster_assign already pulls),
-    # so a dense sorted encoding is a tiny driver-side dictionary.
-    # Sorting makes int order == lexicographic ref order, preserving
-    # the min-label keeper convention.
-    ref_tbl = pairs.map_batches(
-        lambda df: pd.DataFrame(
-            {"r": pd.concat([df["media_a"], df["media_b"]]).unique()}
-        ),
+
+    def _empty_r() -> pa.Table:
+        return pa.table({"r": pa.array([], type=pa.string())})
+
+    def distinct_refs(df: pd.DataFrame):
+        u = pd.concat([df["media_a"], df["media_b"]]).unique()
+        if len(u) == 0:
+            return _empty_r()
+        return pd.DataFrame({"r": u})
+
+    def block_dedup(df: pd.DataFrame):
+        out = df.drop_duplicates("r")
+        if out.empty:
+            return _empty_r()
+        return out
+
+    ref_ds = pairs.map_batches(distinct_refs, batch_format="pandas")
+    enable_hash_shuffle(ref_ds)
+    ref_ds = (
+        ref_ds.repartition(npart, keys=["r"])
+        .map_batches(block_dedup, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+    if ref_ds.size_bytes() <= broadcast_limit_bytes:
+        inv = sorted(ref_ds.to_pandas()["r"]) if ref_ds.count() else []
+        idx = {r: i for i, r in enumerate(inv)}
+        idx_ref = ray.put(idx)
+
+        class Encode:
+            def __init__(self, ref):
+                self.idx = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "u": df["media_a"].map(self.idx).to_numpy(dtype="int64"),
+                        "v": df["media_b"].map(self.idx).to_numpy(dtype="int64"),
+                    }
+                )
+
+        edges = pairs.map_batches(
+            Encode, fn_constructor_args=(idx_ref,), batch_format="pandas",
+            concurrency=(1, 2),
+        )
+        mapping = connected_components(edges)
+        # Losers = non-root members; int order == lex order under the
+        # dense sorted encoding, so the min-int root is the lex-min
+        # keeper. Survivors are everything else — a streaming
+        # vectorized isin filter, no relabel pass needed.
+        losers_ref = ray.put(
+            frozenset(inv[n] for n, m in mapping.items() if n != m)
+        )
+
+        class DropLosers:
+            def __init__(self, ref):
+                self.losers = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame):
+                refs = df["media_ref"]
+                kept = refs[~refs.isin(self.losers)].to_numpy()
+                if len(kept) == 0:
+                    return _empty_refs()
+                return pd.DataFrame({"media_ref": kept})
+
+        return rd.read_parquet(media_path, columns=["media_ref"]).map_batches(
+            DropLosers,
+            fn_constructor_args=(losers_ref,),
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+
+    # --- distributed path: nothing ref-count-sized on the driver ---
+
+    def h63(refs) -> "np.ndarray":
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(r.encode()).digest()[:8], "big")
+                & ((1 << 63) - 1)
+                for r in refs
+            ),
+            dtype="int64",
+            count=len(refs),
+        )
+
+    hashed_refs = ref_ds.map_batches(
+        lambda df: pd.DataFrame({"h": h63(df["r"].tolist()), "r": df["r"]}),
         batch_format="pandas",
-    ).to_pandas()
-    inv = sorted(set(ref_tbl["r"]))
-    idx = {r: i for i, r in enumerate(inv)}
-    idx_ref = ray.put(idx)
+    ).materialize()
 
-    class Encode:
-        def __init__(self, ref):
-            self.idx = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "u": df["media_a"].map(self.idx).to_numpy(dtype="int64"),
-                    "v": df["media_b"].map(self.idx).to_numpy(dtype="int64"),
-                }
-            )
+    # Collision check: distinct hash count must equal distinct ref
+    # count (ref_ds is already distinct). Two tiny count aggregates.
+    hs = hashed_refs.map_batches(
+        lambda df: pd.DataFrame({"h": df["h"].unique()}), batch_format="pandas"
+    )
+    enable_hash_shuffle(hs)
+    n_hashes = (
+        hs.repartition(npart, keys=["h"])
+        .map_batches(
+            lambda df: df.drop_duplicates("h"),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .count()
+    )
+    n_refs = ref_ds.count()
+    if n_hashes != n_refs:
+        raise RuntimeError(
+            f"media_ahash_survivors: 63-bit ref-hash collision "
+            f"({n_refs} refs -> {n_hashes} hashes); use a wider encoding"
+        )
 
     edges = pairs.map_batches(
-        Encode, fn_constructor_args=(idx_ref,), batch_format="pandas",
-        concurrency=(1, 2),
+        lambda df: pd.DataFrame(
+            {"u": h63(df["media_a"].tolist()), "v": h63(df["media_b"].tolist())}
+        ),
+        batch_format="pandas",
     )
-    mapping = connected_components(edges)
-    star = {inv[n]: inv[m] for n, m in mapping.items()}
-    star_ref = ray.put(star)
+    star = cc_star_map(edges)  # (node, root) over 63-bit ref hashes
 
-    class RelabelStr:
-        """String-keyed variant of analytics._Relabel (which casts ids
-        to int64): absent refs label themselves (singletons)."""
-
-        def __init__(self, ref):
-            self.roots = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            refs = df["media_ref"].to_numpy()
-            return pd.DataFrame(
+    # Attach each member's component root: cogroup (h, r) with the star
+    # map on h (every paired ref is incident to an edge, so inner).
+    def tag_href(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
                 {
-                    "media_ref": refs,
-                    "cluster_id": [self.roots.get(r, r) for r in refs],
+                    "h": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.string()),
+                    "root": pa.array([], type=pa.int64()),
                 }
             )
+        return pd.DataFrame(
+            {
+                "h": df["h"].to_numpy(dtype="int64"),
+                "r": df["r"].to_numpy(),
+                "root": np.full(len(df), -1, dtype="int64"),
+            }
+        )
 
-    labeled = rd.read_parquet(media_path, columns=["media_ref"]).map_batches(
-        RelabelStr,
-        fn_constructor_args=(star_ref,),
-        batch_format="pandas",
-        concurrency=(1, 2),
+    def tag_star(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.string()),
+                    "root": pa.array([], type=pa.int64()),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "h": df["node"].to_numpy(dtype="int64"),
+                "r": pd.Series([""] * len(df), dtype="object"),
+                "root": df["root"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def resolve(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "r": pa.array([], type=pa.string()),
+                    "root": pa.array([], type=pa.int64()),
+                }
+            )
+        is_star = df["root"].to_numpy() >= 0
+        m = df.loc[~is_star, ["h", "r"]].merge(
+            df.loc[is_star, ["h", "root"]], on="h", how="inner"
+        )
+        if m.empty:
+            return pa.table(
+                {
+                    "r": pa.array([], type=pa.string()),
+                    "root": pa.array([], type=pa.int64()),
+                }
+            )
+        return m[["r", "root"]].reset_index(drop=True)
+
+    tagged = hashed_refs.map_batches(tag_href, batch_format="pandas").union(
+        star.map_batches(tag_star, batch_format="pandas")
+    )
+    enable_hash_shuffle(tagged)
+    members = tagged.repartition(npart, keys=["h"]).map_batches(
+        resolve, batch_format="pandas", batch_size=None
     )
 
-    def roots(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["media_ref"] == df["cluster_id"], ["media_ref"]]
+    # Losers: members that are not the lex-min ref of their component
+    # (one root-keyed cogroup, vectorized min-rank per block).
+    def losers(df: pd.DataFrame):
+        if df.empty:
+            return _empty_refs()
+        df = df.sort_values(["root", "r"], kind="stable")
+        lose = (df.groupby("root").cumcount() > 0).to_numpy()
+        out = df["r"].to_numpy()[lose]
+        if len(out) == 0:
+            return _empty_refs()
+        return pd.DataFrame({"media_ref": out})
 
-    return labeled.map_batches(roots, batch_format="pandas")
+    enable_hash_shuffle(members)
+    loser_ds = members.repartition(npart, keys=["root"]).map_batches(
+        losers, batch_format="pandas", batch_size=None
+    )
+
+    # Survivors: corpus refs minus losers via a ref-keyed tagged union
+    # (the sparse loser side cogroups instead of native-joining).
+    def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_ref": df["media_ref"].to_numpy(),
+                "lose": np.zeros(len(df), dtype="int64"),
+            }
+        )
+
+    def tag_losers(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "lose": pa.array([], type=pa.int64()),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "media_ref": df["media_ref"].to_numpy(),
+                "lose": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    def keep(df: pd.DataFrame):
+        if df.empty:
+            return _empty_refs()
+        dropped = set(df.loc[df["lose"] == 1, "media_ref"])
+        corpus = df.loc[df["lose"] == 0, "media_ref"]
+        kept = corpus[~corpus.isin(dropped)].to_numpy()
+        if len(kept) == 0:
+            return _empty_refs()
+        return pd.DataFrame({"media_ref": kept})
+
+    merged = (
+        rd.read_parquet(media_path, columns=["media_ref"])
+        .map_batches(tag_corpus, batch_format="pandas")
+        .union(loser_ds.map_batches(tag_losers, batch_format="pandas"))
+    )
+    enable_hash_shuffle(merged)
+    return merged.repartition(npart, keys=["media_ref"]).map_batches(
+        keep, batch_format="pandas", batch_size=None
+    )
 
 
 def write_media_webdataset(ds: rd.Dataset, out_dir: str) -> rd.Dataset:

@@ -154,6 +154,90 @@ def test_connected_components_empty(ray_session):
     assert connected_components(ds, partitions=2) == {}
 
 
+def test_cc_star_map_matches_dict_form(ray_session):
+    """cc_star_map (the Dataset form) must carry exactly the dict
+    form's (node -> root) rows, on both the local and distributed
+    convergence paths."""
+    import ray.data as rd
+
+    from ocrs_ray.ops.analytics import cc_star_map, connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (5, 4)]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": np.array([e[0] for e in edges], dtype="int64"),
+                "v": np.array([e[1] for e in edges], dtype="int64"),
+            }
+        )
+    )
+    want = connected_components(ds, partitions=2)
+    for threshold in (2_000_000, 0):  # local path, then forced star path
+        tbl = cc_star_map(ds, partitions=2, local_threshold=threshold).to_pandas()
+        got = dict(zip(tbl["node"], tbl["root"]))
+        assert got == want, threshold
+        assert len(tbl) == len(want)  # no duplicate node rows
+
+
+def test_cluster_assign_cogroup_path_pinned_equal(ray_session):
+    """The measured-size relabel strategies must agree: forcing the
+    tagged-union cogroup (broadcast_limit_bytes=0) yields the exact
+    rows of the broadcast searchsorted path, including singletons."""
+    import ray.data as rd
+
+    from ocrs_ray.ops.analytics import _cluster_assign
+
+    edges = [(3, 9), (9, 12), (40, 41)]
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": np.array([e[0] for e in edges], dtype="int64"),
+                "v": np.array([e[1] for e in edges], dtype="int64"),
+            }
+        )
+    )
+    ids = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(50, dtype="int64")})
+    )
+    a = (
+        _cluster_assign(pairs, ids, "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _cluster_assign(pairs, ids, "doc_id", broadcast_limit_bytes=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50
+    lbl = a.set_index("doc_id")["cluster_id"]
+    assert lbl.loc[3] == lbl.loc[9] == lbl.loc[12] == 3
+    assert lbl.loc[40] == lbl.loc[41] == 40
+    assert lbl.loc[7] == 7  # singleton labels itself
+
+
+def test_neardup_best_survivors_paths_pinned_equal(ray_session):
+    from ocrs_ray.ops.analytics import neardup_best_survivors
+
+    a = (
+        neardup_best_survivors(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        neardup_best_survivors(SF, broadcast_limit_bytes=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_dedup_clusters_consistent_with_pairs(ray_session):
     """Every near-dup pair must land in the same cluster; cluster id is
     the component min."""

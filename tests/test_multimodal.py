@@ -163,6 +163,13 @@ def test_media_ahash_survivors(ray_session, tmp_path):
     pq.write_table(tbl, path)
     surv = sorted(media_ahash_survivors(path, max_hamming=2).to_pandas()["media_ref"])
     assert surv == ["m0", "m2"]
+    # Distributed (hash-encoded cogroup) path pinned equal to the
+    # broadcast dict path.
+    surv_dist = sorted(
+        media_ahash_survivors(path, max_hamming=2, broadcast_limit_bytes=0)
+        .to_pandas()["media_ref"]
+    )
+    assert surv_dist == surv
 
 
 def test_media_webdataset_roundtrip_exact(media_path):
