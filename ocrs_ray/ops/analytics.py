@@ -139,7 +139,108 @@ def vocab_top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
     return totals.map_batches(local_topk, batch_format="pandas", batch_size=None)
 
 
-def lm_quality_score(sf_dir: str) -> rd.Dataset:
+#: Broadcast a (token -> score) table as a driver dict only below this
+#: measured size; above it per-doc scoring runs as a token-keyed cogroup
+#: + doc-keyed re-aggregation. A 100-TB crawl's unigram vocabulary is
+#: ~1e8+ and its bigram vocabulary effectively corpus-sized — neither
+#: is a driver-side structure.
+VOCAB_BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def _doc_score_cogroup(
+    doc_terms: rd.Dataset,
+    scores: rd.Dataset,
+    key_cols: list[str],
+    npart: int,
+) -> rd.Dataset:
+    """Distributed per-document additive scoring: (doc_id, *key, tf)
+    rows cogroup with (*key, score_micro) rows on the term key (tagged
+    union + one keyed repartition — never a native join against the
+    sparse score side), emit per-block (doc_id, n_part, sum_part)
+    partials, then one doc_id-keyed repartition finishes the sums.
+    Exact: micro-scores are integers, so tf*score partials sum
+    order-independently."""
+    import pyarrow as pa
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def tagged_empty() -> pa.Table:
+        cols = {"doc_id": pa.array([], type=pa.int64())}
+        cols.update({k: pa.array([], type=pa.string()) for k in key_cols})
+        cols["tf"] = pa.array([], type=pa.int64())
+        cols["score_micro"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+    def tag_docs(df: pd.DataFrame):
+        if df.empty:
+            return tagged_empty()
+        out = df[["doc_id", *key_cols, "tf"]].copy()
+        out["score_micro"] = np.zeros(len(df), dtype="int64")
+        return out
+
+    def tag_scores(df: pd.DataFrame):
+        if df.empty:
+            return tagged_empty()
+        out = df[[*key_cols, "score_micro"]].copy()
+        out.insert(0, "doc_id", np.full(len(df), -1, dtype="int64"))
+        out["tf"] = np.zeros(len(df), dtype="int64")
+        return out[["doc_id", *key_cols, "tf", "score_micro"]]
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_part": pd.Series([], dtype="int64"),
+                "sum_part": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        is_doc = df["doc_id"].to_numpy() >= 0
+        docs = df.loc[is_doc, ["doc_id", *key_cols, "tf"]]
+        sc = df.loc[~is_doc, [*key_cols, "score_micro"]]
+        if docs.empty or sc.empty:
+            return empty
+        m = docs.merge(sc, on=key_cols, how="inner")
+        tf = m["tf"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(dtype="int64"),
+                "n_part": tf,
+                "sum_part": tf * m["score_micro"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_part": pd.Series([], dtype="int64"),
+                    "sum_part": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.groupby("doc_id", as_index=False).agg(
+            n_part=("n_part", "sum"), sum_part=("sum_part", "sum")
+        )
+
+    tagged = doc_terms.map_batches(tag_docs, batch_format="pandas").union(
+        scores.map_batches(tag_scores, batch_format="pandas")
+    )
+    enable_hash_shuffle(tagged)
+    partials = tagged.repartition(npart, keys=key_cols).map_batches(
+        attach, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(partials)
+    return partials.repartition(npart, keys=["doc_id"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def lm_quality_score(
+    sf_dir: str,
+    broadcast_limit_bytes: int = VOCAB_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """CCNet-style unigram language-model quality score: per document,
     its token count and the summed log-probability of its tokens under
     the corpus's own unigram distribution. Low (very negative mean)
@@ -156,61 +257,100 @@ def lm_quality_score(sf_dir: str) -> rd.Dataset:
     because both sides compute arithmetic-identical products).
 
     Scale shape: pass 1 builds global token counts with the
-    tree-reduced combiner (bounded vocabulary, no shuffle); the counts
-    collapse to a vocab-sized log-prob table on the driver (bounded by
-    the language, not the corpus) broadcast once via ray.put. Pass 2
-    streams the corpus through an actor pool probing the table — no
-    shuffle anywhere. Tokens unseen in pass 1 cannot occur in pass 2
-    (same corpus, same tokenizer).
+    tree-reduced combiner; the grand total is a tiny scalar aggregate.
+    Strategy then follows the MEASURED counts-table size: under
+    `broadcast_limit_bytes` the vocab-sized log-prob table broadcasts
+    once via ray.put and pass 2 streams the corpus through an actor
+    pool probing it (no shuffle); above it nothing vocab-sized touches
+    the driver — per-doc (token, tf) rows cogroup with the distributed
+    log-prob table on token, then re-aggregate per doc_id
+    (`_doc_score_cogroup`). Both paths are exact and test-pinned equal
+    (broadcast_limit_bytes=0 forces the cogroup). Tokens unseen in
+    pass 1 cannot occur in pass 2 (same corpus, same tokenizer).
     """
+    from ocrs_ray.pipeline import cluster_ncpu
+
     totals = _tree_sum(
         _read_docs(sf_dir, ["text"]).map_batches(
             _token_count_partial, batch_format="pandas"
         ),
         "token",
         "n",
-    )
-    counts = totals.to_pandas()
-    total = int(counts["n"].sum())
-    logp_micro = dict(
-        zip(
-            counts["token"],
-            round_half_away(
-                1e6 * np.log(counts["n"].to_numpy(dtype="float64") / total)
-            ).astype("int64"),
+    ).materialize()
+    total = int(
+        totals.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["n"].sum())]}),
+            batch_format="pandas",
         )
+        .to_pandas()["s"]
+        .sum()
     )
-    ref = ray.put(logp_micro)
 
-    class Score:
-        def __init__(self, table_ref):
-            self.logp = ray.get(table_ref)
-            self.tok = re.compile(TOKEN_RE)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids: list[int] = []
-            ns: list[int] = []
-            sums: list[int] = []
-            for d, t in zip(df["doc_id"], df["text"]):
-                found = self.tok.findall(t.lower())
-                if not found:
-                    continue
-                ids.append(int(d))
-                ns.append(len(found))
-                sums.append(int(sum(self.logp[w] for w in found)))
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_tokens": pd.Series(ns, dtype="int64"),
-                    "sum_logp_micro": pd.Series(sums, dtype="int64"),
-                }
+    if totals.size_bytes() <= broadcast_limit_bytes:
+        counts = totals.to_pandas()
+        logp_micro = dict(
+            zip(
+                counts["token"],
+                round_half_away(
+                    1e6 * np.log(counts["n"].to_numpy(dtype="float64") / total)
+                ).astype("int64"),
             )
+        )
+        ref = ray.put(logp_micro)
 
-    from ocrs_ray.pipeline import cluster_ncpu
+        class Score:
+            def __init__(self, table_ref):
+                self.logp = ray.get(table_ref)
+                self.tok = re.compile(TOKEN_RE)
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Score, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ids: list[int] = []
+                ns: list[int] = []
+                sums: list[int] = []
+                for d, t in zip(df["doc_id"], df["text"]):
+                    found = self.tok.findall(t.lower())
+                    if not found:
+                        continue
+                    ids.append(int(d))
+                    ns.append(len(found))
+                    sums.append(int(sum(self.logp[w] for w in found)))
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "n_tokens": pd.Series(ns, dtype="int64"),
+                        "sum_logp_micro": pd.Series(sums, dtype="int64"),
+                    }
+                )
+
+        return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Score, fn_constructor_args=(ref,), batch_format="pandas",
+            concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+        )
+
+    # Distributed path: the log-prob table stays a Dataset.
+    scores = totals.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "token": df["token"],
+                "score_micro": round_half_away(
+                    1e6 * np.log(df["n"].to_numpy(dtype="float64") / total)
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    doc_terms = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_term_tf, batch_format="pandas"
+    ).map_batches(
+        lambda df: df.rename(columns={"term": "token"}), batch_format="pandas"
+    )
+    npart = max(2, min(16, cluster_ncpu()))
+    out = _doc_score_cogroup(doc_terms, scores, ["token"], npart)
+    return out.map_batches(
+        lambda df: df.rename(
+            columns={"n_part": "n_tokens", "sum_part": "sum_logp_micro"}
+        ),
+        batch_format="pandas",
     )
 
 
@@ -233,7 +373,10 @@ def _bigram_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def lm_bigram_score(sf_dir: str) -> rd.Dataset:
+def lm_bigram_score(
+    sf_dir: str,
+    broadcast_limit_bytes: int = VOCAB_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Bigram conditional LM quality score: per document, its bigram
     count and the summed log of p(w2|w1) = c(w1,w2) / c(w1 as prefix)
     under the corpus's own bigram statistics. The bigram axis catches
@@ -250,67 +393,163 @@ def lm_bigram_score(sf_dir: str) -> rd.Dataset:
     self-consistent: sum over w2 of p(w2|w1) is exactly 1.
 
     Scale shape: pass 1 tree-reduces per-batch bigram partials — the
-    OBSERVED bigram vocabulary of natural language is language-bounded
-    (Heaps-sublinear, ~1e7-1e8 at web scale), far below vocab^2, but a
-    full 100 TB run should raise the fanin or swap this stage to the
-    hash-shuffle groupby plus a min-count prune if the merged table
-    outgrows one worker's heap. The collapsed log-prob table broadcasts
-    once via ray.put; pass 2 streams the corpus through an actor pool
-    probing it — no shuffle. Bigrams unseen in pass 1 cannot occur in
-    pass 2 (same corpus, same tokenizer).
+    OBSERVED bigram vocabulary of natural language is Heaps-sublinear
+    but effectively corpus-sized on a 100-TB crawl, so the strategy
+    follows the MEASURED totals size: under `broadcast_limit_bytes` the
+    collapsed log-prob table broadcasts once via ray.put and pass 2
+    streams through an actor pool probing it (no shuffle); above it the
+    prefix-conditional log-probs compute inside one w1-keyed
+    repartition and per-doc (w1, w2, tf) rows cogroup with them on the
+    bigram key (`_doc_score_cogroup`) — nothing bigram-vocab-sized ever
+    touches the driver. Both paths are exact and test-pinned equal
+    (broadcast_limit_bytes=0 forces the cogroup). Bigrams unseen in
+    pass 1 cannot occur in pass 2 (same corpus, same tokenizer).
     """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
     totals = tree_sum(
         _read_docs(sf_dir, ["text"]).map_batches(
             _bigram_count_partial, batch_format="pandas"
         ),
         ["w1", "w2"],
         ["n"],
-    )
-    counts = totals.to_pandas()
-    prefix = counts.groupby("w1")["n"].transform("sum").to_numpy(dtype="float64")
-    logp = round_half_away(
-        1e6 * np.log(counts["n"].to_numpy(dtype="float64") / prefix)
-    ).astype("int64")
-    logp_micro = dict(zip(zip(counts["w1"], counts["w2"]), logp))
-    ref = ray.put(logp_micro)
+    ).materialize()
 
-    class Score:
-        def __init__(self, table_ref):
-            self.logp = ray.get(table_ref)
-            self.tok = re.compile(TOKEN_RE)
+    if totals.size_bytes() <= broadcast_limit_bytes:
+        counts = totals.to_pandas()
+        prefix = counts.groupby("w1")["n"].transform("sum").to_numpy(dtype="float64")
+        logp = round_half_away(
+            1e6 * np.log(counts["n"].to_numpy(dtype="float64") / prefix)
+        ).astype("int64")
+        logp_micro = dict(zip(zip(counts["w1"], counts["w2"]), logp))
+        ref = ray.put(logp_micro)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids: list[int] = []
-            ns: list[int] = []
-            sums: list[int] = []
-            for d, t in zip(df["doc_id"], df["text"]):
-                found = self.tok.findall(t.lower())
-                if len(found) < 2:
-                    continue
-                ids.append(int(d))
-                ns.append(len(found) - 1)
-                sums.append(
-                    int(sum(self.logp[p] for p in zip(found, found[1:])))
+        class Score:
+            def __init__(self, table_ref):
+                self.logp = ray.get(table_ref)
+                self.tok = re.compile(TOKEN_RE)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ids: list[int] = []
+                ns: list[int] = []
+                sums: list[int] = []
+                for d, t in zip(df["doc_id"], df["text"]):
+                    found = self.tok.findall(t.lower())
+                    if len(found) < 2:
+                        continue
+                    ids.append(int(d))
+                    ns.append(len(found) - 1)
+                    sums.append(
+                        int(sum(self.logp[p] for p in zip(found, found[1:])))
+                    )
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "n_bigrams": pd.Series(ns, dtype="int64"),
+                        "sum_logp_micro": pd.Series(sums, dtype="int64"),
+                    }
                 )
-            return pd.DataFrame(
+
+        return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Score, fn_constructor_args=(ref,), batch_format="pandas",
+            concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+        )
+
+    # Distributed path: conditional log-probs inside a w1-keyed
+    # repartition (the prefix count c(w1) needs all of w1's bigram rows
+    # co-located, and the keyed hash repartition guarantees exactly
+    # that); the score table never leaves the object store.
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def cond_logp(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            import pyarrow as pa
+
+            return pa.table(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_bigrams": pd.Series(ns, dtype="int64"),
-                    "sum_logp_micro": pd.Series(sums, dtype="int64"),
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "score_micro": pa.array([], type=pa.int64()),
                 }
             )
+        prefix = df.groupby("w1")["n"].transform("sum").to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].to_numpy(),
+                "w2": df["w2"].to_numpy(),
+                "score_micro": round_half_away(
+                    1e6 * np.log(df["n"].to_numpy(dtype="float64") / prefix)
+                ).astype("int64"),
+            }
+        )
 
-    from ocrs_ray.pipeline import cluster_ncpu
+    enable_hash_shuffle(totals)
+    scores = totals.repartition(npart, keys=["w1"]).map_batches(
+        cond_logp, batch_format="pandas", batch_size=None
+    )
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Score, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, max(1, min(4, cluster_ncpu() - 2))),
+    def doc_bigram_tf(batch: pd.DataFrame):
+        if batch.empty:
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        tok = re.compile(TOKEN_RE)
+        ids: list[int] = []
+        w1s: list[str] = []
+        w2s: list[str] = []
+        tfs: list[int] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            found = tok.findall(t.lower())
+            if len(found) < 2:
+                continue
+            counts: dict[tuple[str, str], int] = {}
+            for pair in zip(found, found[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+            ids.extend([int(d)] * len(counts))
+            w1s.extend(p[0] for p in counts)
+            w2s.extend(p[1] for p in counts)
+            tfs.extend(counts.values())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype="int64"),
+                "w1": w1s,
+                "w2": w2s,
+                "tf": np.asarray(tfs, dtype="int64"),
+            }
+        )
+
+    doc_terms = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_bigram_tf, batch_format="pandas"
+    )
+    out = _doc_score_cogroup(doc_terms, scores, ["w1", "w2"], npart)
+    return out.map_batches(
+        lambda df: df.rename(
+            columns={"n_part": "n_bigrams", "sum_part": "sum_logp_micro"}
+        ),
+        batch_format="pandas",
     )
 
 
-def _doc_term_tf(batch: pd.DataFrame) -> pd.DataFrame:
+def _doc_term_tf(batch: pd.DataFrame):
     """Per-(doc, term) term frequency; docs never span batches, so this
     is exact without any shuffle."""
+    if batch.empty:
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
     doc_ids: list[int] = []
     terms: list[str] = []
     tfs: list[int] = []
@@ -344,46 +583,140 @@ def document_frequency(sf_dir: str) -> rd.Dataset:
     )
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+def _tfidf_empty():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _tfidf_rank(tf: pd.DataFrame, k: int):
+    """Shared (tf desc, df asc, term asc) per-doc top-k rank kernel for
+    both tfidf strategies — one ordering definition, zero drift."""
+    if tf.empty:
+        return _tfidf_empty()
+    tf = tf.sort_values(
+        ["doc_id", "tf", "df", "term"],
+        ascending=[True, False, True, True],
+        kind="stable",
+    )
+    tf["rank"] = tf.groupby("doc_id").cumcount().astype("int64") + 1
+    return tf[tf["rank"] <= k].reset_index(drop=True)
+
+
+def tfidf_top_terms(
+    sf_dir: str,
+    k: int = 3,
+    broadcast_limit_bytes: int = VOCAB_BROADCAST_LIMIT_BYTES,
+) -> rd.Dataset:
     """Top-k distinctive terms per document, ranked by (tf desc,
     df asc, term asc) — a TF-IDF ordering kept in exact integers so it
     hashes bit-identically against the SQL oracle (float idf would
     differ in the last ulp between engines).
 
-    The document-frequency table is computed distributed, then
-    broadcast ONCE via `ray.put` (vocabulary ≪ corpus) and read in
-    every scoring task — the canonical small-side broadcast.
-    """
-    df_table = document_frequency(sf_dir).to_pandas()
-    df_ref = ray.put(dict(zip(df_table["term"], df_table["df"].astype(int))))
+    The document-frequency table is computed distributed; strategy then
+    follows its MEASURED size: under `broadcast_limit_bytes` it
+    broadcasts ONCE via ray.put and every scoring task probes it (the
+    canonical small-side broadcast, no shuffle); above it nothing
+    vocab-sized touches the driver — per-doc (term, tf) rows cogroup
+    with the df table on term, then one doc_id-keyed repartition
+    co-locates each document for the same rank kernel. Both paths are
+    exact and test-pinned equal (broadcast_limit_bytes=0 forces the
+    cogroup)."""
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
-    class Scorer:
-        def __init__(self, ref):
-            self.df = ray.get(ref)
+    df_ds = document_frequency(sf_dir).materialize()
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            tf = _doc_term_tf(batch)
-            if tf.empty:
-                return pd.DataFrame(
-                    {
-                        "doc_id": pd.Series([], dtype="int64"),
-                        "term": pd.Series([], dtype="object"),
-                        "tf": pd.Series([], dtype="int64"),
-                        "df": pd.Series([], dtype="int64"),
-                        "rank": pd.Series([], dtype="int64"),
-                    }
-                )
-            tf["df"] = tf["term"].map(self.df).astype("int64")
-            tf = tf.sort_values(
-                ["doc_id", "tf", "df", "term"],
-                ascending=[True, False, True, True],
-                kind="stable",
-            )
-            tf["rank"] = tf.groupby("doc_id").cumcount().astype("int64") + 1
-            return tf[tf["rank"] <= k].reset_index(drop=True)
+    if df_ds.size_bytes() <= broadcast_limit_bytes:
+        df_table = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_table["term"], df_table["df"].astype(int))))
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Scorer, fn_constructor_args=(df_ref,), batch_format="pandas", concurrency=(1, 4)
+        class Scorer:
+            def __init__(self, ref):
+                self.df = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame):
+                tf = _doc_term_tf(batch)
+                if not isinstance(tf, pd.DataFrame) or tf.empty:
+                    return _tfidf_empty()
+                tf["df"] = tf["term"].map(self.df).astype("int64")
+                return _tfidf_rank(tf, k)
+
+        return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Scorer, fn_constructor_args=(df_ref,), batch_format="pandas",
+            concurrency=(1, 4),
+        )
+
+    # Distributed path: attach df via a term-keyed tagged-union cogroup,
+    # then rank inside a doc_id-keyed repartition.
+    npart = max(2, min(16, cluster_ncpu()))
+
+    def tag_tf(batch: pd.DataFrame):
+        tf = _doc_term_tf(batch)
+        if not isinstance(tf, pd.DataFrame) or tf.empty:
+            return pa_tagged_empty()
+        tf["df"] = np.full(len(tf), -1, dtype="int64")
+        return tf[["term", "doc_id", "tf", "df"]]
+
+    def tag_df(batch: pd.DataFrame):
+        if batch.empty:
+            return pa_tagged_empty()
+        return pd.DataFrame(
+            {
+                "term": batch["term"].to_numpy(),
+                "doc_id": np.full(len(batch), -1, dtype="int64"),
+                "tf": np.zeros(len(batch), dtype="int64"),
+                "df": batch["df"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def pa_tagged_empty():
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def attach(df: pd.DataFrame):
+        if df.empty:
+            return pa_tagged_empty()
+        is_tf = df["df"].to_numpy() < 0
+        tf_rows = df.loc[is_tf, ["doc_id", "term", "tf"]]
+        df_rows = df.loc[~is_tf, ["term", "df"]]
+        if tf_rows.empty or df_rows.empty:
+            return pa_tagged_empty()
+        m = tf_rows.merge(df_rows, on="term", how="inner")
+        return m[["term", "doc_id", "tf", "df"]].reset_index(drop=True)
+
+    def rank_block(df: pd.DataFrame):
+        if df.empty:
+            return _tfidf_empty()
+        return _tfidf_rank(df[["doc_id", "term", "tf", "df"]].copy(), k)
+
+    tagged = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag_tf, batch_format="pandas")
+        .union(df_ds.map_batches(tag_df, batch_format="pandas"))
+    )
+    enable_hash_shuffle(tagged)
+    joined = tagged.repartition(npart, keys=["term"]).map_batches(
+        attach, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(joined)
+    return joined.repartition(npart, keys=["doc_id"]).map_batches(
+        rank_block, batch_format="pandas", batch_size=None
     )
 
 

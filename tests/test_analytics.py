@@ -219,6 +219,32 @@ def test_cluster_assign_cogroup_path_pinned_equal(ray_session):
     assert lbl.loc[7] == 7  # singleton labels itself
 
 
+@pytest.mark.parametrize(
+    "op,sort_cols",
+    [
+        ("lm_quality_score", ["doc_id"]),
+        ("lm_bigram_score", ["doc_id"]),
+        ("tfidf_top_terms", ["doc_id", "rank"]),
+    ],
+)
+def test_vocab_scoring_paths_pinned_equal(ray_session, op, sort_cols):
+    """The measured-size vocabulary strategies must agree: forcing the
+    cogroup path (broadcast_limit_bytes=0) yields exactly the broadcast
+    path's rows — the oracle sweep then certifies the broadcast path,
+    transitively certifying both."""
+    import ocrs_ray.ops.analytics as an
+
+    fn = getattr(an, op)
+    a = fn(SF).to_pandas()
+    b = fn(SF, broadcast_limit_bytes=0).to_pandas()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(sort_cols).reset_index(drop=True)
+    b = b[cols].sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
+
+
 def test_neardup_best_survivors_paths_pinned_equal(ray_session):
     from ocrs_ray.ops.analytics import neardup_best_survivors
 
