@@ -9,7 +9,9 @@ so per-actor state (codec tables, resize kernels) builds once.
 Codec support in this container:
 - "raw8-hwc" decodes for real (numpy frombuffer, zero parsing);
 - "png" decodes for real via the stdlib-zlib codec (`ocrs_ray.png`);
-- JPEG/WebP need a native library absent here and raise
+- "jpeg"/"jpg" decodes for real via the pure-numpy baseline +
+  progressive codec (`ocrs_ray.jpeg`);
+- WebP needs a native library absent here and raises
   NotImplementedError (the Ray-side plumbing — schema, batch size,
   actor signature, output layout — is identical and tested);
 - audio/video have no corpus payloads here: `audio_features` raises

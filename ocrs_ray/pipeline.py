@@ -212,10 +212,14 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
 
     "raw8-hwc" is a zero-parse numpy view; "png" decodes for real via
     the stdlib-zlib codec in `ocrs_ray.png` (8-bit grey/RGB/RGBA/
-    palette, all five filters — the subset the reference's fixtures
-    use). JPEG/WebP would need a native library absent from this
-    environment and raise NotImplementedError, keeping the Ray-side
-    plumbing identical for when one is available.
+    palette, all five filters); "jpeg"/"jpg" decodes for real via the
+    pure-numpy codec in `ocrs_ray.jpeg` (baseline + progressive
+    Huffman, 8-bit, the subset covering the reference's own fixture
+    set — ocrs-cli decodes via the `image` crate,
+    /root/reference/ocrs-cli/src/main.rs:312-323). WebP would need a
+    native library absent from this environment and raises
+    NotImplementedError, keeping the Ray-side plumbing identical for
+    when one is available.
     """
     blob, h, w, c, fmt = payload
     if fmt == "raw8-hwc":
@@ -224,7 +228,11 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(blob)
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
+    if fmt == "webp":
         raise NotImplementedError(
             f"{fmt} decode requires a native codec library not present "
             "in this environment"

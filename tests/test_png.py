@@ -153,4 +153,4 @@ def test_decode_media_png_through_engine():
         eng.prepare_input(b, order="hwc")
     )
     with pytest.raises(NotImplementedError):
-        decode_media((b"x", 1, 1, 1, "jpeg"))
+        decode_media((b"x", 1, 1, 1, "webp"))
