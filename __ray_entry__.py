@@ -425,10 +425,14 @@ _GATE_ORDER = [
     "media_ahash_neardup",
     "media_ahash_survivors",
     "video_frames",
-    "token_counts",
     "text_quality",
-    "content_hash",
     "docs_repetition_stats",
+    # r03 rotation: the new extraction family takes the slots of
+    # token_counts / content_hash / q3_top_orders (all still
+    # value-compared in tests/test_oracle_sweep.py every run).
+    "docs_html_main_content",
+    "docs_html_links",
+    "docs_pdf_page_text",
     "docs_token_entropy",
     "lm_quality_score",
     "lm_bigram_score",
@@ -460,7 +464,6 @@ _GATE_ORDER = [
     "docs_partitioned_sink_roundtrip",
     "pretrain_data_prep",
     "lineitem_pricing_summary",
-    "q3_top_orders",
     "q8_market_share",
     "docs_dup_gram_fraction",
 ]

@@ -1,0 +1,713 @@
+"""Main-content extraction operators: HTML boilerplate strip, link
+extraction, DOM-heuristic block scoring, and PDF content-stream /
+layout parsing.
+
+The sandbox corpus is plain word salad, so each op first wraps the
+document in a DETERMINISTIC synthetic page (an HTML page or a PDF
+text content stream) derived from (doc_id, text, lang, source) —
+mirrored byte-for-byte in the SQL oracle via a SHARED template
+(`_PAGE_TEMPLATE` renders both the Arrow concat and the SQL `||`
+expression), the same convention as `text._pii_augment`. The
+extraction kernels themselves are generic: they see only the markup
+string. Production use is the same kernels over raw crawled
+HTML/PDF-text columns.
+
+Engine parity: every pattern here is RE2 (pyarrow.compute and DuckDB
+both embed RE2), so the Ray kernels and the oracles share one regex
+dialect — no `\\d`/`\\s` Unicode drift (see docs_extract_matches'
+ASCII note in text.py). The corpus generator emits ASCII word salad
+with no `<>&()"` characters; `_guard_markup_safe` raises loudly if
+that assumption ever breaks rather than silently diverging from the
+oracle (the ADVICE r02 winnow lesson).
+
+Reference surface: the north rule names "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics" as the extraction pipeline's text
+side; the reference repo's own extraction is OCR-only (ocrs/src/lib.rs),
+so these ops are the training-data-pipeline extension of that surface,
+built in the same stateless zero-copy map_batches shape as the OCR
+preprocessing stages.
+
+Scale shape (all ops): stateless single-pass Arrow-native maps — no
+shuffle, no driver state, output volume O(input). At 100 TB each op
+is embarrassingly parallel over blocks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data as rd
+
+from .text import read_documents
+
+# --------------------------------------------------------------------
+# Shared regex constants (RE2 — identical semantics in pyarrow and
+# DuckDB). Pages are synthesized on a single line, so `.` never meets
+# a newline and non-greedy spans behave identically in both engines.
+# --------------------------------------------------------------------
+
+HTML_SCRIPT_RE = r"<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"<!--.*?-->"
+HTML_TAG_RE = r"<[^>]+>"
+#: Whole-element anchor match; group 1 = href, group 2 = anchor text.
+#: `[^<]*` (not `.*?`) for the anchor body so both engines agree on
+#: boundaries without relying on non-greedy backtracking order.
+HTML_LINK_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+WS_COLLAPSE_RE = r"\s+"
+
+#: Entity decode table, applied strictly in order — `&amp;` LAST so
+#: `&amp;lt;` decodes to the literal text `&lt;`, never to `<`.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&nbsp;", " "),
+    ("&copy;", "(c)"),
+    ("&amp;", "&"),
+)
+
+#: Top-level page blocks in document order: (block_idx, tag label,
+#: RE2 extraction pattern with one named group `b`). The block split
+#: is pattern-anchored (no RE2 backreferences exist), which assumes
+#: no nested same-tag elements inside a block — true of the synthetic
+#: page; `html_block_segments` below is the generic nesting-aware
+#: scanner, test-pinned equal to this path on flat markup.
+HTML_BLOCKS = (
+    (0, "nav", r"<nav>(?P<b>.*?)</nav>"),
+    (1, "ad", r'<div class="ad">(?P<b>.*?)</div>'),
+    (2, "content", r'<div class="content">(?P<b>.*?)</div>'),
+    (3, "footer", r"<footer>(?P<b>.*?)</footer>"),
+)
+
+# --------------------------------------------------------------------
+# Synthetic page template — ONE structure renders both engines'
+# construction, so parity is by construction, not by review.
+# Literal strings pass through; tuples name a per-doc field.
+# --------------------------------------------------------------------
+
+_PAGE_TEMPLATE = (
+    '<html lang="',
+    ("lang",),
+    '"><head><title>Doc ',
+    ("id",),
+    " &amp; ",
+    ("source",),
+    "</title><style>body{font-size:10px;margin:0}</style>"
+    "<script>var docId=",
+    ("id",),
+    ";track(&quot;view&quot;);</script></head><body><!--render:",
+    ("id",),
+    '--><nav><a href="/home">Home</a> <a href="/about">About</a> '
+    '<a href="/doc/',
+    ("id_prev",),
+    '">Prev doc</a> <a href="/doc/',
+    ("id_next",),
+    '">Next doc</a></nav><div class="ad">'
+    '<a href="https://ads.example.com/c/',
+    ("id_mod7",),
+    '">Click here for offer ',
+    ("id_mod7",),
+    ' now</a></div><div class="content"><h1>Entry ',
+    ("id",),
+    " from ",
+    ("source",),
+    "</h1><p>",
+    ("text",),
+    ' &amp; more &lt;details&gt; below.</p><a href="/ref/',
+    ("id_mod13",),
+    '">[',
+    ("id_mod13",),
+    "]</a></div><footer>&copy; 2024 ",
+    ("source",),
+    ' &nbsp;<a href="/terms">Terms</a> '
+    '<a href="/privacy">Privacy</a></footer></body></html>',
+)
+
+_FIELD_SQL = {
+    "id": "CAST(doc_id AS VARCHAR)",
+    "id_prev": "CAST(doc_id - 1 AS VARCHAR)",
+    "id_next": "CAST(doc_id + 1 AS VARCHAR)",
+    "id_mod7": "CAST(doc_id % 7 AS VARCHAR)",
+    "id_mod13": "CAST(doc_id % 13 AS VARCHAR)",
+    "lang": "lang",
+    "source": "source",
+    "text": "text",
+}
+
+_MARKUP_UNSAFE_RE = r'[<>&()"]'
+
+
+def synth_html_sql() -> str:
+    """The page construction as a DuckDB `||` expression over the
+    documents view — byte-identical to `_synth_html_arrow`."""
+    parts = []
+    for piece in _PAGE_TEMPLATE:
+        if isinstance(piece, tuple):
+            parts.append(_FIELD_SQL[piece[0]])
+        else:
+            parts.append("'" + piece.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def _guard_markup_safe(text: pa.Array) -> None:
+    """The synthesis templates embed document text unescaped; any
+    markup-significant character in the corpus would make the Ray
+    kernels and the SQL oracle diverge SILENTLY. Fail loudly instead."""
+    import pyarrow.compute as pc
+
+    bad = pc.sum(pc.count_substring_regex(text, _MARKUP_UNSAFE_RE)).as_py()
+    if bad:
+        raise ValueError(
+            f"document text contains {bad} markup-significant characters "
+            '(<>&()"); the synthetic-page oracles assume none — escape at '
+            "synthesis or regenerate the corpus"
+        )
+
+
+def _synth_html_arrow(batch: pa.Table) -> pa.Array:
+    """Render `_PAGE_TEMPLATE` for each row via one vectorized
+    binary_join_element_wise — zero Python per row."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id")
+    text = pc.cast(batch.column("text"), pa.string())
+    _guard_markup_safe(text)
+
+    def _mod(x, m):
+        # doc_id >= 0, so truncating divide gives exact modulo.
+        return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+    fields = {
+        "id": pc.cast(ids, pa.string()),
+        "id_prev": pc.cast(pc.subtract(ids, 1), pa.string()),
+        "id_next": pc.cast(pc.add(ids, 1), pa.string()),
+        "id_mod7": pc.cast(_mod(ids, 7), pa.string()),
+        "id_mod13": pc.cast(_mod(ids, 13), pa.string()),
+        "lang": pc.cast(batch.column("lang"), pa.string()),
+        "source": pc.cast(batch.column("source"), pa.string()),
+        "text": text,
+    }
+    pieces = [
+        fields[p[0]] if isinstance(p, tuple) else p for p in _PAGE_TEMPLATE
+    ]
+    return pc.binary_join_element_wise(*pieces, "")
+
+
+_DOC_COLS = ["doc_id", "text", "lang", "source"]
+
+# --------------------------------------------------------------------
+# Extraction kernels (generic — they see only the markup string)
+# --------------------------------------------------------------------
+
+
+def strip_markup(arr: pa.Array) -> pa.Array:
+    """script/style/comment removal -> tag strip -> entity decode ->
+    whitespace collapse + trim, all RE2 kernels. Decode runs AFTER tag
+    strip so decoded `&lt;details&gt;` stays literal text."""
+    import pyarrow.compute as pc
+
+    x = pc.replace_substring_regex(arr, HTML_SCRIPT_RE, "")
+    x = pc.replace_substring_regex(x, HTML_STYLE_RE, "")
+    x = pc.replace_substring_regex(x, HTML_COMMENT_RE, "")
+    x = pc.replace_substring_regex(x, HTML_TAG_RE, "")
+    for ent, rep in HTML_ENTITIES:
+        x = pc.replace_substring(x, ent, rep)
+    x = pc.replace_substring_regex(x, WS_COLLAPSE_RE, " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def strip_markup_sql(expr: str) -> str:
+    """`strip_markup` as nested DuckDB calls over `expr` — one
+    transform list, two renderings."""
+    x = expr
+    for pat in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE, HTML_TAG_RE):
+        x = f"regexp_replace({x}, '{pat}', '', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        x = f"replace({x}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({x}, '{WS_COLLAPSE_RE}', ' ', 'g'))"
+
+
+def _link_chars(blk: pa.Array) -> pa.Array:
+    """Total anchor-text characters per block: tag-stripped length
+    minus tag-stripped length with whole anchor elements removed.
+    Pure length arithmetic — no list aggregation kernel needed."""
+    import pyarrow.compute as pc
+
+    def tagless_len(a):
+        return pc.utf8_length(pc.replace_substring_regex(a, HTML_TAG_RE, ""))
+
+    no_links = pc.replace_substring_regex(blk, HTML_LINK_RE, "")
+    return pc.cast(
+        pc.subtract(tagless_len(blk), tagless_len(no_links)), pa.int64()
+    )
+
+
+def _link_chars_sql(expr: str) -> str:
+    return (
+        f"length(regexp_replace({expr}, '{HTML_TAG_RE}', '', 'g')) - "
+        f"length(regexp_replace(regexp_replace({expr}, '{HTML_LINK_RE}', "
+        f"'', 'g'), '{HTML_TAG_RE}', '', 'g'))"
+    )
+
+
+def _extract_block(pages: pa.Array, pattern: str, tag: str) -> pa.Array:
+    """One named-group RE2 extraction; loud on any non-matching page
+    (a generic page may legitimately lack a block — callers of the
+    generic path use `html_block_segments` instead)."""
+    import pyarrow.compute as pc
+
+    hit = pc.extract_regex(pages, pattern)
+    if not pc.all(pc.is_valid(hit)).as_py():
+        n = pc.sum(pc.cast(pc.is_null(hit), pa.int64())).as_py()
+        raise ValueError(f"{n} pages lack a <{tag}> block")
+    return pc.struct_field(hit, "b")
+
+
+BLOCK_TAGS = frozenset(
+    {"nav", "div", "footer", "section", "article", "main", "aside", "header"}
+)
+
+_TAG_SCAN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>", re.ASCII)
+
+
+def html_block_segments(html: str) -> list[tuple[str, str]]:
+    """Generic nesting-aware block segmentation: scan tags with a
+    depth stack and emit (tag, inner_html) for each TOP-LEVEL block
+    element inside <body>. Unlike the anchored-pattern fast path in
+    `HTML_BLOCKS`, nested <div>s inside a block do not split it —
+    the production-path scanner for arbitrary crawled markup
+    (test-pinned equal to the pattern path on flat pages)."""
+    out: list[tuple[str, str]] = []
+    stack: list[tuple[str, int]] = []  # (tag, inner-start offset)
+    depth = 0
+    in_body = False
+    for m in _TAG_SCAN_RE.finditer(html):
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        if tag == "body":
+            in_body = not closing
+            continue
+        if not in_body or tag not in BLOCK_TAGS:
+            continue
+        if not closing:
+            if depth == 0:
+                stack.append((tag, m.end()))
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0 and stack:
+                open_tag, start = stack.pop()
+                out.append((open_tag, html[start : m.start()]))
+    return out
+
+
+# --------------------------------------------------------------------
+# Operators
+# --------------------------------------------------------------------
+
+
+def docs_html_strip(sf_dir: str, synthesize: bool = True) -> rd.Dataset:
+    """Full-page markup strip: visible text of the whole synthetic
+    page (title + nav + content + footer), scripts/styles/comments
+    removed, entities decoded, whitespace collapsed.
+
+    Scale shape: stateless zero-copy Arrow map; per-batch work is a
+    fixed chain of RE2 kernels. No shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def strip(batch: pa.Table) -> pa.Table:
+        pages = (
+            _synth_html_arrow(batch)
+            if synthesize
+            else pc.cast(batch.column("text"), pa.string())
+        )
+        flat = strip_markup(pages)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "page_text": flat,
+                "n_chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        strip, batch_format="pyarrow"
+    )
+
+
+def docs_html_links(sf_dir: str, synthesize: bool = True) -> rd.Dataset:
+    """Link-graph explode: one row per anchor element — (doc_id, href,
+    anchor, is_external). The edge list a crawl-graph / PageRank stage
+    consumes.
+
+    Scale shape: stateless map explode; output volume bounded by link
+    density (8/doc here). The per-match loop is bounded by matches,
+    not corpus size — same shape as docs_extract_matches.
+    """
+    import pyarrow.compute as pc
+
+    link_re = re.compile(HTML_LINK_RE, re.ASCII)
+
+    def links(batch: pa.Table) -> pa.Table:
+        pages = (
+            _synth_html_arrow(batch)
+            if synthesize
+            else pc.cast(batch.column("text"), pa.string())
+        )
+        ids, hrefs, anchors = [], [], []
+        for d, page in zip(batch.column("doc_id").to_pylist(), pages.to_pylist()):
+            for href, anchor in link_re.findall(page):
+                ids.append(d)
+                hrefs.append(href)
+                anchors.append(anchor)
+        href_arr = pa.array(hrefs, type=pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "href": href_arr,
+                "anchor": pa.array(anchors, type=pa.string()),
+                "is_external": pc.cast(
+                    pc.starts_with(href_arr, "http"), pa.int64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        links, batch_format="pyarrow"
+    )
+
+
+def _block_stats_arrays(pages: pa.Array):
+    """Per-block (idx, tag, flat_text, text_chars, link_chars,
+    density_ppm) columns for the four top-level blocks — all
+    vectorized over the page batch."""
+    import pyarrow.compute as pc
+
+    out = []
+    for idx, tag, pattern in HTML_BLOCKS:
+        blk = _extract_block(pages, pattern, tag)
+        flat = strip_markup(blk)
+        text_chars = pc.cast(pc.utf8_length(flat), pa.int64())
+        if pc.min(text_chars).as_py() == 0:
+            raise ValueError(f"empty <{tag}> block — density undefined")
+        link_chars = _link_chars(blk)
+        density_ppm = pc.divide(pc.multiply(link_chars, 1_000_000), text_chars)
+        out.append((idx, tag, flat, text_chars, link_chars, density_ppm))
+    return out
+
+
+def docs_html_block_stats(sf_dir: str) -> rd.Dataset:
+    """Per-block DOM statistics, long format: (doc_id, block_idx, tag,
+    text_chars, link_chars, link_density_ppm) for each top-level block
+    — the feature table a boilerplate classifier trains on. Density is
+    integer parts-per-million (micro-unit convention).
+
+    Scale shape: stateless Arrow map, 4 output rows per doc, no
+    shuffle; each block's stats are one fixed RE2-kernel chain.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        pages = _synth_html_arrow(batch)
+        n = len(batch)
+        chunks = []
+        for idx, tag, _flat, text_chars, link_chars, density in (
+            _block_stats_arrays(pages)
+        ):
+            chunks.append(
+                pa.table(
+                    {
+                        "doc_id": batch.column("doc_id"),
+                        "block_idx": pa.array([idx] * n, type=pa.int64()),
+                        "tag": pa.array([tag] * n, type=pa.string()),
+                        "text_chars": text_chars,
+                        "link_chars": link_chars,
+                        "link_density_ppm": density,
+                    }
+                )
+            )
+        return pa.concat_tables(chunks)
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def docs_html_main_content(sf_dir: str) -> rd.Dataset:
+    """Boilerplate strip proper: Readability/Boilerpipe-style main
+    block pick. Each top-level block scores
+    `text_chars * (1_000_000 - link_density_ppm)` — long low-link
+    blocks win, link-dense nav/ad/footer lose — and the argmax block's
+    flattened text is the document's extracted main content
+    (tie -> lowest block_idx).
+
+    Scale shape: stateless Arrow map (the four block chains + one
+    numpy argmax per batch), no shuffle, one output row per doc.
+    """
+    import numpy as np
+
+    def pick(batch: pa.Table) -> pa.Table:
+        pages = _synth_html_arrow(batch)
+        stats = _block_stats_arrays(pages)
+        scores = np.stack(
+            [
+                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
+                for _i, _t, _f, tc, _lc, d in stats
+            ]
+        )
+        texts = np.stack(
+            [f.to_numpy(zero_copy_only=False) for _i, _t, f, *_ in stats]
+        )
+        # argmax returns the FIRST maximum == lowest block_idx tiebreak.
+        win = scores.argmax(axis=0)
+        cols = np.arange(len(batch))
+        tags = np.array([t for _i, t, *_ in stats])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "main_idx": pa.array(win.astype("int64")),
+                "main_tag": pa.array(tags[win], type=pa.string()),
+                "score_micro": pa.array(scores[win, cols].astype("int64")),
+                "main_text": pa.array(texts[win, cols], type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------
+# PDF content-stream / layout parse
+# --------------------------------------------------------------------
+
+#: One positioned text run: `BT 1 0 0 1 <x> <y> Tm (<text>) Tj ET`
+#: (identity text matrix + show-text — the minimal Tm/Tj subset).
+PDF_RUN_RE = r"BT 1 0 0 1 (\d+) (\d+) Tm \(([^)]*)\) Tj ET"
+
+PDF_CHUNK = 40
+_PDF_MAX_CHARS = 4160  # keeps y = 720 - (i//2)*14 non-negative
+
+
+def _pdf_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
+    """Deterministic two-column layout: chunk i sits at
+    x = 72 + (i%2)*240, y = 720 - (i//2)*14 — so reading order
+    (y desc, x asc) is exactly chunk order. Returns
+    (i, x, y, chunk)."""
+    if len(text) > _PDF_MAX_CHARS:
+        raise ValueError(
+            f"text of {len(text)} chars exceeds the {_PDF_MAX_CHARS}-char "
+            "synthetic single-page layout — negative y would break the "
+            "run grammar (and the oracle) silently"
+        )
+    runs = []
+    for i in range(0, (len(text) + PDF_CHUNK - 1) // PDF_CHUNK):
+        chunk = text[i * PDF_CHUNK : (i + 1) * PDF_CHUNK]
+        runs.append((i, 72 + (i % 2) * 240, 720 - (i // 2) * 14, chunk))
+    return runs
+
+
+def _pdf_stream_for_text(text: str) -> str:
+    """Serialize the runs in SHUFFLED order (i%3, i) — content streams
+    carry no reading-order guarantee, so the parser must reconstruct
+    it geometrically."""
+    runs = sorted(_pdf_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
+    return " ".join(
+        f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
+    )
+
+
+_PDF_SYNTH_SQL = (
+    "WITH ch AS (SELECT doc_id, text, unnest(range(0, CAST(ceil("
+    f"length(text) / {PDF_CHUNK}.0) AS BIGINT))) AS i FROM documents), "
+    "r AS (SELECT doc_id, i, 72 + (i % 2) * 240 AS x, "
+    "720 - (i // 2) * 14 AS y, "
+    f"substr(text, CAST(1 + i * {PDF_CHUNK} AS INTEGER), {PDF_CHUNK}) "
+    "AS chunk FROM ch), "
+    "stream AS (SELECT doc_id, string_agg('BT 1 0 0 1 ' || x || ' ' || y "
+    "|| ' Tm (' || chunk || ') Tj ET', ' ' ORDER BY i % 3, i) AS s "
+    "FROM r GROUP BY doc_id), "
+    "m AS (SELECT doc_id, unnest(regexp_extract_all(s, "
+    f"'{PDF_RUN_RE}')) AS run FROM stream), "
+    "parsed AS (SELECT doc_id, "
+    f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 1) AS BIGINT) AS x, "
+    f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 2) AS BIGINT) AS y, "
+    f"regexp_extract(run, '{PDF_RUN_RE}', 3) AS run_text FROM m)"
+)
+
+
+def pdf_runs_sql() -> str:
+    """Oracle for docs_pdf_runs: synthesize the shuffled stream in
+    SQL, parse it back with the same RE2 grammar, rank into reading
+    order."""
+    return (
+        _PDF_SYNTH_SQL + " SELECT doc_id, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY y DESC, x ASC) - 1 AS BIGINT) "
+        "AS run_idx, x, y, run_text FROM parsed"
+    )
+
+
+def pdf_page_text_sql() -> str:
+    """Oracle for docs_pdf_page_text: same synth+parse, reassembled —
+    a correct geometric sort makes page_text round-trip to the source
+    text exactly."""
+    return (
+        _PDF_SYNTH_SQL + " SELECT doc_id, CAST(count(*) AS BIGINT) "
+        "AS n_runs, string_agg(run_text, '' ORDER BY y DESC, x ASC) "
+        "AS page_text FROM parsed GROUP BY doc_id"
+    )
+
+
+def _parse_pdf_batch(batch: pa.Table):
+    """Shared synth -> regex parse for both PDF ops. The loop is per
+    run (<= 15/doc at corpus lengths), with a compiled RE2-compatible
+    pattern — the docs_extract_matches explode shape."""
+    run_re = re.compile(PDF_RUN_RE, re.ASCII)
+    parsed = []  # (doc_id, x, y, run_text)
+    for d, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        stream = _pdf_stream_for_text(t)
+        for x, y, run_text in run_re.findall(stream):
+            parsed.append((d, int(x), int(y), run_text))
+    return parsed
+
+
+def docs_pdf_runs(sf_dir: str) -> rd.Dataset:
+    """PDF layout parse, long format: each positioned text run of the
+    synthetic content stream as (doc_id, run_idx, x, y, run_text),
+    run_idx being the GEOMETRIC reading-order rank (y desc, x asc) —
+    the layout-analysis table column/block detection consumes.
+
+    Scale shape: stateless map explode per doc; no shuffle (reading
+    order is computed within the row's own runs).
+    """
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = _parse_pdf_batch(batch)
+        by_doc: dict[int, list] = {}
+        for rec in rows:
+            by_doc.setdefault(rec[0], []).append(rec)
+        ids, idxs, xs, ys, texts = [], [], [], [], []
+        for d, recs in by_doc.items():
+            recs.sort(key=lambda r: (-r[2], r[1]))
+            for k, (_d, x, y, rt) in enumerate(recs):
+                ids.append(d)
+                idxs.append(k)
+                xs.append(x)
+                ys.append(y)
+                texts.append(rt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "run_idx": pa.array(idxs, type=pa.int64()),
+                "x": pa.array(xs, type=pa.int64()),
+                "y": pa.array(ys, type=pa.int64()),
+                "run_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def docs_pdf_page_text(sf_dir: str) -> rd.Dataset:
+    """PDF text extraction: parse the shuffled content stream, sort
+    runs into geometric reading order, reassemble the page text —
+    (doc_id, n_runs, page_text). Exact round-trip to the source text
+    certifies the whole parse+sort chain.
+
+    Scale shape: stateless map, one output row per doc, no shuffle.
+    """
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        rows = _parse_pdf_batch(batch)
+        by_doc: dict[int, list] = {}
+        for rec in rows:
+            by_doc.setdefault(rec[0], []).append(rec)
+        ids, counts, texts = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            recs = by_doc.get(d, [])
+            recs.sort(key=lambda r: (-r[2], r[1]))
+            ids.append(d)
+            counts.append(len(recs))
+            texts.append("".join(r[3] for r in recs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_runs": pa.array(counts, type=pa.int64()),
+                "page_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        assemble, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------
+# Oracle SQL builders (HTML family)
+# --------------------------------------------------------------------
+
+_PAGES_CTE = f"WITH pages AS (SELECT doc_id, {synth_html_sql()} AS h FROM documents)"
+
+
+def html_strip_sql() -> str:
+    flat = strip_markup_sql("h")
+    return (
+        _PAGES_CTE + f" SELECT doc_id, {flat} AS page_text, "
+        f"CAST(length({flat}) AS BIGINT) AS n_chars FROM pages"
+    )
+
+
+def html_links_sql() -> str:
+    return (
+        _PAGES_CTE + ", m AS (SELECT doc_id, unnest(regexp_extract_all(h, "
+        f"'{HTML_LINK_RE}')) AS tag FROM pages) "
+        f"SELECT doc_id, regexp_extract(tag, '{HTML_LINK_RE}', 1) AS href, "
+        f"regexp_extract(tag, '{HTML_LINK_RE}', 2) AS anchor, "
+        f"CAST(regexp_extract(tag, '{HTML_LINK_RE}', 1) LIKE 'http%' "
+        "AS BIGINT) AS is_external FROM m"
+    )
+
+
+def _block_stats_cte() -> str:
+    """pages -> blocks(doc_id, block_idx, tag, text_chars, link_chars,
+    link_density_ppm, flat_text) via one UNION ALL arm per block."""
+    arms = []
+    for idx, tag, pattern in HTML_BLOCKS:
+        blk = f"regexp_extract(h, '{pattern}', 1)"
+        flat = strip_markup_sql(blk)
+        lc = _link_chars_sql(blk)
+        arms.append(
+            f"SELECT doc_id, CAST({idx} AS BIGINT) AS block_idx, "
+            f"'{tag}' AS tag, CAST(length({flat}) AS BIGINT) AS text_chars, "
+            f"CAST({lc} AS BIGINT) AS link_chars, {flat} AS flat_text "
+            "FROM pages"
+        )
+    return (
+        _PAGES_CTE + ", blocks AS (SELECT doc_id, block_idx, tag, "
+        "text_chars, link_chars, "
+        "(1000000 * link_chars) // text_chars AS link_density_ppm, "
+        "flat_text FROM (" + " UNION ALL ".join(arms) + "))"
+    )
+
+
+def html_block_stats_sql() -> str:
+    return (
+        _block_stats_cte() + " SELECT doc_id, block_idx, tag, text_chars, "
+        "link_chars, CAST(link_density_ppm AS BIGINT) AS link_density_ppm "
+        "FROM blocks"
+    )
+
+
+def html_main_content_sql() -> str:
+    return (
+        _block_stats_cte() + " SELECT doc_id, block_idx AS main_idx, "
+        "tag AS main_tag, CAST(text_chars * (1000000 - link_density_ppm) "
+        "AS BIGINT) AS score_micro, flat_text AS main_text FROM blocks "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY "
+        "text_chars * (1000000 - link_density_ppm) DESC, block_idx ASC) = 1"
+    )

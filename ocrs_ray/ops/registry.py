@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import analytics, composed, dedup, relational, sampling, similarity, sketch, sources, text, tpch
+from . import analytics, composed, dedup, extraction, relational, sampling, similarity, sketch, sources, text, tpch
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -215,6 +215,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_hash": text.content_hash,
         "winnow_fingerprints": text.winnow_fingerprints,
         "docs_repetition_stats": text.docs_repetition_stats,
+        # main-content extraction (HTML boilerplate strip / DOM
+        # heuristics / PDF layout parse — synthetic-page exact oracles)
+        "docs_html_strip": extraction.docs_html_strip,
+        "docs_html_links": extraction.docs_html_links,
+        "docs_html_block_stats": extraction.docs_html_block_stats,
+        "docs_html_main_content": extraction.docs_html_main_content,
+        "docs_pdf_runs": extraction.docs_pdf_runs,
+        "docs_pdf_page_text": extraction.docs_pdf_page_text,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
@@ -385,6 +393,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "content_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "docs_html_strip": extraction.html_strip_sql(),
+        "docs_html_links": extraction.html_links_sql(),
+        "docs_html_block_stats": extraction.html_block_stats_sql(),
+        "docs_html_main_content": extraction.html_main_content_sql(),
+        "docs_pdf_runs": extraction.pdf_runs_sql(),
+        "docs_pdf_page_text": extraction.pdf_page_text_sql(),
         "docs_repetition_stats": (
             # Total shingles mirror _shingles' conventions: 0 tokens ->
             # 0, fewer than 3 tokens -> the single joined shingle.

@@ -1,0 +1,179 @@
+"""Kernel-level tests for the HTML/PDF main-content extraction ops
+(ocrs_ray/ops/extraction.py). No Ray session required — the batch
+functions run directly on pyarrow tables; the full Ray-vs-DuckDB
+value comparison lives in the oracle sweep.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ocrs_ray.ops import extraction as ex
+
+
+def _page_for(doc_id=5, text="hello world data", lang="en", source="srcA"):
+    batch = pa.table(
+        {
+            "doc_id": pa.array([doc_id], type=pa.int64()),
+            "text": pa.array([text]),
+            "lang": pa.array([lang]),
+            "source": pa.array([source]),
+        }
+    )
+    return ex._synth_html_arrow(batch).to_pylist()[0]
+
+
+# ---------------------------------------------------------------------------
+# strip_markup
+
+
+def test_strip_removes_script_style_comment_contents():
+    arr = pa.array(
+        [
+            "<p>keep</p> <script>var secret=1;</script>"
+            "<style>p{color:red}</style><!-- hidden -->tail"
+        ]
+    )
+    assert ex.strip_markup(arr).to_pylist() == ["keep tail"]
+
+
+def test_entity_decode_order_amp_last():
+    # &amp;lt; must decode to the literal text "&lt;", never to "<".
+    arr = pa.array(["a &amp;lt; b &lt;x&gt; c &amp; d"])
+    assert ex.strip_markup(arr).to_pylist() == ["a &lt; b <x> c & d"]
+
+
+def test_strip_collapses_whitespace_and_trims():
+    arr = pa.array(["  <b>a</b>   b\t c  "])
+    assert ex.strip_markup(arr).to_pylist() == ["a b c"]
+
+
+def test_synthetic_page_strip_contains_doc_text():
+    page = _page_for(text="alpha beta gamma")
+    flat = ex.strip_markup(pa.array([page])).to_pylist()[0]
+    assert "alpha beta gamma & more <details> below." in flat
+    assert "var docId" not in flat  # script stripped
+    assert "font-size" not in flat  # style stripped
+    assert "render:" not in flat  # comment stripped
+
+
+# ---------------------------------------------------------------------------
+# link chars / block stats
+
+
+def test_link_chars_counts_anchor_text_only():
+    blk = pa.array(['x <a href="/h">Home y</a> mid <a href="/b">B</a> z'])
+    assert ex._link_chars(blk).to_pylist() == [len("Home y") + len("B")]
+
+
+def test_block_stats_content_block_wins():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "text": pa.array(["word " * 24]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s1"]),
+        }
+    )
+    pages = ex._synth_html_arrow(batch)
+    stats = ex._block_stats_arrays(pages)
+    assert [t for _i, t, *_ in stats] == ["nav", "ad", "content", "footer"]
+    scores = {
+        tag: tc.to_pylist()[0] * (1_000_000 - d.to_pylist()[0])
+        for _i, tag, _f, tc, _lc, d in stats
+    }
+    assert max(scores, key=scores.get) == "content"
+    # nav is pure links: density well above the content block's.
+    densities = {tag: d.to_pylist()[0] for _i, tag, _f, _tc, _lc, d in stats}
+    assert densities["nav"] > densities["content"]
+    assert densities["ad"] > 900_000  # single-anchor block
+
+
+# ---------------------------------------------------------------------------
+# generic nesting-aware segmentation vs the anchored-pattern path
+
+
+def test_block_segments_matches_pattern_path_on_synthetic_page():
+    page = _page_for(doc_id=12, text="one two three")
+    segs = ex.html_block_segments(page)
+    assert [t for t, _ in segs] == ["nav", "div", "div", "footer"]
+    pat_blocks = [
+        ex._extract_block(pa.array([page]), pattern, tag).to_pylist()[0]
+        for _i, tag, pattern in ex.HTML_BLOCKS
+    ]
+    assert [inner for _t, inner in segs] == pat_blocks
+
+
+def test_block_segments_handles_nested_divs():
+    html = (
+        "<html><body><div class=\"a\">x<div>inner</div>y</div>"
+        "<nav>n</nav></body></html>"
+    )
+    segs = ex.html_block_segments(html)
+    assert segs == [("div", "x<div>inner</div>y"), ("nav", "n")]
+
+
+def test_block_segments_ignores_outside_body():
+    html = "<html><head><div>head junk</div></head><body><nav>n</nav></body></html>"
+    assert ex.html_block_segments(html) == [("nav", "n")]
+
+
+# ---------------------------------------------------------------------------
+# markup-safety guard
+
+
+def test_guard_raises_on_markup_characters():
+    with pytest.raises(ValueError, match="markup-significant"):
+        ex._guard_markup_safe(pa.array(["safe text", "un<safe"]))
+
+
+# ---------------------------------------------------------------------------
+# PDF content-stream synth + parse
+
+
+def test_pdf_runs_layout_reading_order_is_chunk_order():
+    text = "x" * 200  # 5 chunks
+    runs = ex._pdf_runs_for_text(text)
+    assert len(runs) == 5
+    # (y desc, x asc) sort recovers chunk order i.
+    order = sorted(runs, key=lambda r: (-r[2], r[1]))
+    assert [r[0] for r in order] == [0, 1, 2, 3, 4]
+    assert "".join(r[3] for r in order) == text
+
+
+def test_pdf_stream_is_shuffled_but_roundtrips():
+    import re
+
+    # 6 DISTINCT chunks (periodic text would make the shuffle invisible)
+    text = "".join(f"{i:03d}x" for i in range(60))
+    stream = ex._pdf_stream_for_text(text)
+    runs = re.findall(ex.PDF_RUN_RE, stream, re.ASCII)
+    assert len(runs) == 6
+    stream_texts = [t for _x, _y, t in runs]
+    assert "".join(stream_texts) != text  # genuinely shuffled
+    recovered = sorted(
+        ((int(x), int(y), t) for x, y, t in runs),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert "".join(t for _x, _y, t in recovered) == text
+
+
+def test_pdf_guard_raises_on_oversized_text():
+    with pytest.raises(ValueError, match="synthetic single-page layout"):
+        ex._pdf_runs_for_text("x" * (ex._PDF_MAX_CHARS + 1))
+
+
+def test_pdf_parse_batch_matches_synth():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["short", "y" * 100]),
+        }
+    )
+    parsed = ex._parse_pdf_batch(batch)
+    by_doc = {}
+    for d, x, y, t in parsed:
+        by_doc.setdefault(d, []).append((x, y, t))
+    assert len(by_doc[1]) == 1 and by_doc[1][0][2] == "short"
+    assert len(by_doc[2]) == 3
