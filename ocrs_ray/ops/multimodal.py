@@ -11,9 +11,8 @@ Codec support in this container:
 - "png" decodes for real via the stdlib-zlib codec (`ocrs_ray.png`);
 - "jpeg"/"jpg" decodes for real via the pure-numpy baseline +
   progressive codec (`ocrs_ray.jpeg`);
-- WebP needs a native library absent here and raises
-  NotImplementedError (the Ray-side plumbing — schema, batch size,
-  actor signature, output layout — is identical and tested);
+- "webp" (lossless VP8L) decodes for real via the pure-numpy codec
+  (`ocrs_ray.webp`); lossy VP8 still raises NotImplementedError;
 - audio/video have no corpus payloads here: `audio_features` raises
   NotImplementedError for real codecs and `video_frame_sample`
   documents its contract over a deterministic fake frame stream so the

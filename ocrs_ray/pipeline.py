@@ -216,10 +216,11 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
     pure-numpy codec in `ocrs_ray.jpeg` (baseline + progressive
     Huffman, 8-bit, the subset covering the reference's own fixture
     set — ocrs-cli decodes via the `image` crate,
-    /root/reference/ocrs-cli/src/main.rs:312-323). WebP would need a
-    native library absent from this environment and raises
-    NotImplementedError, keeping the Ray-side plumbing identical for
-    when one is available.
+    /root/reference/ocrs-cli/src/main.rs:312-323); "webp" decodes the
+    lossless (VP8L) half for real via the pure-numpy codec in
+    `ocrs_ray.webp` — lossy VP8 still raises NotImplementedError
+    (boolean arithmetic decoder + loop filter), keeping the Ray-side
+    plumbing identical for when a native codec is available.
     """
     blob, h, w, c, fmt = payload
     if fmt == "raw8-hwc":
@@ -233,10 +234,9 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
 
         return decode_jpeg(blob)
     if fmt == "webp":
-        raise NotImplementedError(
-            f"{fmt} decode requires a native codec library not present "
-            "in this environment"
-        )
+        from .webp import decode_webp
+
+        return decode_webp(blob)
     raise ValueError(f"unknown media format: {fmt}")
 
 

@@ -1,0 +1,924 @@
+"""Pure-numpy WebP lossless (VP8L) codec.
+
+Decoder covers the full VP8L surface: all four transforms (predictor,
+color, subtract-green, color-indexing with pixel packing), color
+cache, meta-prefix (spatially varying code groups), and LZ77
+backward references with the 2D near-distance map. Lossy VP8 and the
+VP8X extended container stay honestly gated behind
+NotImplementedError (they need a boolean arithmetic decoder + full
+in-loop filtering — a different project).
+
+The encoder is a minimal spec-conformant VP8L writer used to pin the
+decoder by round-trip: per-channel prefix codes are either "simple"
+(1-2 symbols) or uniform-length canonical codes (Kraft-complete by
+construction), with opt-in subtract-green / predictor / palette /
+color-transform / color-cache / RLE-LZ77 paths so every decoder
+branch is exercised by property tests. No independent WebP codec
+exists in this sandbox (no PIL/cv2, no .webp fixture anywhere in the
+reference), so — like the JPEG codec — conformance is pinned by
+spec-derived unit gates (bit layout, canonical code assignment, the
+published prefix of the distance map) plus round-trip bounds, and the
+near-distance table derivation is documented below.
+
+Reference behavior: ocrs-cli decodes WebP via the `image` crate
+(/root/reference/ocrs-cli/src/main.rs:312-323); this module closes
+that format gap for the lossless half.
+
+Performance note: the symbol loop is per-pixel Python, like every
+bitstream entropy decoder here; the corpus media formats are
+raw8/png/jpeg, so this codec is not on the benchmark hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Bit I/O (LSB-first within each byte, DEFLATE-style; prefix-code bits
+# travel MSB-of-code-first through the LSB-first stream)
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0  # bit position
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self._pos + i
+            byte = self._d[p >> 3]
+            v |= ((byte >> (p & 7)) & 1) << i
+        self._pos += n
+        return v
+
+    def read_bit(self) -> int:
+        p = self._pos
+        self._pos += 1
+        return (self._d[p >> 3] >> (p & 7)) & 1
+
+
+class BitWriter:
+    def __init__(self):
+        self._bytes = bytearray()
+        self._bitpos = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        for i in range(n):
+            self._write_bit((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits are emitted MSB-first."""
+        for i in range(length - 1, -1, -1):
+            self._write_bit((code >> i) & 1)
+
+    def _write_bit(self, b: int) -> None:
+        if self._bitpos == 0:
+            self._bytes.append(0)
+        self._bytes[-1] |= b << self._bitpos
+        self._bitpos = (self._bitpos + 1) & 7
+
+    def getvalue(self) -> bytes:
+        return bytes(self._bytes)
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes (RFC1951 assignment: sort by (length, symbol),
+# codes increment, shift left at each length step)
+
+
+def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for nonzero lengths."""
+    pairs = sorted(
+        (l, s) for s, l in enumerate(lengths) if l > 0
+    )
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in pairs:
+        code <<= l - prev_len
+        out[s] = (code, l)
+        code += 1
+        prev_len = l
+    return out
+
+
+class PrefixDecoder:
+    """Bit-at-a-time canonical decoder (first_code/count per length).
+    A single-symbol code (all lengths 0 except one symbol marked
+    present) decodes consuming ZERO bits, per the simple-code rule."""
+
+    def __init__(self, lengths: list[int], single: int | None = None):
+        if single is not None:
+            self._single = single
+            return
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 1:
+            self._single = nz[0][1]
+            return
+        self._single = None
+        kraft = sum(2.0 ** -l for l, _s in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise ValueError(f"invalid prefix code (Kraft sum {kraft})")
+        codes = canonical_codes(lengths)
+        # first code value and symbol list per length
+        self._by_len: dict[int, tuple[int, list[int]]] = {}
+        for s, (c, l) in sorted(codes.items(), key=lambda kv: (kv[1][1], kv[1][0])):
+            if l not in self._by_len:
+                self._by_len[l] = (c, [])
+            self._by_len[l][1].append(s)
+        self._max_len = max(l for l, _ in nz)
+
+    def read(self, br: BitReader) -> int:
+        if self._single is not None:
+            return self._single
+        code = 0
+        length = 0
+        while length <= self._max_len:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            ent = self._by_len.get(length)
+            if ent is not None:
+                first, syms = ent
+                idx = code - first
+                if 0 <= idx < len(syms):
+                    return syms[idx]
+        raise ValueError("invalid prefix code in stream")
+
+
+# ---------------------------------------------------------------------------
+# VP8L constants
+
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+#: 2D near-distance map, codes 1..120. libwebp packs each entry as
+#: (dy << 4) | (8 - dx); the table is exactly the candidate offsets
+#: {dx in [-7, 8], dy >= 0, (dy, dx) != (0, <=0)} sorted by
+#: (dx^2 + dy^2, |dx| asc, positive dx first) — this rule reproduces
+#: the spec's published prefix verbatim (pinned in tests); no
+#: independent decoder exists in-sandbox to verify the deep tail.
+def _make_distance_map() -> list[tuple[int, int]]:
+    cand = [
+        (dx, dy)
+        for dy in range(16)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return cand[:120]
+
+
+DISTANCE_MAP = _make_distance_map()
+
+_PREFIX_TABLE = []  # (low, extra_bits) per code 0..23
+for _code in range(24):
+    _eb = 0 if _code < 4 else (_code - 2) >> 1
+    _lo = _code + 1 if _code < 4 else ((2 + (_code & 1)) << _eb) + 1
+    _PREFIX_TABLE.append((_lo, _eb))
+
+
+def _prefix_decode(code: int, br: BitReader) -> int:
+    lo, eb = _PREFIX_TABLE[code]
+    return lo + (br.read_bits(eb) if eb else 0)
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value -> (code, extra_value, extra_bits)."""
+    for code, (lo, eb) in enumerate(_PREFIX_TABLE):
+        if lo <= value <= lo + (1 << eb) - 1:
+            return code, value - lo, eb
+    raise ValueError(f"value {value} out of prefix range")
+
+
+def _cache_key(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+
+def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixDecoder:
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        is_8bit = br.read_bit()
+        sym0 = br.read_bits(8 if is_8bit else 1)
+        if num_symbols == 2:
+            sym1 = br.read_bits(8)
+            lengths = [0] * alphabet_size
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+            return PrefixDecoder(lengths)
+        return PrefixDecoder([], single=sym0)
+    # normal: code-length code
+    num_cl = 4 + br.read_bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read_bits(3)
+    cl_dec = PrefixDecoder(cl_lengths)
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_reads = 2 + br.read_bits(length_nbits)
+    else:
+        max_reads = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_reads <= 0:
+            break
+        max_reads -= 1
+        cl = cl_dec.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl != 0:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + br.read_bits(2)
+            for _ in range(rep):
+                if symbol >= alphabet_size:
+                    break
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + br.read_bits(3)
+        else:  # 18
+            symbol += 11 + br.read_bits(7)
+    return PrefixDecoder(lengths)
+
+
+class _Group:
+    __slots__ = ("g", "r", "b", "a", "d")
+
+    def __init__(self, g, r, b, a, d):
+        self.g, self.r, self.b, self.a, self.d = g, r, b, a, d
+
+
+def _read_groups(br: BitReader, cache_size: int, n_groups: int) -> list[_Group]:
+    groups = []
+    for _ in range(n_groups):
+        g = _read_prefix_code(br, 256 + 24 + cache_size)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        groups.append(_Group(g, r, b, a, d))
+    return groups
+
+
+def _decode_image_stream(
+    br: BitReader, width: int, height: int, is_level0: bool
+):
+    """Returns (pixels uint32 ARGB array of length width*height,
+    transforms list [(type, data, width_at_read)], final_width)."""
+    transforms = []
+    cur_w = width
+    if is_level0:
+        while br.read_bit():
+            ttype = br.read_bits(2)
+            if any(t[0] == ttype for t in transforms):
+                raise ValueError("duplicate transform")
+            if ttype in (0, 1):  # predictor / color
+                size_bits = br.read_bits(3) + 2
+                tw = _subsample_size(cur_w, size_bits)
+                th = _subsample_size(height, size_bits)
+                data, _, _ = _decode_image_stream(br, tw, th, False)
+                transforms.append((ttype, (size_bits, data), cur_w))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, None, cur_w))
+            else:  # color indexing
+                n_colors = br.read_bits(8) + 1
+                pal, _, _ = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are per-channel deltas of the previous
+                pal = (
+                    np.cumsum(px_to_channels(pal).astype(np.int64), axis=0)
+                    & 0xFF
+                ).astype(np.uint8)
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (n_colors, width_bits, pal), cur_w))
+                cur_w = _subsample_size(cur_w, width_bits)
+    # color cache
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read_bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    # meta prefix groups (level0 only)
+    meta = None
+    huffman_bits = 0
+    if is_level0 and br.read_bit():
+        huffman_bits = br.read_bits(3) + 2
+        mw = _subsample_size(cur_w, huffman_bits)
+        mh = _subsample_size(height, huffman_bits)
+        meta_img, _, _ = _decode_image_stream(br, mw, mh, False)
+        # group index = (red << 8) | green
+        meta = (
+            ((meta_img >> 16) & 0xFF) << 8 | ((meta_img >> 8) & 0xFF)
+        ).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+        meta_w = mw
+    else:
+        n_groups = 1
+        meta_w = 0
+    groups = _read_groups(br, cache_size, n_groups)
+
+    total = cur_w * height
+    pixels = np.zeros(total, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    while pos < total:
+        if meta is not None:
+            x, y = pos % cur_w, pos // cur_w
+            grp = groups[meta[(y >> huffman_bits) * meta_w + (x >> huffman_bits)]]
+        else:
+            grp = groups[0]
+        s = grp.g.read(br)
+        if s < 256:
+            red = grp.r.read(br)
+            blue = grp.b.read(br)
+            alpha = grp.a.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixels[pos] = px
+            if cache_size:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif s < 280:
+            length = _prefix_decode(s - 256, br)
+            dist_code = _prefix_decode(grp.d.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = DISTANCE_MAP[dist_code - 1]
+                dist = max(dy * cur_w + dx, 1)
+            if dist > pos or pos + length > total:
+                raise ValueError("LZ77 reference out of bounds")
+            for _ in range(length):
+                px = int(pixels[pos - dist])
+                pixels[pos] = px
+                if cache_size:
+                    cache[_cache_key(px, cache_bits)] = px
+                pos += 1
+        else:
+            px = cache[s - 280]
+            pixels[pos] = px
+            pos += 1
+    return pixels, transforms, cur_w
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.uint16) + b.astype(np.uint16)) >> 1).astype(np.uint8)
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One predicted ARGB pixel (4 uint8 channels) from neighbors."""
+    if mode == 0:
+        return np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # select
+        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        pl = int(np.abs(p - L.astype(np.int32)).sum())
+        pt = int(np.abs(p - T.astype(np.int32)).sum())
+        return L if pl < pt else T
+    if mode == 12:  # clamp-add-subtract-full
+        v = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        return np.clip(v, 0, 255).astype(np.uint8)
+    if mode == 13:  # clamp-add-subtract-half
+        a = _avg2(L, T).astype(np.int32)
+        v = a + (a - TL.astype(np.int32)) // 2
+        return np.clip(v, 0, 255).astype(np.uint8)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _apply_inverse_predictor(px: np.ndarray, w: int, h: int, size_bits: int, data):
+    """In-place inverse predictor over ARGB channel planes.
+    TR at the last column is the memory-linear next pixel — i.e. the
+    first (already final) pixel of the CURRENT row, matching the
+    reference decoder's flat-buffer indexing quirk."""
+    tw = _subsample_size(w, size_bits)
+    modes = ((data >> 8) & 0xFF).astype(np.int64)  # green channel
+    ch = px_to_channels(px).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+            elif y == 0:
+                pred = ch[0, x - 1]
+            elif x == 0:
+                pred = ch[y - 1, 0]
+            else:
+                mode = int(modes[(y >> size_bits) * tw + (x >> size_bits)])
+                L = ch[y, x - 1]
+                T = ch[y - 1, x]
+                TL = ch[y - 1, x - 1]
+                TR = ch[y - 1, x + 1] if x + 1 < w else ch[y, 0]
+                pred = _predict(mode, L, T, TL, TR)
+            ch[y, x] = (ch[y, x].astype(np.uint16) + pred) & 0xFF
+    return channels_to_px(ch.reshape(-1, 4))
+
+
+def _ct_delta(t: np.uint8, c: int) -> int:
+    """ColorTransformDelta: both args as signed int8, product >> 5."""
+    ts = int(t) - 256 if t >= 128 else int(t)
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _apply_inverse_color_transform(px, w, h, size_bits, data):
+    tw = _subsample_size(w, size_bits)
+    cte = data  # uint32 ARGB: red=r2b, green=g2b, blue=g2r
+    out = px.copy()
+    for y in range(h):
+        for x in range(w):
+            e = int(cte[(y >> size_bits) * tw + (x >> size_bits)])
+            g2r = np.uint8((e) & 0xFF)  # blue channel
+            g2b = np.uint8((e >> 8) & 0xFF)  # green channel
+            r2b = np.uint8((e >> 16) & 0xFF)  # red channel
+            v = int(out[y * w + x])
+            a, r, g, b = (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            out[y * w + x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def px_to_channels(px: np.ndarray) -> np.ndarray:
+    """uint32 ARGB -> (n, 4) uint8 [A, R, G, B]."""
+    n = px.shape[0]
+    out = np.empty((n, 4), dtype=np.uint8)
+    out[:, 0] = (px >> 24) & 0xFF
+    out[:, 1] = (px >> 16) & 0xFF
+    out[:, 2] = (px >> 8) & 0xFF
+    out[:, 3] = px & 0xFF
+    return out
+
+
+def channels_to_px(ch: np.ndarray) -> np.ndarray:
+    ch = ch.astype(np.uint32)
+    return (ch[:, 0] << 24) | (ch[:, 1] << 16) | (ch[:, 2] << 8) | ch[:, 3]
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload to an HWC uint8 array (RGB if the
+    alpha plane is constant 255, else RGBA)."""
+    if data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = BitReader(data[1:])
+    w = br.read_bits(14) + 1
+    h = br.read_bits(14) + 1
+    br.read_bit()  # alpha hint
+    if br.read_bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    px, transforms, cur_w = _decode_image_stream(br, w, h, True)
+    # inverse transforms, reverse read order
+    for ttype, tdata, width_at_read in reversed(transforms):
+        if ttype == 3:
+            n_colors, width_bits, pal = tdata
+            full_w = width_at_read
+            if width_bits:
+                ppb = 1 << width_bits  # packed indices per green byte
+                bits_pp = 8 >> width_bits
+                packed_w = _subsample_size(full_w, width_bits)
+                green = ((px >> 8) & 0xFF).reshape(h, packed_w)
+                idx = np.empty((h, full_w), dtype=np.int64)
+                for x in range(full_w):
+                    src = green[:, x // ppb]
+                    shift = (x % ppb) * bits_pp
+                    idx[:, x] = (src >> shift) & ((1 << bits_pp) - 1)
+                idx = idx.reshape(-1)
+            else:
+                idx = ((px >> 8) & 0xFF).astype(np.int64)
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("palette index out of range")
+            px = channels_to_px(pal[idx])
+            cur_w = full_w
+        elif ttype == 2:
+            ch = px_to_channels(px).astype(np.uint16)
+            g = ch[:, 2]
+            ch[:, 1] = (ch[:, 1] + g) & 0xFF
+            ch[:, 3] = (ch[:, 3] + g) & 0xFF
+            px = channels_to_px(ch.astype(np.uint8))
+        elif ttype == 1:
+            size_bits, data_img = tdata
+            px = _apply_inverse_color_transform(px, cur_w, h, size_bits, data_img)
+        else:  # predictor
+            size_bits, data_img = tdata
+            px = _apply_inverse_predictor(px, cur_w, h, size_bits, data_img)
+    if cur_w != w:
+        raise ValueError("width mismatch after inverse transforms")
+    ch = px_to_channels(px).reshape(h, w, 4)
+    rgba = ch[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
+    if np.all(rgba[:, :, 3] == 255):
+        return np.ascontiguousarray(rgba[:, :, :3])
+    return np.ascontiguousarray(rgba)
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """Decode a WebP container. Lossless (VP8L) only; lossy VP8 and
+    extended VP8X raise NotImplementedError honestly."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos = 12
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(payload)
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                f"WebP {fourcc.decode().strip()} (lossy/extended) decode "
+                "needs a boolean arithmetic decoder; only lossless VP8L "
+                "is implemented"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no image chunk found in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# Encoder — minimal conformant VP8L writer used to pin the decoder by
+# round-trip. Channel codes are "simple" (1-2 symbols) or complete
+# canonical codes over exactly the used symbols (Kraft-complete by the
+# j = 2^m - k split), so every stream it emits is spec-valid.
+
+
+def _complete_lengths(symbols: list[int]) -> dict[int, int]:
+    """Complete canonical code lengths over k >= 2 symbols: j = 2^m - k
+    of them get length m-1, the rest m (Kraft sum exactly 1)."""
+    k = len(symbols)
+    if k < 2:
+        raise ValueError("complete code needs >= 2 symbols")
+    m = (k - 1).bit_length()
+    j = (1 << m) - k
+    return {s: (m - 1 if i < j else m) for i, s in enumerate(sorted(symbols))}
+
+
+def _rle_code_lengths(lengths: list[int]) -> list[tuple[int, int, int]]:
+    """Code-length array -> CL symbol stream [(cl_sym, extra, eb)],
+    covering the FULL array (decoder loops until alphabet exhausted)."""
+    out: list[tuple[int, int, int]] = []
+    i, n = 0, len(lengths)
+    while i < n:
+        v = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r >= 11:
+                c = min(r, 138)
+                out.append((18, c - 11, 7))
+                r -= c
+            if r >= 3:
+                out.append((17, r - 3, 3))
+                r = 0
+            out.extend((0, 0, 0) for _ in range(r))
+        else:
+            out.append((v, 0, 0))
+            r = run - 1
+            while r >= 3:
+                c = min(r, 6)
+                out.append((16, c - 3, 2))
+                r -= c
+            out.extend((v, 0, 0) for _ in range(r))
+        i += run
+    return out
+
+
+class _Code:
+    """symbol -> (code, length) plus its serialized definition."""
+
+    def __init__(self, used: set[int], alphabet_size: int):
+        used_s = sorted(used) if used else [0]
+        self.simple = len(used_s) <= 2 and used_s[-1] <= 255
+        if self.simple:
+            self.symbols = used_s
+            if len(used_s) == 1:
+                self.map = {used_s[0]: (0, 0)}
+            else:
+                self.map = {used_s[0]: (0, 1), used_s[1]: (1, 1)}
+        else:
+            lens = _complete_lengths(used_s)
+            arr = [lens.get(s, 0) for s in range(alphabet_size)]
+            self.lengths = arr
+            self.map = canonical_codes(arr)
+
+    def write_def(self, bw: BitWriter) -> None:
+        if self.simple:
+            bw.write_bits(1, 1)
+            bw.write_bits(len(self.symbols) - 1, 1)
+            s0 = self.symbols[0]
+            is_8bit = 1 if s0 > 1 else 0
+            bw.write_bits(is_8bit, 1)
+            bw.write_bits(s0, 8 if is_8bit else 1)
+            if len(self.symbols) == 2:
+                bw.write_bits(self.symbols[1], 8)
+            return
+        bw.write_bits(0, 1)  # normal code
+        stream = _rle_code_lengths(self.lengths)
+        used_cl = sorted({s for s, _e, _b in stream})
+        cl_lens_map = _complete_lengths(used_cl) if len(used_cl) >= 2 else {used_cl[0]: 1}
+        assert max(cl_lens_map.values()) <= 7
+        cl_arr = [cl_lens_map.get(s, 0) for s in range(19)]
+        num_cl = max(
+            max(i for i, s in enumerate(_CODE_LENGTH_ORDER) if cl_arr[s] > 0) + 1, 4
+        )
+        bw.write_bits(num_cl - 4, 4)
+        for i in range(num_cl):
+            bw.write_bits(cl_arr[_CODE_LENGTH_ORDER[i]], 3)
+        bw.write_bits(0, 1)  # no max-symbol shortcut
+        cl_codes = canonical_codes(cl_arr)
+        for sym, extra, eb in stream:
+            c, l = cl_codes[sym]
+            bw.write_code(c, l)
+            if eb:
+                bw.write_bits(extra, eb)
+
+    def write_sym(self, bw: BitWriter, sym: int) -> None:
+        c, l = self.map[sym]
+        if l:
+            bw.write_code(c, l)
+
+
+def _tokenize(px: np.ndarray, cache_bits: int, use_lz77: bool):
+    """Pixel stream -> [('lit', argb) | ('cache', idx) | ('copy', length)]
+    tokens; copies are runs of the previous pixel (distance 1, emitted
+    as the PLAIN distance value 121 so round-trips never depend on the
+    near-distance map)."""
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    i, n = 0, len(px)
+    while i < n:
+        v = int(px[i])
+        if use_lz77 and i > 0 and v == int(px[i - 1]):
+            run = 1
+            while i + run < n and int(px[i + run]) == v and run < 256:
+                run += 1
+            tokens.append(("copy", run))
+            if cache is not None:
+                cache[_cache_key(v, cache_bits)] = v
+            i += run
+            continue
+        if cache is not None:
+            k = _cache_key(v, cache_bits)
+            if cache[k] == v:
+                tokens.append(("cache", k))
+                i += 1
+                continue
+            cache[k] = v
+        tokens.append(("lit", v))
+        i += 1
+    return tokens
+
+
+_PLAIN_DIST_1 = 121  # distance 1 as a plain (non-mapped) distance value
+
+
+def _write_entropy_coded(
+    bw: BitWriter, px: np.ndarray, *, level0: bool, cache_bits: int, use_lz77: bool
+) -> None:
+    """Color-cache bit(s), meta bit (level0), the five channel code
+    definitions, then the token stream."""
+    if cache_bits:
+        bw.write_bits(1, 1)
+        bw.write_bits(cache_bits, 4)
+    else:
+        bw.write_bits(0, 1)
+    if level0:
+        bw.write_bits(0, 1)  # single code group, no meta image
+    tokens = _tokenize(px, cache_bits, use_lz77)
+    g_used, r_used, b_used, a_used, d_used = set(), set(), set(), set(), set()
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            g_used.add((v >> 8) & 0xFF)
+            r_used.add((v >> 16) & 0xFF)
+            b_used.add(v & 0xFF)
+            a_used.add((v >> 24) & 0xFF)
+        elif t[0] == "cache":
+            g_used.add(280 + t[1])
+        else:
+            code, _e, _b = _prefix_encode(t[1])
+            g_used.add(256 + code)
+            dcode, _e, _b = _prefix_encode(_PLAIN_DIST_1)
+            d_used.add(dcode)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    G = _Code(g_used, 256 + 24 + cache_size)
+    R = _Code(r_used, 256)
+    B = _Code(b_used, 256)
+    A = _Code(a_used, 256)
+    D = _Code(d_used, 40)
+    for c in (G, R, B, A, D):
+        c.write_def(bw)
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            G.write_sym(bw, (v >> 8) & 0xFF)
+            R.write_sym(bw, (v >> 16) & 0xFF)
+            B.write_sym(bw, v & 0xFF)
+            A.write_sym(bw, (v >> 24) & 0xFF)
+        elif t[0] == "cache":
+            G.write_sym(bw, 280 + t[1])
+        else:
+            code, extra, eb = _prefix_encode(t[1])
+            G.write_sym(bw, 256 + code)
+            if eb:
+                bw.write_bits(extra, eb)
+            dcode, dextra, deb = _prefix_encode(_PLAIN_DIST_1)
+            D.write_sym(bw, dcode)
+            if deb:
+                bw.write_bits(dextra, deb)
+
+
+def _forward_predict(ch: np.ndarray, h: int, w: int, mode: int, size_bits: int):
+    """Residuals for a constant predictor mode (edges use the fixed
+    0xff000000 / left / top rules regardless of mode, like decode)."""
+    img = ch.reshape(h, w, 4)
+    out = np.empty_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+            elif y == 0:
+                pred = img[0, x - 1]
+            elif x == 0:
+                pred = img[y - 1, 0]
+            else:
+                L = img[y, x - 1]
+                T = img[y - 1, x]
+                TL = img[y - 1, x - 1]
+                TR = img[y - 1, x + 1] if x + 1 < w else img[y, 0]
+                pred = _predict(mode, L, T, TL, TR)
+            out[y, x] = (img[y, x].astype(np.int16) - pred) & 0xFF
+    return out.reshape(-1, 4)
+
+
+def _write_subimage(bw: BitWriter, px: np.ndarray) -> None:
+    """An embedded entropy-coded image (transform data): no cache, no
+    meta, literal tokens."""
+    _write_entropy_coded(bw, px, level0=False, cache_bits=0, use_lz77=False)
+
+
+def encode_vp8l(
+    img: np.ndarray,
+    *,
+    subtract_green: bool = False,
+    color_transform: tuple[int, int, int] | None = None,
+    predictor: int | None = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+) -> bytes:
+    """Encode HWC uint8 (c in {1, 3, 4}) as a VP8L chunk payload.
+    Transform stream order is [subtract_green, color_transform,
+    predictor] (forward-applied in that order) or [palette] alone."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+        c = 3
+    ch = np.empty((h * w, 4), dtype=np.uint8)  # ARGB
+    ch[:, 0] = img[:, :, 3].reshape(-1) if c == 4 else 255
+    ch[:, 1] = img[:, :, 0].reshape(-1)
+    ch[:, 2] = img[:, :, 1].reshape(-1)
+    ch[:, 3] = img[:, :, 2].reshape(-1)
+
+    bw = BitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(1 if (c == 4 and not np.all(ch[:, 0] == 255)) else 0, 1)
+    bw.write_bits(0, 3)  # version
+
+    cur_w = w
+    if palette:
+        if subtract_green or color_transform or predictor:
+            raise ValueError("palette is exclusive of pixel transforms")
+        px_full = channels_to_px(ch)
+        pal_vals, idx = np.unique(px_full, return_inverse=True)
+        n_colors = len(pal_vals)
+        if n_colors > 256:
+            raise ValueError("palette encode needs <= 256 distinct colors")
+        bw.write_bits(1, 1)
+        bw.write_bits(3, 2)  # color indexing
+        bw.write_bits(n_colors - 1, 8)
+        pal_ch = px_to_channels(pal_vals).astype(np.int16)
+        deltas = pal_ch.copy()
+        deltas[1:] = (pal_ch[1:] - pal_ch[:-1]) & 0xFF
+        _write_subimage(bw, channels_to_px(deltas.astype(np.uint8)))
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            ppb = 1 << width_bits
+            bits_pp = 8 >> width_bits
+            cur_w = _subsample_size(w, width_bits)
+            rows = idx.reshape(h, w)
+            packed = np.zeros((h, cur_w), dtype=np.uint32)
+            for x in range(w):
+                packed[:, x // ppb] |= rows[:, x].astype(np.uint32) << (
+                    (x % ppb) * bits_pp
+                )
+            px = (packed.reshape(-1) & 0xFF) << 8
+        else:
+            px = idx.astype(np.uint32) << 8
+        bw.write_bits(0, 1)  # end transforms
+    else:
+        if subtract_green:
+            bw.write_bits(1, 1)
+            bw.write_bits(2, 2)
+            g = ch[:, 2].astype(np.int16)
+            ch[:, 1] = (ch[:, 1] - g) & 0xFF
+            ch[:, 3] = (ch[:, 3] - g) & 0xFF
+        if color_transform is not None:
+            g2r, g2b, r2b = color_transform
+            bw.write_bits(1, 1)
+            bw.write_bits(1, 2)
+            size_bits = 4
+            bw.write_bits(size_bits - 2, 3)
+            tw = _subsample_size(w, size_bits)
+            th = _subsample_size(h, size_bits)
+            cte = (
+                (0xFF << 24)
+                | ((r2b & 0xFF) << 16)
+                | ((g2b & 0xFF) << 8)
+                | (g2r & 0xFF)
+            )
+            _write_subimage(bw, np.full(tw * th, cte, dtype=np.uint32))
+            # forward: subtract the deltas decode will add back; blue
+            # uses the PRE-transform red (what decode reconstructs first)
+            g_col = ch[:, 2]
+            r_orig = ch[:, 1].copy()
+            for i in range(h * w):
+                gi = int(g_col[i])
+                ch[i, 1] = (int(ch[i, 1]) - _ct_delta(np.uint8(g2r & 0xFF), gi)) & 0xFF
+                ch[i, 3] = (
+                    int(ch[i, 3])
+                    - _ct_delta(np.uint8(g2b & 0xFF), gi)
+                    - _ct_delta(np.uint8(r2b & 0xFF), int(r_orig[i]))
+                ) & 0xFF
+        if predictor is not None:
+            bw.write_bits(1, 1)
+            bw.write_bits(0, 2)
+            size_bits = 4
+            bw.write_bits(size_bits - 2, 3)
+            tw = _subsample_size(w, size_bits)
+            th = _subsample_size(h, size_bits)
+            _write_subimage(
+                bw,
+                np.full(tw * th, (0xFF << 24) | (predictor << 8), dtype=np.uint32),
+            )
+            ch = _forward_predict(ch, h, w, predictor, size_bits)
+        bw.write_bits(0, 1)  # end transforms
+        px = channels_to_px(ch)
+
+    _write_entropy_coded(
+        bw, px, level0=True, cache_bits=cache_bits, use_lz77=use_lz77
+    )
+    return b"\x2f" + bw.getvalue()
+
+
+def encode_webp_lossless(img: np.ndarray, **kwargs) -> bytes:
+    """Wrap an encoded VP8L payload in the RIFF/WEBP container."""
+    payload = encode_vp8l(img, **kwargs)
+    pad = b"\x00" if len(payload) & 1 else b""
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -152,5 +152,7 @@ def test_decode_media_png_through_engine():
     assert eng.get_text(eng.prepare_input(a, order="hwc")) == eng.get_text(
         eng.prepare_input(b, order="hwc")
     )
-    with pytest.raises(NotImplementedError):
-        decode_media((b"x", 1, 1, 1, "webp"))
+    # webp now routes to the real VP8L codec; junk bytes are a
+    # container error, not a format gate
+    with pytest.raises(ValueError):
+        decode_media((b"x" * 16, 1, 1, 1, "webp"))
