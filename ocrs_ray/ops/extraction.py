@@ -711,3 +711,258 @@ def html_main_content_sql() -> str:
         "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY "
         "text_chars * (1000000 - link_density_ppm) DESC, block_idx ASC) = 1"
     )
+
+
+# --------------------------------------------------------------------
+# Link-graph analytics: distributed PageRank over the extracted edges
+# --------------------------------------------------------------------
+
+_DOC_HREF_RE = r"^/doc/([0-9]+)$"
+
+
+def _link_edges(sf_dir: str) -> rd.Dataset:
+    """Internal link edges (src, dst): /doc/<id> hrefs from the
+    extracted link table, dropping targets outside the corpus (the
+    prev-link of doc 0 and the next-link of the last doc)."""
+    import pyarrow.compute as pc
+
+    links = docs_html_links(sf_dir)
+    max_id = links.max("doc_id")  # 16-byte driver scalar, not a collect
+
+    def parse(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("href"), r"^/doc/(?P<d>[0-9]+)$")
+        ok = pc.is_valid(hit)
+        dst = pc.cast(pc.struct_field(hit, "d"), pa.int64())
+        keep = pc.and_(ok, pc.less_equal(dst, max_id))
+        t = pa.table(
+            {"src": batch.column("doc_id"), "dst": dst}
+        ).filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                }
+            )
+        return t
+
+    return links.map_batches(parse, batch_format="pyarrow")
+
+
+def docs_link_pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
+    """PageRank over the internal link graph, integer-exact: ranks
+    start at 1_000_000 micro-units per node and iterate
+    `rank' = 150_000 + (17 * sum(in_contrib)) // 20` (damping 0.85 as
+    the exact rational 17/20; contributions are `rank // out_degree`)
+    — the same integer recurrence the unrolled-CTE oracle runs, so
+    values compare exactly after any iteration count. Nodes without
+    inbound links settle at 150_000; dangling-mass redistribution is
+    deliberately omitted on BOTH sides (this graph has no dangling
+    nodes: every doc keeps at least one valid prev/next link).
+
+    Scale shape: the canonical distributed power iteration — per
+    round, ONE src-keyed tagged-union cogroup joins ranks to edges
+    (emitting (dst, contrib) rows) and ONE dst-keyed cogroup
+    re-aggregates against the node list; edges are src-partitioned
+    once up front (out-degree computed per block after the keyed
+    repartition, no separate join), and the O(nodes) rank state is
+    materialized per round in the object store — never on the driver.
+    """
+    import pandas as pd
+    import numpy as np
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = max(2, min(16, cluster_ncpu()))
+
+    # edges with out-degree: one src-keyed repartition co-locates each
+    # src's edges, so degree is a per-block count — no join.
+    def with_degree(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                    "deg": pa.array([], type=pa.int64()),
+                }
+            ).to_pandas()
+        out = df.copy()
+        out["deg"] = df.groupby("src")["src"].transform("size").to_numpy(
+            dtype="int64"
+        )
+        return out
+
+    edges = _link_edges(sf_dir)
+    enable_hash_shuffle(edges)
+    edges_deg = (
+        edges.repartition(npart, keys=["src"])
+        .map_batches(with_degree, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+    def _t1_empty() -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "deg": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def tag_rank_t1(df: pd.DataFrame):
+        if df.empty:
+            return _t1_empty()
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype="int64"),
+                "dst": np.full(len(df), -1, dtype="int64"),
+                "deg": np.zeros(len(df), dtype="int64"),
+                "val": df["rank"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def tag_edges_t1(df: pd.DataFrame):
+        if df.empty:
+            return _t1_empty()
+        return pd.DataFrame(
+            {
+                "node": df["src"].to_numpy(dtype="int64"),
+                "dst": df["dst"].to_numpy(dtype="int64"),
+                "deg": df["deg"].to_numpy(dtype="int64"),
+                "val": np.zeros(len(df), dtype="int64"),
+            }
+        )
+
+    def _contrib_empty() -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.int64()),
+                "is_node": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def contrib_block(df: pd.DataFrame):
+        if df.empty:
+            return _contrib_empty()
+        is_edge = df["dst"].to_numpy() >= 0
+        ranks = df.loc[~is_edge, ["node", "val"]].rename(columns={"val": "rank"})
+        e = df.loc[is_edge, ["node", "dst", "deg"]]
+        if e.empty or ranks.empty:
+            return _contrib_empty()
+        m = e.merge(ranks, on="node", how="inner")
+        if m.empty:
+            return _contrib_empty()
+        contrib = m["rank"].to_numpy(dtype="int64") // m["deg"].to_numpy(
+            dtype="int64"
+        )
+        return pd.DataFrame(
+            {
+                "node": m["dst"].to_numpy(dtype="int64"),
+                "val": contrib,
+                "is_node": np.zeros(len(m), dtype="int64"),
+            }
+        )
+
+    def tag_rank_t2(df: pd.DataFrame):
+        if df.empty:
+            return _contrib_empty()
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype="int64"),
+                "val": np.zeros(len(df), dtype="int64"),
+                "is_node": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    def rank_block(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            ).to_pandas()
+        is_node = df["is_node"].to_numpy() == 1
+        nodes = df.loc[is_node, ["node"]]
+        agg = (
+            df.loc[~is_node]
+            .groupby("node", as_index=False)["val"]
+            .sum()
+            .rename(columns={"val": "agg"})
+        )
+        m = nodes.merge(agg, on="node", how="left")
+        a = m["agg"].fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "node": m["node"].to_numpy(dtype="int64"),
+                "rank": 150_000 + (17 * a) // 20,
+            }
+        )
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("doc_id"),
+                "rank": pa.array([1_000_000] * n, type=pa.int64()),
+            }
+        )
+
+    ranks = read_documents(sf_dir, ["doc_id"]).map_batches(
+        init_rank, batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(iters):
+        t1 = ranks.map_batches(tag_rank_t1, batch_format="pandas").union(
+            edges_deg.map_batches(tag_edges_t1, batch_format="pandas")
+        )
+        enable_hash_shuffle(t1)
+        contribs = t1.repartition(npart, keys=["node"]).map_batches(
+            contrib_block, batch_format="pandas", batch_size=None
+        )
+        t2 = ranks.map_batches(tag_rank_t2, batch_format="pandas").union(
+            contribs
+        )
+        enable_hash_shuffle(t2)
+        ranks = (
+            t2.repartition(npart, keys=["node"])
+            .map_batches(rank_block, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"node": "doc_id", "rank": "rank_micro"})
+
+    return ranks.map_batches(finish, batch_format="pandas")
+
+
+def link_pagerank_sql(iters: int = 5) -> str:
+    """Unrolled-CTE oracle running the identical integer recurrence."""
+    sql = (
+        _PAGES_CTE
+        + ", m AS (SELECT doc_id, unnest(regexp_extract_all(h, "
+        + f"'{HTML_LINK_RE}')) AS tag FROM pages)"
+        + ", l AS (SELECT doc_id AS src, "
+        + f"regexp_extract(tag, '{HTML_LINK_RE}', 1) AS href FROM m)"
+        + ", edges AS (SELECT src, "
+        + f"CAST(regexp_extract(href, '{_DOC_HREF_RE}', 1) AS BIGINT) AS dst "
+        + f"FROM l WHERE regexp_matches(href, '{_DOC_HREF_RE}') "
+        + f"AND CAST(regexp_extract(href, '{_DOC_HREF_RE}', 1) AS BIGINT) "
+        + "<= (SELECT max(doc_id) FROM documents))"
+        + ", deg AS (SELECT src, CAST(count(*) AS BIGINT) AS c "
+        + "FROM edges GROUP BY src)"
+        + ", r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank "
+        + "FROM documents)"
+    )
+    for i in range(iters):
+        sql += (
+            f", r{i + 1} AS (SELECT d.doc_id AS node, "
+            "CAST(150000 + (17 * COALESCE(s.agg, 0)) // 20 AS BIGINT) AS rank "
+            "FROM documents d LEFT JOIN (SELECT e.dst, "
+            "CAST(sum(r.rank // g.c) AS BIGINT) AS agg FROM edges e "
+            f"JOIN deg g ON e.src = g.src JOIN r{i} r ON r.node = e.src "
+            "GROUP BY e.dst) s ON d.doc_id = s.dst)"
+        )
+    return sql + f" SELECT node AS doc_id, rank AS rank_micro FROM r{iters}"

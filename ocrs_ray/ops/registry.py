@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_html_main_content": extraction.docs_html_main_content,
         "docs_pdf_runs": extraction.docs_pdf_runs,
         "docs_pdf_page_text": extraction.docs_pdf_page_text,
+        # iterative graph analytics over the extracted link graph
+        # (exact: integer recurrence mirrored in an unrolled-CTE oracle)
+        "docs_link_pagerank": extraction.docs_link_pagerank,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_html_main_content": extraction.html_main_content_sql(),
         "docs_pdf_runs": extraction.pdf_runs_sql(),
         "docs_pdf_page_text": extraction.pdf_page_text_sql(),
+        "docs_link_pagerank": extraction.link_pagerank_sql(),
         "docs_repetition_stats": (
             # Total shingles mirror _shingles' conventions: 0 tokens ->
             # 0, fewer than 3 tokens -> the single joined shingle.
