@@ -966,3 +966,117 @@ def link_pagerank_sql(iters: int = 5) -> str:
             "GROUP BY e.dst) s ON d.doc_id = s.dst)"
         )
     return sql + f" SELECT node AS doc_id, rank AS rank_micro FROM r{iters}"
+
+
+# --------------------------------------------------------------------
+# Composed web-extraction data-prep chain
+# --------------------------------------------------------------------
+
+
+def web_extract_prep(sf_dir: str) -> rd.Dataset:
+    """The full web-extraction chain as ONE lazy streaming Dataset —
+    the shape a crawl-to-corpus job runs: page parse -> DOM-heuristic
+    main-content pick -> Gopher quality gate ON THE EXTRACTED TEXT
+    (+ the extraction-side gates: winner must be the content block
+    with link density <= 30%) -> per-source rollup (pages seen, pages
+    kept, kept tokens, summed kept link-density).
+
+    Every stage reuses the standalone operators' kernels
+    (`_block_stats_arrays`, `text.gopher_signals`), and the whole
+    chain is SQL-expressible, so the driver value-hashes the
+    composition end to end.
+
+    Scale shape: ZERO shuffles — extraction, scoring, and gating are
+    one stateless map emitting per-block per-source partials; the
+    rollup tree-reduces over the bounded source key space.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .relational import tree_sum
+    from .text import gopher_signals
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        pages = _synth_html_arrow(batch)
+        stats = _block_stats_arrays(pages)
+        scores = np.stack(
+            [
+                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
+                for _i, _t, _f, tc, _lc, d in stats
+            ]
+        )
+        texts = np.stack(
+            [f.to_numpy(zero_copy_only=False) for _i, _t, f, *_ in stats]
+        )
+        dens = np.stack([d.to_numpy() for *_x, d in stats])
+        win = scores.argmax(axis=0)
+        cols = np.arange(len(batch))
+        main_text = texts[win, cols]
+        density = dens[win, cols]
+        sig = gopher_signals(main_text)
+        n_tok = sig["n_tokens"]
+        kept = (
+            (win == 2)  # content block won the heuristic
+            & (density <= 300_000)
+            & (n_tok >= 20)
+            & (n_tok <= 100_000)
+            & (sig["mean_len_milli"] >= 3_000)
+            & (sig["mean_len_milli"] <= 10_000)
+            & (sig["top_tok_ppm"] <= 200_000)
+            & (sig["stop_ppm"] >= 10_000)
+        ).astype("int64")
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pylist(),
+                "n_pages": np.ones(len(batch), dtype="int64"),
+                "n_kept": kept,
+                "kept_tokens": kept * n_tok,
+                "kept_density_ppm": kept * density,
+            }
+        )
+        return df.groupby("source", as_index=False).sum()
+
+    ds = read_documents(sf_dir, _DOC_COLS).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return tree_sum(
+        ds, ["source"], ["n_pages", "n_kept", "kept_tokens", "kept_density_ppm"]
+    )
+
+
+def web_extract_prep_sql(stop_list: str) -> str:
+    """End-to-end oracle: block stats -> winner pick -> Gopher signals
+    over the winner's text -> per-source rollup, all one statement."""
+    return (
+        _block_stats_cte()
+        + ", win AS (SELECT b.doc_id, d.source, b.block_idx, "
+        "b.link_density_ppm, b.flat_text FROM blocks b "
+        "JOIN documents d ON b.doc_id = d.doc_id "
+        "QUALIFY row_number() OVER (PARTITION BY b.doc_id ORDER BY "
+        "b.text_chars * (1000000 - b.link_density_ppm) DESC, "
+        "b.block_idx ASC) = 1)"
+        r", t AS (SELECT doc_id, source, block_idx, link_density_ppm, "
+        r"regexp_extract_all(flat_text, '\S+') AS toks FROM win)"
+        ", m AS (SELECT doc_id, unnest(toks) AS tok FROM t)"
+        ", top AS (SELECT doc_id, max(c) AS top_cnt FROM "
+        "(SELECT doc_id, tok, count(*) AS c FROM m GROUP BY 1, 2) "
+        "GROUP BY 1)"
+        ", s AS (SELECT t.doc_id, t.source, t.block_idx, "
+        "t.link_density_ppm, length(t.toks) AS n_tok, "
+        "COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) "
+        "AS sum_len, COALESCE(top.top_cnt, 0) AS top_cnt, "
+        f"length(list_filter(t.toks, x -> x IN ({stop_list}))) AS stop_cnt "
+        "FROM t LEFT JOIN top ON t.doc_id = top.doc_id)"
+        ", k AS (SELECT source, link_density_ppm, n_tok, "
+        "CASE WHEN block_idx = 2 AND link_density_ppm <= 300000 "
+        "AND n_tok >= 20 AND n_tok <= 100000 "
+        "AND (1000 * sum_len) // greatest(n_tok, 1) BETWEEN 3000 AND 10000 "
+        "AND (1000000 * top_cnt) // greatest(n_tok, 1) <= 200000 "
+        "AND (1000000 * stop_cnt) // greatest(n_tok, 1) >= 10000 "
+        "THEN 1 ELSE 0 END AS kept FROM s) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(kept) AS BIGINT) AS n_kept, "
+        "CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens, "
+        "CAST(sum(kept * link_density_ppm) AS BIGINT) AS kept_density_ppm "
+        "FROM k GROUP BY source"
+    )

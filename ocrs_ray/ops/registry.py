@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics over the extracted link graph
         # (exact: integer recurrence mirrored in an unrolled-CTE oracle)
         "docs_link_pagerank": extraction.docs_link_pagerank,
+        # composed crawl-to-corpus chain (extraction -> quality gate ->
+        # per-source rollup) as one lazy zero-shuffle stream
+        "web_extract_prep": extraction.web_extract_prep,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
@@ -403,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pdf_runs": extraction.pdf_runs_sql(),
         "docs_pdf_page_text": extraction.pdf_page_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),
+        "web_extract_prep": extraction.web_extract_prep_sql(_STOP_LIST),
         "docs_repetition_stats": (
             # Total shingles mirror _shingles' conventions: 0 tokens ->
             # 0, fewer than 3 tokens -> the single joined shingle.
