@@ -433,7 +433,11 @@ _GATE_ORDER = [
     "docs_html_main_content",
     "docs_html_links",
     "docs_pdf_page_text",
-    "docs_token_entropy",
+    # second r03 rotation: the iterative-exact PageRank and the
+    # composed extraction chain take the slots of docs_token_entropy /
+    # events_topk_per_group (both still sweep-verified every run).
+    "docs_link_pagerank",
+    "web_extract_prep",
     "lm_quality_score",
     "lm_bigram_score",
     "tfidf_top_terms",
@@ -456,7 +460,6 @@ _GATE_ORDER = [
     "events_range_join",
     "events_funnel",
     "user_retention",
-    "events_topk_per_group",
     "events_value_quantiles",
     "heavy_hitters_exact",
     "sample_documents",
