@@ -749,7 +749,9 @@ def _link_edges(sf_dir: str) -> rd.Dataset:
     return links.map_batches(parse, batch_format="pyarrow")
 
 
-def docs_link_pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
+def docs_link_pagerank(
+    sf_dir: str, iters: int = 5, checkpoint_dir: str | None = None
+) -> rd.Dataset:
     """PageRank over the internal link graph, integer-exact: ranks
     start at 1_000_000 micro-units per node and iterate
     `rank' = 150_000 + (17 * sum(in_contrib)) // 20` (damping 0.85 as
@@ -767,6 +769,15 @@ def docs_link_pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
     once up front (out-degree computed per block after the keyed
     repartition, no separate join), and the O(nodes) rank state is
     materialized per round in the object store — never on the driver.
+
+    With `checkpoint_dir`, each completed round's rank state is
+    committed as partitioned parquet under `iter=NNNN/` (written to a
+    dot-tmp dir, then atomically renamed — a half-written round is
+    never visible), and a killed run resumes from the highest
+    committed round instead of iteration 0; a `manifest.json` node
+    count guards against resuming onto a different corpus. The same
+    commit-then-rename protocol as the OCR job's fragment checkpoints
+    (`state/checkpoint.py`), extended to iterative-algorithm state.
     """
     import pandas as pd
     import numpy as np
@@ -910,11 +921,49 @@ def docs_link_pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
             }
         )
 
-    ranks = read_documents(sf_dir, ["doc_id"]).map_batches(
-        init_rank, batch_format="pyarrow"
-    ).materialize()
+    start_iter = 0
+    ranks = None
+    if checkpoint_dir:
+        import json
+        import os
+        import shutil
 
-    for _ in range(iters):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for d in os.listdir(checkpoint_dir):  # stale uncommitted rounds
+            if d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(checkpoint_dir, d))
+        n_nodes = read_documents(sf_dir, ["doc_id"]).count()
+        manifest = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                saved = json.load(f)
+            if saved.get("n_nodes") != n_nodes:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} is for a "
+                    f"{saved.get('n_nodes')}-node corpus, input has "
+                    f"{n_nodes} nodes — refusing to resume"
+                )
+        else:
+            with open(manifest, "w") as f:
+                json.dump({"n_nodes": n_nodes}, f)
+        done = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith("iter=")
+        )
+        done = [i for i in done if i <= iters]
+        if done:
+            start_iter = done[-1]
+            ranks = rd.read_parquet(
+                os.path.join(checkpoint_dir, f"iter={start_iter:04d}")
+            ).materialize()
+
+    if ranks is None:
+        ranks = read_documents(sf_dir, ["doc_id"]).map_batches(
+            init_rank, batch_format="pyarrow"
+        ).materialize()
+
+    for it in range(start_iter + 1, iters + 1):
         t1 = ranks.map_batches(tag_rank_t1, batch_format="pandas").union(
             edges_deg.map_batches(tag_edges_t1, batch_format="pandas")
         )
@@ -931,6 +980,14 @@ def docs_link_pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
             .map_batches(rank_block, batch_format="pandas", batch_size=None)
             .materialize()
         )
+        if checkpoint_dir:
+            import os
+
+            tmp = os.path.join(
+                checkpoint_dir, f".tmp-{it:04d}-{os.getpid()}"
+            )
+            ranks.write_parquet(tmp)
+            os.rename(tmp, os.path.join(checkpoint_dir, f"iter={it:04d}"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"node": "doc_id", "rank": "rank_micro"})

@@ -177,3 +177,49 @@ def test_pdf_parse_batch_matches_synth():
         by_doc.setdefault(d, []).append((x, y, t))
     assert len(by_doc[1]) == 1 and by_doc[1][0][2] == "short"
     assert len(by_doc[2]) == 3
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resumable pagerank (needs Ray)
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import docs_link_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "pr_ck")
+    fresh = (
+        docs_link_pagerank(sf, iters=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # run 2 rounds with checkpointing ("killed" after round 2)
+    docs_link_pagerank(sf, iters=2, checkpoint_dir=ck).to_pandas()
+    import os
+
+    committed = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert committed == ["iter=0001", "iter=0002"]
+    # resume to 4 rounds: rounds 1-2 must be SKIPPED (only 3-4 appear)
+    resumed = (
+        docs_link_pagerank(sf, iters=4, checkpoint_dir=ck)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    committed = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert committed == ["iter=0001", "iter=0002", "iter=0003", "iter=0004"]
+    pd.testing.assert_frame_equal(resumed, fresh)
+
+
+def test_pagerank_checkpoint_rejects_wrong_corpus(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from ocrs_ray.ops.extraction import docs_link_pagerank
+
+    ck = str(tmp_path / "pr_ck2")
+    docs_link_pagerank("/root/testdata/sf0.001", iters=1, checkpoint_dir=ck).to_pandas()
+    with _pytest.raises(ValueError, match="refusing to resume"):
+        docs_link_pagerank("/root/testdata/sf0.1", iters=2, checkpoint_dir=ck)
