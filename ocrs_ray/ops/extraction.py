@@ -727,7 +727,9 @@ def _link_edges(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
 
     links = docs_html_links(sf_dir)
-    max_id = links.max("doc_id")  # 16-byte driver scalar, not a collect
+    # pruned single-column scan for the bound — NOT max over `links`,
+    # which would synthesize every page a second time just for a scalar
+    max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
 
     def parse(batch: pa.Table) -> pa.Table:
         hit = pc.extract_regex(batch.column("href"), r"^/doc/(?P<d>[0-9]+)$")

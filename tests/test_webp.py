@@ -267,3 +267,43 @@ def test_webp_media_ocr_equivalence():
     assert eng.get_text(eng.prepare_input(a, order="hwc")) == eng.get_text(
         eng.prepare_input(b, order="hwc")
     )
+
+
+# ---------------------------------------------------------------------------
+# property: any image x any option combo round-trips losslessly
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+        pred=st.one_of(st.none(), st.integers(0, 13)),
+        cache=st.sampled_from([0, 1, 4, 8]),
+        lz=st.booleans(),
+    )
+    def check(h, w, c, seed, sg, pred, cache, lz):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, c), dtype=np.uint8
+        )
+        out = W.decode_webp(
+            W.encode_webp_lossless(
+                img,
+                subtract_green=sg,
+                predictor=pred,
+                cache_bits=cache,
+                use_lz77=lz,
+            )
+        )
+        exp = np.repeat(img, 3, axis=2) if c == 1 else img
+        if c == 4 and bool(np.all(img[:, :, 3] == 255)):
+            exp = img[:, :, :3]
+        assert np.array_equal(out, exp)
+
+    check()
