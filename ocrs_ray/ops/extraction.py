@@ -673,9 +673,11 @@ def html_links_sql() -> str:
     )
 
 
-def _block_stats_cte() -> str:
+def _block_stats_cte(pages_cte: str | None = None) -> str:
     """pages -> blocks(doc_id, block_idx, tag, text_chars, link_chars,
-    link_density_ppm, flat_text) via one UNION ALL arm per block."""
+    link_density_ppm, flat_text) via one UNION ALL arm per block.
+    `pages_cte` overrides the default corpus-page construction with any
+    CTE chain ending in pages(doc_id, h, ...)."""
     arms = []
     for idx, tag, pattern in HTML_BLOCKS:
         blk = f"regexp_extract(h, '{pattern}', 1)"
@@ -687,8 +689,9 @@ def _block_stats_cte() -> str:
             f"CAST({lc} AS BIGINT) AS link_chars, {flat} AS flat_text "
             "FROM pages"
         )
+    head = _PAGES_CTE if pages_cte is None else pages_cte
     return (
-        _PAGES_CTE + ", blocks AS (SELECT doc_id, block_idx, tag, "
+        head + ", blocks AS (SELECT doc_id, block_idx, tag, "
         "text_chars, link_chars, "
         "(1000000 * link_chars) // text_chars AS link_density_ppm, "
         "flat_text FROM (" + " UNION ALL ".join(arms) + "))"
@@ -1138,4 +1141,111 @@ def web_extract_prep_sql(stop_list: str) -> str:
         "CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens, "
         "CAST(sum(kept * link_density_ppm) AS BIGINT) AS kept_density_ppm "
         "FROM k GROUP BY source"
+    )
+
+
+def web_extract_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental ingest for the extraction pipeline: re-extract main
+    content ONLY for the documents that the snapshot diff classifies
+    as added or changed (the same deterministic snapshot-B mutation as
+    `dedup.docs_snapshot_diff`: doc_id % 7 == 0 deleted, surviving
+    doc_id % 11 == 0 re-texted with a 'rev2 ' prefix, doc_id % 13 == 0
+    re-ingested under id + 10_000_000). Emits (doc_id, status,
+    main_tag, text_chars) per churned doc — output proportional to
+    churn, never corpus size; removed docs need no extraction.
+
+    Scale shape: one stateless map (mutation selection + page synth +
+    block scoring fused per batch), no shuffle, no driver state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "status": pa.array([], type=pa.string()),
+                "main_tag": pa.array([], type=pa.string()),
+                "text_chars": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def inc(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy()
+        ch = (ids % 7 != 0) & (ids % 11 == 0)
+        ad = ids % 13 == 0
+        sub = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [ids[ch], ids[ad] + 10_000_000]
+                ).astype("int64"),
+                "text": (
+                    ("rev2 " + df.loc[ch, "text"]).tolist()
+                    + df.loc[ad, "text"].tolist()
+                ),
+                "lang": df.loc[ch, "lang"].tolist() + df.loc[ad, "lang"].tolist(),
+                "source": (
+                    df.loc[ch, "source"].tolist() + df.loc[ad, "source"].tolist()
+                ),
+                "status": ["changed"] * int(ch.sum()) + ["added"] * int(ad.sum()),
+            }
+        )
+        if sub.empty:
+            return _empty()
+        sub_t = pa.table(
+            {
+                "doc_id": pa.array(sub["doc_id"], type=pa.int64()),
+                "text": pa.array(sub["text"], type=pa.string()),
+                "lang": pa.array(sub["lang"], type=pa.string()),
+                "source": pa.array(sub["source"], type=pa.string()),
+            }
+        )
+        pages = _synth_html_arrow(sub_t)
+        stats = _block_stats_arrays(pages)
+        scores = np.stack(
+            [
+                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
+                for _i, _t, _f, tc, _lc, d in stats
+            ]
+        )
+        tcs = np.stack([tc.to_numpy() for _i, _t, _f, tc, *_x in stats])
+        win = scores.argmax(axis=0)
+        cols = np.arange(len(sub))
+        tags = np.array([t for _i, t, *_ in stats])
+        return pa.table(
+            {
+                "doc_id": pa.array(sub["doc_id"], type=pa.int64()),
+                "status": pa.array(sub["status"], type=pa.string()),
+                "main_tag": pa.array(tags[win], type=pa.string()),
+                "text_chars": pa.array(
+                    tcs[win, cols].astype("int64"), type=pa.int64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        inc, batch_format="pyarrow"
+    )
+
+
+def web_extract_incremental_sql() -> str:
+    """Oracle: build the mutated snapshot-B churn set in SQL, run the
+    SAME page synthesis + block scoring over it."""
+    b_cte = (
+        "WITH b AS ("
+        "SELECT doc_id, 'rev2 ' || text AS text, lang, source, "
+        "'changed' AS status FROM documents "
+        "WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0 "
+        "UNION ALL SELECT doc_id + 10000000 AS doc_id, text, lang, "
+        "source, 'added' FROM documents WHERE doc_id % 13 = 0), "
+        f"pages AS (SELECT doc_id, {synth_html_sql()} AS h FROM b)"
+    )
+    return (
+        _block_stats_cte(pages_cte=b_cte)
+        + " SELECT b2.doc_id, b.status, b2.tag AS main_tag, b2.text_chars "
+        "FROM blocks b2 JOIN b ON b2.doc_id = b.doc_id "
+        "QUALIFY row_number() OVER (PARTITION BY b2.doc_id ORDER BY "
+        "b2.text_chars * (1000000 - b2.link_density_ppm) DESC, "
+        "b2.block_idx ASC) = 1"
     )

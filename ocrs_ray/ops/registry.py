@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed crawl-to-corpus chain (extraction -> quality gate ->
         # per-source rollup) as one lazy zero-shuffle stream
         "web_extract_prep": extraction.web_extract_prep,
+        "web_extract_incremental": extraction.web_extract_incremental,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_survivors": dedup.dedup_survivors,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pdf_page_text": extraction.pdf_page_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),
         "web_extract_prep": extraction.web_extract_prep_sql(_STOP_LIST),
+        "web_extract_incremental": extraction.web_extract_incremental_sql(),
         "docs_repetition_stats": (
             # Total shingles mirror _shingles' conventions: 0 tokens ->
             # 0, fewer than 3 tokens -> the single joined shingle.
