@@ -488,18 +488,21 @@ def lm_bigram_score(
         cond_logp, batch_format="pandas", batch_size=None
     )
 
+    def _empty_bigrams():
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+
     def doc_bigram_tf(batch: pd.DataFrame):
         if batch.empty:
-            import pyarrow as pa
-
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "w1": pa.array([], type=pa.string()),
-                    "w2": pa.array([], type=pa.string()),
-                    "tf": pa.array([], type=pa.int64()),
-                }
-            )
+            return _empty_bigrams()
         tok = re.compile(TOKEN_RE)
         ids: list[int] = []
         w1s: list[str] = []
@@ -516,6 +519,10 @@ def lm_bigram_score(
             w1s.extend(p[0] for p in counts)
             w2s.extend(p[1] for p in counts)
             tfs.extend(counts.values())
+        if not ids:
+            # All docs < 2 tokens: a zero-row object-dtype w1/w2 would
+            # break Ray's block size estimator (see CLAUDE.md).
+            return _empty_bigrams()
         return pd.DataFrame(
             {
                 "doc_id": np.asarray(ids, dtype="int64"),
@@ -1664,6 +1671,13 @@ def neardup_best_survivors(
 
     npart = max(2, min(16, cluster_ncpu()))
 
+    # Size the Bloom from the MEASURED star cardinality (~10 bits/key
+    # -> ~1% fp at k=5); a fixed size saturates at exactly the scale
+    # that activates this path. Capped at 2^30 bits (128 MiB broadcast)
+    # — beyond ~100M dup-component members the filter just gets less
+    # selective; the doc_id cogroup below stays exact regardless.
+    n_keys = max(1, star.count())
+    n_bits = 1 << min(30, max(22, int(np.ceil(np.log2(10 * n_keys)))))
     bloom_ref = ray.put(
         build_bloom(
             star.map_batches(
@@ -1671,7 +1685,7 @@ def neardup_best_survivors(
                 batch_format="pandas",
             ),
             "doc_id",
-            1 << 22,
+            n_bits,
         )
     )
 

@@ -935,10 +935,10 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     across library versions and exactly expressible in SQL
     (CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)), so the op
     carries an exact DuckDB oracle instead of a rows-only check.
-    Tokenization is the tri-engine `TOKEN_CLASS_RE` (ASCII whitespace
-    complement), matching the oracle's RE2 '\\S+' — Python str.split()
-    would additionally split on Unicode whitespace (NBSP etc.) and
-    silently diverge on non-ASCII-spaced text."""
+    Tokenization is the tri-engine `TOKEN_CLASS_RE` (explicit ASCII
+    whitespace complement), which `_SIMHASH_CTE` uses verbatim — RE2
+    '\\S+' would disagree on '\\v' (RE2 \\s excludes it) and Python
+    str.split() on Unicode whitespace (NBSP etc.)."""
     tok_re = re.compile(TOKEN_CLASS_RE)
 
     def sh(batch: pa.Table) -> pa.Table:

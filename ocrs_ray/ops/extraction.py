@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -269,7 +270,7 @@ BLOCK_TAGS = frozenset(
     {"nav", "div", "footer", "section", "article", "main", "aside", "header"}
 )
 
-_TAG_SCAN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>", re.ASCII)
+_TAG_SCAN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*)>", re.ASCII)
 
 
 def html_block_segments(html: str) -> list[tuple[str, str]]:
@@ -290,11 +291,17 @@ def html_block_segments(html: str) -> list[tuple[str, str]]:
             continue
         if not in_body or tag not in BLOCK_TAGS:
             continue
+        if not closing and m.group(3).rstrip().endswith("/"):
+            # XML-style self-closed block (<section/>): no depth
+            # change; at top level it is its own empty block.
+            if depth == 0:
+                out.append((tag, ""))
+            continue
         if not closing:
             if depth == 0:
                 stack.append((tag, m.end()))
             depth += 1
-        else:
+        elif depth > 0:  # stray close tags in crawled markup: ignore
             depth -= 1
             if depth == 0 and stack:
                 open_tag, start = stack.pop()
@@ -434,6 +441,37 @@ def docs_html_block_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _pick_main_block(stats: list, n: int) -> dict:
+    """THE winner-pick kernel, shared by docs_html_main_content,
+    web_extract_prep and web_extract_incremental (one copy so the
+    heuristic and its three SQL mirrors cannot drift): each block
+    scores `text_chars * (1_000_000 - link_density_ppm)`; numpy argmax
+    returns the FIRST maximum == lowest-block_idx tiebreak. Returns
+    the winner's per-doc arrays."""
+    scores = np.stack(
+        [
+            (tc.to_numpy() * (1_000_000 - d.to_numpy()))
+            for _i, _t, _f, tc, _lc, d in stats
+        ]
+    )
+    texts = np.stack(
+        [f.to_numpy(zero_copy_only=False) for _i, _t, f, *_ in stats]
+    )
+    tcs = np.stack([tc.to_numpy() for _i, _t, _f, tc, *_x in stats])
+    dens = np.stack([d.to_numpy() for *_x, d in stats])
+    win = scores.argmax(axis=0)
+    cols = np.arange(n)
+    tags = np.array([t for _i, t, *_ in stats])
+    return {
+        "win": win.astype("int64"),
+        "tag": tags[win],
+        "text": texts[win, cols],
+        "text_chars": tcs[win, cols],
+        "density": dens[win, cols],
+        "score": scores[win, cols],
+    }
+
+
 def docs_html_main_content(sf_dir: str) -> rd.Dataset:
     """Boilerplate strip proper: Readability/Boilerpipe-style main
     block pick. Each top-level block scores
@@ -445,31 +483,16 @@ def docs_html_main_content(sf_dir: str) -> rd.Dataset:
     Scale shape: stateless Arrow map (the four block chains + one
     numpy argmax per batch), no shuffle, one output row per doc.
     """
-    import numpy as np
-
     def pick(batch: pa.Table) -> pa.Table:
         pages = _synth_html_arrow(batch)
-        stats = _block_stats_arrays(pages)
-        scores = np.stack(
-            [
-                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
-                for _i, _t, _f, tc, _lc, d in stats
-            ]
-        )
-        texts = np.stack(
-            [f.to_numpy(zero_copy_only=False) for _i, _t, f, *_ in stats]
-        )
-        # argmax returns the FIRST maximum == lowest block_idx tiebreak.
-        win = scores.argmax(axis=0)
-        cols = np.arange(len(batch))
-        tags = np.array([t for _i, t, *_ in stats])
+        w = _pick_main_block(_block_stats_arrays(pages), len(batch))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "main_idx": pa.array(win.astype("int64")),
-                "main_tag": pa.array(tags[win], type=pa.string()),
-                "score_micro": pa.array(scores[win, cols].astype("int64")),
-                "main_text": pa.array(texts[win, cols], type=pa.string()),
+                "main_idx": pa.array(w["win"]),
+                "main_tag": pa.array(w["tag"], type=pa.string()),
+                "score_micro": pa.array(w["score"].astype("int64")),
+                "main_text": pa.array(w["text"], type=pa.string()),
             }
         )
 
@@ -500,6 +523,16 @@ def _pdf_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
             f"text of {len(text)} chars exceeds the {_PDF_MAX_CHARS}-char "
             "synthetic single-page layout — negative y would break the "
             "run grammar (and the oracle) silently"
+        )
+    if "(" in text or ")" in text:
+        # The minimal `(chunk) Tj` grammar has no escape sequences: an
+        # embedded ')' truncates the run match and the page text stops
+        # round-tripping SILENTLY. Same loud-guard convention as
+        # _guard_markup_safe on the HTML side.
+        raise ValueError(
+            "text contains parentheses — the minimal (...) Tj run "
+            "grammar cannot escape them; refusing to synthesize a "
+            "silently-corrupt content stream"
         )
     runs = []
     for i in range(0, (len(text) + PDF_CHUNK - 1) // PDF_CHUNK):
@@ -551,11 +584,16 @@ def pdf_runs_sql() -> str:
 def pdf_page_text_sql() -> str:
     """Oracle for docs_pdf_page_text: same synth+parse, reassembled —
     a correct geometric sort makes page_text round-trip to the source
-    text exactly."""
+    text exactly. LEFT JOIN keeps zero-run docs (text = '') with
+    n_runs=0 / page_text='', matching the op's one-row-per-doc
+    semantics (the dup-gram oracle's zero-gram convention)."""
     return (
-        _PDF_SYNTH_SQL + " SELECT doc_id, CAST(count(*) AS BIGINT) "
-        "AS n_runs, string_agg(run_text, '' ORDER BY y DESC, x ASC) "
-        "AS page_text FROM parsed GROUP BY doc_id"
+        _PDF_SYNTH_SQL + " SELECT d.doc_id, "
+        "CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs, "
+        "coalesce(p.page_text, '') AS page_text FROM documents d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS n_runs, "
+        "string_agg(run_text, '' ORDER BY y DESC, x ASC) AS page_text "
+        "FROM parsed GROUP BY doc_id) p ON d.doc_id = p.doc_id"
     )
 
 
@@ -1052,30 +1090,31 @@ def web_extract_prep(sf_dir: str) -> rd.Dataset:
     one stateless map emitting per-block per-source partials; the
     rollup tree-reduces over the bounded source key space.
     """
-    import numpy as np
     import pandas as pd
 
     from .relational import tree_sum
     from .text import gopher_signals
 
-    def prep(batch: pa.Table) -> pd.DataFrame:
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "n_pages": pa.array([], type=pa.int64()),
+                "n_kept": pa.array([], type=pa.int64()),
+                "kept_tokens": pa.array([], type=pa.int64()),
+                "kept_density_ppm": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def prep(batch: pa.Table):
+        if len(batch) == 0:
+            # Typed Arrow empty — a zero-row object-dtype pandas column
+            # breaks Ray's block size estimator (see CLAUDE.md).
+            return _empty()
         pages = _synth_html_arrow(batch)
-        stats = _block_stats_arrays(pages)
-        scores = np.stack(
-            [
-                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
-                for _i, _t, _f, tc, _lc, d in stats
-            ]
-        )
-        texts = np.stack(
-            [f.to_numpy(zero_copy_only=False) for _i, _t, f, *_ in stats]
-        )
-        dens = np.stack([d.to_numpy() for *_x, d in stats])
-        win = scores.argmax(axis=0)
-        cols = np.arange(len(batch))
-        main_text = texts[win, cols]
-        density = dens[win, cols]
-        sig = gopher_signals(main_text)
+        w = _pick_main_block(_block_stats_arrays(pages), len(batch))
+        win, density = w["win"], w["density"]
+        sig = gopher_signals(w["text"])
         n_tok = sig["n_tokens"]
         kept = (
             (win == 2)  # content block won the heuristic
@@ -1202,24 +1241,14 @@ def web_extract_incremental(sf_dir: str) -> rd.Dataset:
             }
         )
         pages = _synth_html_arrow(sub_t)
-        stats = _block_stats_arrays(pages)
-        scores = np.stack(
-            [
-                (tc.to_numpy() * (1_000_000 - d.to_numpy()))
-                for _i, _t, _f, tc, _lc, d in stats
-            ]
-        )
-        tcs = np.stack([tc.to_numpy() for _i, _t, _f, tc, *_x in stats])
-        win = scores.argmax(axis=0)
-        cols = np.arange(len(sub))
-        tags = np.array([t for _i, t, *_ in stats])
+        w = _pick_main_block(_block_stats_arrays(pages), len(sub))
         return pa.table(
             {
                 "doc_id": pa.array(sub["doc_id"], type=pa.int64()),
                 "status": pa.array(sub["status"], type=pa.string()),
-                "main_tag": pa.array(tags[win], type=pa.string()),
+                "main_tag": pa.array(w["tag"], type=pa.string()),
                 "text_chars": pa.array(
-                    tcs[win, cols].astype("int64"), type=pa.int64()
+                    w["text_chars"].astype("int64"), type=pa.int64()
                 ),
             }
         )

@@ -608,7 +608,16 @@ def media_ahash_survivors(
 
     # Survivors: corpus refs minus losers via a ref-keyed tagged union
     # (the sparse loser side cogroups instead of native-joining).
-    def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_corpus(df: pd.DataFrame):
+        if df.empty:
+            # Typed Arrow empty — zero-row object-dtype pandas columns
+            # break Ray's block size estimator (see CLAUDE.md).
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "lose": pa.array([], type=pa.int64()),
+                }
+            )
         return pd.DataFrame(
             {
                 "media_ref": df["media_ref"].to_numpy(),

@@ -86,8 +86,8 @@ def _substring_clusters_sql(k: int = 32, stride: int = 8, min_shared: int = 2) -
 
 
 _SIMHASH_CTE = (
-    r"toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
-    r" '\S+')) AS tok FROM documents), "
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+    f" '{text.TOKEN_CLASS_RE}')) AS tok FROM documents), "
     "th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) "
     "AS UBIGINT) AS th FROM toks), "
     "votes AS (SELECT doc_id, i, sum(CASE WHEN (th >> CAST(i AS "

@@ -418,7 +418,10 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
         return np.clip(v, 0, 255).astype(np.uint8)
     if mode == 13:  # clamp-add-subtract-half
         a = _avg2(L, T).astype(np.int32)
-        v = a + (a - TL.astype(np.int32)) // 2
+        # (a - b) / 2 with C semantics: truncate toward zero, not floor
+        # (libwebp AddSubtractComponentHalf; differs for negative odd diffs).
+        d = a - TL.astype(np.int32)
+        v = a + np.sign(d) * (np.abs(d) // 2)
         return np.clip(v, 0, 255).astype(np.uint8)
     raise ValueError(f"bad predictor mode {mode}")
 

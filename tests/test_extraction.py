@@ -119,6 +119,28 @@ def test_block_segments_ignores_outside_body():
     assert ex.html_block_segments(html) == [("nav", "n")]
 
 
+def test_block_segments_survives_stray_close_tag():
+    # Real crawled markup: a leading </div> must not poison the depth
+    # counter for the rest of the document.
+    html = (
+        "<html><body></div><div>main</div>"
+        "<section>x</section></body></html>"
+    )
+    assert ex.html_block_segments(html) == [("div", "main"), ("section", "x")]
+
+
+def test_block_segments_self_closing_block():
+    # <section/> opens nothing: following siblings stay top-level.
+    html = "<html><body><section/><div>d</div></body></html>"
+    assert ex.html_block_segments(html) == [("section", ""), ("div", "d")]
+    # Nested self-closed block doesn't change depth either.
+    html2 = "<html><body><div>a<aside/>b</div><nav>n</nav></body></html>"
+    assert ex.html_block_segments(html2) == [
+        ("div", "a<aside/>b"),
+        ("nav", "n"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # markup-safety guard
 
@@ -162,6 +184,53 @@ def test_pdf_stream_is_shuffled_but_roundtrips():
 def test_pdf_guard_raises_on_oversized_text():
     with pytest.raises(ValueError, match="synthetic single-page layout"):
         ex._pdf_runs_for_text("x" * (ex._PDF_MAX_CHARS + 1))
+
+
+def test_pdf_guard_raises_on_parentheses():
+    # The minimal (...) Tj grammar has no escapes: ')' truncates the
+    # run match silently — the guard must be loud instead.
+    with pytest.raises(ValueError, match="parentheses"):
+        ex._pdf_runs_for_text("(c) 2024 rights reserved")
+    with pytest.raises(ValueError, match="parentheses"):
+        ex._pdf_runs_for_text("open ( only")
+
+
+def test_pdf_page_text_keeps_zero_run_docs(ray_session, tmp_path):
+    # An empty-text doc synthesizes zero runs; op AND oracle must both
+    # keep it as (n_runs=0, page_text='') — previously the oracle's
+    # plain GROUP BY dropped the row.
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import docs_pdf_page_text, pdf_page_text_sql
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["", "hello world"]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = (
+        docs_pdf_page_text(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(pdf_page_text_sql()).df().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_runs"].tolist() == [0, 1]
+    assert out["page_text"].tolist() == ["", "hello world"]
+    assert exp["doc_id"].tolist() == out["doc_id"].tolist()
+    assert exp["n_runs"].tolist() == out["n_runs"].tolist()
+    assert exp["page_text"].tolist() == out["page_text"].tolist()
 
 
 def test_pdf_parse_batch_matches_synth():

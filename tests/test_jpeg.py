@@ -43,6 +43,20 @@ def test_roundtrip_smooth_rgb_tight():
     assert err.mean() < 1.0
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # ISO 10918-1 B.1.1.2: any marker may be preceded by 0xFF fill
+    # bytes. Insert one before the first DQT and decode identically.
+    img = _gradient_rgb(16, 24)
+    data = encode_jpeg(img, quality=90)
+    dqt = data.index(b"\xff\xdb")
+    padded = data[:dqt] + b"\xff" + data[dqt:]
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(data))
+    # Fill bytes before EOI (i.e. right after the scan data) too.
+    eoi = data.rindex(b"\xff\xd9")
+    padded2 = data[:eoi] + b"\xff\xff" + data[eoi:]
+    np.testing.assert_array_equal(decode_jpeg(padded2), decode_jpeg(data))
+
+
 def test_roundtrip_grey_and_channel_one():
     g = _gradient_rgb()[:, :, 0]
     out = decode_jpeg(encode_jpeg(g, quality=95))

@@ -82,6 +82,32 @@ def test_winnow_fingerprint_reference():
     assert set(fp) <= set(hashes)
 
 
+def test_token_class_re_tri_engine_agreement_on_vertical_tab():
+    """TOKEN_CLASS_RE must tokenize identically in Python re, Arrow RE2
+    and DuckDB RE2 — including '\\v', where RE2 '\\S+' disagrees with
+    the explicit class (RE2 \\s excludes \\v). Pins the simhash oracle
+    CTE to the shared class."""
+    import re
+
+    import duckdb
+
+    from ocrs_ray.ops.registry import _SIMHASH_CTE
+    from ocrs_ray.ops.text import TOKEN_CLASS_RE
+
+    text = "a\vb c d\te"
+    py = re.findall(TOKEN_CLASS_RE, text)
+    assert py == ["a", "b c", "d", "e"]  # \v splits, NBSP doesn't
+    duck = duckdb.connect().execute(
+        "SELECT regexp_extract_all(?, ?)", [text, TOKEN_CLASS_RE]
+    ).fetchone()[0]
+    assert duck == py
+    # And RE2 \S+ really does differ on \v — the drift the CTE had.
+    assert duckdb.connect().execute(
+        r"SELECT regexp_extract_all(?, '\S+')", [text]
+    ).fetchone()[0] != py
+    assert TOKEN_CLASS_RE in _SIMHASH_CTE
+
+
 def test_simhash_hamming_tracks_similarity():
     """SimHash of near-identical docs differs in few bits; unrelated
     docs in ~32 of 64 bits."""

@@ -118,6 +118,22 @@ def test_roundtrip_all_14_predictor_modes(rng):
         _rt(img, predictor=mode)
 
 
+def test_predictor13_truncates_toward_zero():
+    # ClampAddSubtractHalf: a + (a-b)/2 with C division (truncate
+    # toward zero). a=Average2(L,T)=10, b=TL=13 -> 10 + trunc(-3/2)
+    # = 9; numpy floor division would give 8.
+    from ocrs_ray.webp import _predict
+
+    L = np.array([10, 10, 10, 10], dtype=np.uint8)
+    T = np.array([10, 10, 10, 10], dtype=np.uint8)
+    TL = np.array([13, 13, 13, 13], dtype=np.uint8)
+    TR = np.zeros(4, dtype=np.uint8)
+    assert _predict(13, L, T, TL, TR).tolist() == [9, 9, 9, 9]
+    # Positive diff unchanged: a=20, b=13 -> 20 + 3 = 23.
+    L2 = T2 = np.full(4, 20, dtype=np.uint8)
+    assert _predict(13, L2, T2, TL, TR).tolist() == [23, 23, 23, 23]
+
+
 def test_roundtrip_transform_combinations(rng):
     img = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
     _rt(img, subtract_green=True)
