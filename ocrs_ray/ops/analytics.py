@@ -45,6 +45,7 @@ __all__ = [
     "events_user_ntile",
     "events_user_unpivot",
     "distinct_user_event_types",
+    "source_distinct_shingles",
     "docs_token_entropy",
     "docs_length_histogram",
     "bm25_topk",
@@ -2212,6 +2213,113 @@ def distinct_user_event_types(sf_dir: str, partitions: int = 8) -> rd.Dataset:
     return ds.repartition(partitions, keys=["user_id"]).map_batches(
         local_distinct, batch_format="pandas", batch_size=None
     )
+
+
+def source_distinct_shingles(
+    sf_dir: str, k: int = 3, partitions: int | None = None
+) -> rd.Dataset:
+    """Exact distinct word-k-gram count per source via VALUE-SALTED
+    two-phase aggregation — the explicit hot-key (skew) pattern.
+
+    COUNT(DISTINCT x) GROUP BY key is not algebraic: a naive key
+    shuffle ships every distinct (key, x) pair of a hot key to ONE
+    worker (a source owning 60% of a crawl owns ~60% of the pairs —
+    that partition's heap scales with the corpus). Salting by a hash
+    of the VALUE instead (bucket = md5(shingle) % B) makes buckets
+    partition the shingle space: per-bucket distinct counts are
+    disjoint and SUM exactly, so the hot group spreads evenly over
+    all B partitions and per-task memory is bounded by |vocab|/B,
+    independent of key skew. Contrast `distinct_user_event_types`,
+    which keys the shuffle on the group key (right for unbounded,
+    unskewed keys; wrong for a bounded hot key space).
+
+    Scale shape: per-block local dedup (combiner, md5 once per
+    distinct shingle) -> one bucket-keyed repartition of distinct
+    (source, bucket, shingle) rows -> per-partition exact distinct
+    counts -> tree-sum over the bounded source key space. Emits
+    (source, n_distinct_shingles).
+    """
+    import hashlib
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    from .text import TOKEN_CLASS_RE
+
+    npart = partitions or max(2, min(16, cluster_ncpu()))
+    # Oversalt: B = 8 x partitions. Bucket values hash to partitions,
+    # so B == npart leaves some partitions with 2 buckets and some
+    # with 0 (measured 2x row imbalance); 8x buckets per partition
+    # smooths the balls-in-bins variance to ~±20%.
+    n_buckets = 8 * npart
+    tok_pat = TOKEN_CLASS_RE
+
+    def _empty_pairs():
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "shingle": pa.array([], type=pa.string()),
+            }
+        )
+
+    def local_shingles(df: pd.DataFrame):
+        if df.empty:
+            return _empty_pairs()
+        tok = re.compile(tok_pat)
+        seen: set[tuple[str, str]] = set()
+        for s, t in zip(df["source"], df["text"]):
+            w = tok.findall(t)
+            for j in range(len(w) - k + 1):
+                seen.add((s, " ".join(w[j : j + k])))
+        if not seen:
+            return _empty_pairs()
+        srcs, shs = zip(*seen)
+        memo: dict[str, int] = {}
+        bks = np.fromiter(
+            (
+                memo.setdefault(
+                    x,
+                    int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+                    % n_buckets,
+                )
+                for x in shs
+            ),
+            dtype="int64",
+            count=len(shs),
+        )
+        return pd.DataFrame(
+            {"source": list(srcs), "bucket": bks, "shingle": list(shs)}
+        )
+
+    def count_distinct(df: pd.DataFrame):
+        if df.empty:
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_distinct_shingles": pa.array([], type=pa.int64()),
+                }
+            )
+        d = df.drop_duplicates(["source", "shingle"])
+        out = d.groupby("source", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "source": out["source"].to_numpy(),
+                "n_distinct_shingles": out["size"].to_numpy(dtype="int64"),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        local_shingles, batch_format="pandas"
+    )
+    enable_hash_shuffle(ds)
+    partials = ds.repartition(npart, keys=["bucket"]).map_batches(
+        count_distinct, batch_format="pandas", batch_size=None
+    )
+    return tree_sum(partials, ["source"], ["n_distinct_shingles"])
 
 
 def events_user_type_sequence(sf_dir: str) -> rd.Dataset:

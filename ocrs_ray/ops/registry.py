@@ -114,6 +114,23 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _source_distinct_shingles_sql(k: int = 3) -> str:
+    """source_distinct_shingles oracle: word k-grams (TOKEN_CLASS_RE
+    tokens, stride 1), exact COUNT(DISTINCT shingle) per source —
+    the op computes this without the hot-key shuffle via value-salted
+    disjoint buckets; the oracle states the plain definition."""
+    concat = " || ' ' || ".join(f"w[j+{i + 1}]" for i in range(k))
+    return (
+        "WITH toks AS (SELECT source, regexp_extract_all(text, "
+        f"'{text.TOKEN_CLASS_RE}') AS w FROM documents), "
+        f"g AS (SELECT source, unnest(list_transform(range(0, "
+        f"greatest(length(w) - {k - 1}, 0)), j -> {concat})) AS shingle "
+        "FROM toks) "
+        "SELECT source, CAST(count(DISTINCT shingle) AS BIGINT) "
+        "AS n_distinct_shingles FROM g GROUP BY source"
+    )
+
+
 def _dup_gram_fraction_sql(n: int = 5) -> str:
     """docs_dup_gram_fraction oracle: word n-grams (whitespace tokens,
     stride 1), a gram is duplicated when it occurs in >= 2 distinct
@@ -329,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_revenue_delta": relational.orders_monthly_revenue_delta,
         "events_value_mad": relational.events_value_mad,
         "distinct_user_event_types": analytics.distinct_user_event_types,
+        "source_distinct_shingles": analytics.source_distinct_shingles,
         "docs_length_histogram": analytics.docs_length_histogram,
         "bm25_topk": analytics.bm25_topk,
         # mergeable sketches
@@ -764,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_user_event_types": (
             "SELECT DISTINCT user_id, event_type FROM events"
         ),
+        "source_distinct_shingles": _source_distinct_shingles_sql(),
         "events_user_lag_diff": (
             "SELECT event_id, user_id, "
             "CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS dt_us, "

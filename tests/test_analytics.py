@@ -431,3 +431,49 @@ def test_embedding_quantize_int8_bounds(ray_session):
     den = np.linalg.norm(deq, axis=1) * np.linalg.norm(mat, axis=1)
     nz = den > 0
     assert (num[nz] / den[nz] >= 0.999).all()
+
+
+def test_source_distinct_shingles_exact_under_hot_key(ray_session, tmp_path):
+    """The value-salted two-phase distinct count stays EXACT when one
+    source owns most of the corpus — the hot-key case a group-keyed
+    shuffle would concentrate on one worker. Compared against a
+    single-process set-based reference on a skewed synthetic corpus."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.analytics import source_distinct_shingles
+    from ocrs_ray.ops.text import TOKEN_CLASS_RE
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    vocab = np.array([f"w{i:03d}" for i in range(300)])
+    hot = rng.random(n) < 0.7  # one source owns 70% of docs
+    sources = np.where(
+        hot, "hot", np.char.add("cold", rng.integers(0, 5, n).astype(str))
+    )
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), 20)]) for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "source": pa.array(sources.tolist(), type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    tok = re.compile(TOKEN_CLASS_RE)
+    ref: dict[str, set] = {}
+    for s, t in zip(sources, texts):
+        w = tok.findall(t)
+        sset = ref.setdefault(s, set())
+        for j in range(len(w) - 2):
+            sset.add(" ".join(w[j : j + 3]))
+    out = source_distinct_shingles(str(tmp_path)).to_pandas()
+    got = dict(zip(out["source"], out["n_distinct_shingles"]))
+    assert got == {s: len(v) for s, v in ref.items()}
+    assert got["hot"] > max(v for k, v in got.items() if k != "hot")
