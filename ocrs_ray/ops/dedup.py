@@ -46,6 +46,7 @@ __all__ = [
     "repeated_substring_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
+    "snapshot_new_texts",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1057,6 +1058,218 @@ def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
     return tagged.repartition(npart, keys=["doc_id"]).map_batches(
         classify, batch_format="pandas", batch_size=None
     )
+
+
+def snapshot_new_texts(
+    sf_dir: str, bloom_bits_per_key: int = 10
+) -> rd.Dataset:
+    """Incremental-ingest text anti-join: the docs of snapshot B (the
+    same deterministic %7/11/13 mutation as `docs_snapshot_diff`)
+    whose text appears NOWHERE in snapshot A — the "only process what
+    is genuinely new" gate an incremental embed/dedup/extract run puts
+    in front of itself. Emits (doc_id, status).
+
+    Scale shape — a corpus-vs-corpus ANTI-join made overlap-
+    proportional with two distributed Blooms (digests only, text
+    never leaves its block):
+
+    1. a Bloom over A's text digests ROUTES B: misses are DEFINITELY
+       new (Blooms have no false negatives) and bypass the shuffle
+       entirely; only B's maybe-duplicate subset enters the verify.
+    2. a Bloom over B's digests PRUNES A: only A rows whose digest
+       might collide with B enter the verify shuffle.
+
+    The exact verify is one digest-keyed tagged-union cogroup over the
+    two pruned sides, so shuffle volume is O(|A ∩ B| + fp), not
+    O(|A| + |B|). Costs three streaming passes over B (Bloom build,
+    miss route, hit route) — each a pushdown 2-column read + md5,
+    cheap next to the shuffle they avoid. B derives from A per the
+    shared mutation so the oracle closes over the same parquet;
+    production reads a second snapshot scan. Both Blooms size from the
+    measured corpus count (~10 bits/key -> ~1% fp at k=5). Builder is
+    EAGER (Bloom builds run when called — see CLAUDE.md timing note).
+    """
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    from .sketch import build_bloom
+
+    npart = max(2, min(16, cluster_ncpu()))
+    n_docs = max(1, read_documents(sf_dir, ["doc_id"]).count())
+    n_bits = 1 << min(
+        30, max(20, int(np.ceil(np.log2(bloom_bits_per_key * n_docs))))
+    )
+
+    def _empty_b() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "status": pa.array([], type=pa.string()),
+                "h": pa.array([], type=pa.string()),
+                "h64": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def a_sigs(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.string()),
+                    "h64": pa.array([], type=pa.int64()),
+                }
+            )
+        digs = [
+            hashlib.md5(t.encode("utf-8")).digest()
+            for t in pd.unique(df["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "h": [d.hex() for d in digs],
+                "h64": np.array(
+                    [int.from_bytes(d[:8], "big", signed=True) for d in digs],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def b_rows(df: pd.DataFrame):
+        if df.empty:
+            return _empty_b()
+        ids = df["doc_id"].to_numpy()
+        texts = df["text"].to_numpy()
+        ch = (ids % 7 != 0) & (ids % 11 == 0)
+        ad = ids % 13 == 0
+        out_ids = np.concatenate([ids[ch], ids[ad] + 10_000_000]).astype(
+            "int64"
+        )
+        if not len(out_ids):
+            return _empty_b()
+        out_status = ["changed"] * int(ch.sum()) + ["added"] * int(ad.sum())
+        digs = [
+            hashlib.md5(t.encode("utf-8")).digest()
+            for t in ["rev2 " + t for t in texts[ch]] + list(texts[ad])
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "status": out_status,
+                "h": [d.hex() for d in digs],
+                "h64": np.array(
+                    [int.from_bytes(d[:8], "big", signed=True) for d in digs],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    bloom_a_ref = ray.put(
+        build_bloom(docs.map_batches(a_sigs, batch_format="pandas"), "h64", n_bits)
+    )
+    bloom_b_ref = ray.put(
+        build_bloom(docs.map_batches(b_rows, batch_format="pandas"), "h64", n_bits)
+    )
+
+    def _empty_tagged() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "status": pa.array([], type=pa.string()),
+                "h": pa.array([], type=pa.string()),
+                "h64": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int64()),
+            }
+        )
+
+    # Bloom probes run as STATELESS task UDFs, not actor pools: three
+    # concurrent pools would eat the small-fixture CPU budget (see the
+    # CLAUDE.md deadlock note), and ray.get of the broadcast filter is
+    # zero-copy from the local object store per task.
+    def _route_b(df: pd.DataFrame, ref=None, keep_hits=True):
+        if df.empty:
+            return _empty_b()
+        bf = ray.get(ref)
+        hit = bf.contains(df["h64"].to_numpy())
+        out = df.loc[hit if keep_hits else ~hit]
+        return out.reset_index(drop=True) if len(out) else _empty_b()
+
+    definitely_new = (
+        docs.map_batches(b_rows, batch_format="pandas")
+        .map_batches(
+            _route_b,
+            fn_kwargs={"ref": bloom_a_ref, "keep_hits": False},
+            batch_format="pandas",
+        )
+        .select_columns(["doc_id", "status"])
+    )
+
+    def tag_b(df: pd.DataFrame):
+        if df.empty:
+            return _empty_tagged()
+        out = df.copy()
+        out["side"] = np.ones(len(df), dtype="int64")
+        return out
+
+    def _prune_tag_a(df: pd.DataFrame, ref=None):
+        """Keep A digests that might collide with B, tagged side=0."""
+        if df.empty:
+            return _empty_tagged()
+        bf = ray.get(ref)
+        keep = df.loc[bf.contains(df["h64"].to_numpy())]
+        if keep.empty:
+            return _empty_tagged()
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(keep), -1, dtype="int64"),
+                "status": [""] * len(keep),
+                "h": keep["h"].to_numpy(),
+                "h64": keep["h64"].to_numpy(dtype="int64"),
+                "side": np.zeros(len(keep), dtype="int64"),
+            }
+        )
+
+    b_cand = (
+        docs.map_batches(b_rows, batch_format="pandas")
+        .map_batches(
+            _route_b,
+            fn_kwargs={"ref": bloom_a_ref, "keep_hits": True},
+            batch_format="pandas",
+        )
+        .map_batches(tag_b, batch_format="pandas")
+    )
+    a_pruned = docs.map_batches(a_sigs, batch_format="pandas").map_batches(
+        _prune_tag_a, fn_kwargs={"ref": bloom_b_ref}, batch_format="pandas"
+    )
+
+    def anti(df: pd.DataFrame):
+        if df.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "status": pa.array([], type=pa.string()),
+                }
+            )
+        seen = set(df.loc[df["side"] == 0, "h"])
+        keep = df.loc[
+            (df["side"] == 1) & ~df["h"].isin(seen), ["doc_id", "status"]
+        ]
+        if keep.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "status": pa.array([], type=pa.string()),
+                }
+            )
+        return keep.reset_index(drop=True)
+
+    merged = b_cand.union(a_pruned)
+    enable_hash_shuffle(merged)
+    verified_new = merged.repartition(npart, keys=["h"]).map_batches(
+        anti, batch_format="pandas", batch_size=None
+    )
+    out = definitely_new.union(verified_new)
+    # The final union snapshots ITS context; the keyed repartition above
+    # plans under it at execution time (CLAUDE.md hash-shuffle note).
+    enable_hash_shuffle(out)
+    return out
 
 
 def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:

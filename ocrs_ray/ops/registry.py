@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": dedup.simhash64,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "docs_snapshot_diff": dedup.docs_snapshot_diff,
+        "snapshot_new_texts": dedup.snapshot_new_texts,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # Sub-quadratic approximate path (hyperplane-LSH banding +
         # exact per-bucket cosine verify): rows-only by design (recall
@@ -1153,6 +1154,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, status FROM f "
             "WHERE status != 'unchanged'"
+        ),
+        "snapshot_new_texts": (
+            "WITH b AS (SELECT doc_id, 'rev2 ' || text AS text, "
+            "'changed' AS status FROM documents "
+            "WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0 "
+            "UNION ALL SELECT doc_id + 10000000 AS doc_id, text, "
+            "'added' AS status FROM documents WHERE doc_id % 13 = 0) "
+            "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.status FROM b "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents d "
+            "WHERE d.text = b.text)"
         ),
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),

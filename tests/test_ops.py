@@ -824,3 +824,22 @@ def test_pii_patterns_kernel():
         "no pii here",
         "ip <IP> only",
     ]
+
+
+def test_snapshot_new_texts_anti_join(ray_session):
+    """Bloom-routed corpus-vs-corpus anti-join: snapshot B docs whose
+    text exists nowhere in A. On this corpus every 'changed' doc gets
+    a brand-new ('rev2 '-prefixed) text and every 'added' doc re-uses
+    an existing text, so the output is exactly the changed set —
+    misses flow through the definitely-new fast path, re-ingested
+    copies hit the A-Bloom and are dropped by the exact verify."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.dedup import snapshot_new_texts
+
+    out = snapshot_new_texts(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = docs.column("doc_id").to_numpy()
+    expected = np.sort(ids[(ids % 7 != 0) & (ids % 11 == 0)])
+    assert (out["status"] == "changed").all()
+    assert np.array_equal(np.sort(out["doc_id"].to_numpy()), expected)
