@@ -15,7 +15,7 @@ real-user gap for baseline sequential JPEGs:
   factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple
   DHT/DQT segments. Arithmetic coding, hierarchical modes, 12-bit, and
   CMYK raise NotImplementedError cleanly.
-- encode: baseline sequential, 4:4:4 (no subsampling), Annex-K standard
+- encode: baseline sequential, 4:4:4 or 4:2:0 (box-averaged chroma), Annex-K standard
   quantization (quality-scaled, IJG curve) and Huffman tables — valid
   input for any decoder and the fixture generator for the tests.
 
@@ -250,17 +250,41 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (H, W) or (H, W, 1|3) uint8 array as baseline 4:4:4
-    JPEG with Annex-K standard tables (quality-scaled)."""
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average chroma subsampling (odd dims edge-replicated)."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        padded = np.empty((h + h % 2, w + w % 2), dtype=plane.dtype)
+        padded[:h, :w] = plane
+        if h % 2:
+            padded[h, :w] = plane[h - 1]
+        if w % 2:
+            padded[:, w] = padded[:, w - 1]
+        plane = padded
+    return plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2).mean(
+        axis=(1, 3)
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode an (H, W) or (H, W, 1|3) uint8 array as baseline JPEG
+    with Annex-K standard tables (quality-scaled). `subsampling` is
+    "444" (one block grid for all components) or "420" (2x2-sampled
+    luma MCUs with box-averaged chroma — the ubiquitous photo layout,
+    and the round-trip pin for the decoder's sampling-2 path)."""
     if img.dtype != np.uint8:
         raise ValueError(f"encode_jpeg wants uint8, got {img.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling: {subsampling}")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     grey = img.ndim == 2
     if not grey and img.shape[2] != 3:
         raise ValueError(f"unsupported channel count: {img.shape[2]}")
     h, w = img.shape[:2]
+    sub = subsampling == "420" and not grey
 
     qt_l = _quality_scale(QT_LUMA, quality)
     qt_c = _quality_scale(QT_CHROMA, quality)
@@ -269,7 +293,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         if grey
         else [p for p in np.moveaxis(_rgb_to_ycbcr(img), 2, 0)]
     )
+    if sub:
+        planes = [planes[0], _subsample2(planes[1]), _subsample2(planes[2])]
     qts = [qt_l] + ([qt_c, qt_c] if not grey else [])
+    # (hi, vi) per component; MCU grid from the max factors.
+    samps = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     dc_tabs = [_huff_codes(*HUFF_DC_LUMA)] + (
         [_huff_codes(*HUFF_DC_CHROMA)] * 2 if not grey else []
@@ -278,47 +310,72 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         [_huff_codes(*HUFF_AC_CHROMA)] * 2 if not grey else []
     )
 
-    # Quantize all components up front (4:4:4 -> same block grid).
+    # Quantize all components up front. Each component's block grid is
+    # padded to the full MCU extent (mcuy*vi x mcux*hi blocks) so the
+    # interleaved scan below can index blocks uniformly.
     comp_coeffs = []
-    for plane, qt in zip(planes, qts):
-        blocks, bh, bw = _to_blocks(plane - 128.0)
-        coefs = _fdct_blocks(blocks)
+    comp_bw = []
+    for plane, qt, (hi, vi) in zip(planes, qts, samps):
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        ph, pw = plane.shape
+        padded = np.empty((gh, gw), dtype=np.float64)
+        padded[:ph, :pw] = plane
+        padded[ph:, :pw] = padded[ph - 1 : ph, :pw]
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        blocks = (
+            padded.reshape(gh // 8, 8, gw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = _fdct_blocks(blocks - 128.0)
         q = np.rint(coefs / qt.reshape(8, 8)).astype(np.int64)
         comp_coeffs.append(q.reshape(-1, 64)[:, ZIGZAG])
+        comp_bw.append(gw // 8)
 
     bw_ = _BitWriter()
     prev_dc = [0] * len(planes)
-    n_blocks = comp_coeffs[0].shape[0]
-    for bi in range(n_blocks):
-        for ci, coefs in enumerate(comp_coeffs):
-            z = coefs[bi]
-            diff = int(z[0]) - prev_dc[ci]
-            prev_dc[ci] = int(z[0])
-            cat, bits = _magnitude(diff)
-            code, length = dc_tabs[ci][cat]
+    # Interleaved MCU scan: per MCU, each component contributes its
+    # vi x hi raster of blocks (B.2.3) — for 4:4:4 this degenerates to
+    # one block per component in raster order.
+    scan_order: list[tuple[int, int]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samps):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        scan_order.append(
+                            (ci, (my * vi + dy) * comp_bw[ci] + mx * hi + dx)
+                        )
+    for ci, bi in scan_order:
+        coefs = comp_coeffs[ci]
+        z = coefs[bi]
+        diff = int(z[0]) - prev_dc[ci]
+        prev_dc[ci] = int(z[0])
+        cat, bits = _magnitude(diff)
+        code, length = dc_tabs[ci][cat]
+        bw_.write(code, length)
+        if cat:
+            bw_.write(bits, cat)
+        run = 0
+        nz = np.nonzero(z[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tabs[ci][0xF0]  # ZRL
+                bw_.write(code, length)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, length = ac_tabs[ci][(run << 4) | cat]
             bw_.write(code, length)
-            if cat:
-                bw_.write(bits, cat)
+            bw_.write(bits, cat)
             run = 0
-            nz = np.nonzero(z[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(z[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_tabs[ci][0xF0]  # ZRL
-                    bw_.write(code, length)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                code, length = ac_tabs[ci][(run << 4) | cat]
-                bw_.write(code, length)
-                bw_.write(bits, cat)
-                run = 0
-            if last < 63:
-                code, length = ac_tabs[ci][0x00]  # EOB
-                bw_.write(code, length)
+        if last < 63:
+            code, length = ac_tabs[ci][0x00]  # EOB
+            bw_.write(code, length)
     scan = bw_.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -332,7 +389,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ncomp = 1 if grey else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     # DHT
     tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
     if not grey:
