@@ -217,17 +217,6 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     return np.einsum("ij,njk,lk->nil", _T, plane, _T)
 
 
-def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    h, w = plane.shape
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=plane.dtype)
-    padded[:h, :w] = plane
-    padded[h:, :w] = plane[h - 1 :, :]  # edge replicate
-    padded[:, w:] = padded[:, w - 1 : w]
-    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks, bh, bw
-
-
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)

@@ -2276,18 +2276,18 @@ def source_distinct_shingles(
         if not seen:
             return _empty_pairs()
         srcs, shs = zip(*seen)
+        # NOT setdefault: it evaluates the md5 eagerly on every call,
+        # caching nothing — the explicit miss check really does hash
+        # once per distinct shingle.
         memo: dict[str, int] = {}
-        bks = np.fromiter(
-            (
-                memo.setdefault(
-                    x,
+        for x in shs:
+            if x not in memo:
+                memo[x] = (
                     int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
-                    % n_buckets,
+                    % n_buckets
                 )
-                for x in shs
-            ),
-            dtype="int64",
-            count=len(shs),
+        bks = np.fromiter(
+            (memo[x] for x in shs), dtype="int64", count=len(shs)
         )
         return pd.DataFrame(
             {"source": list(srcs), "bucket": bks, "shingle": list(shs)}

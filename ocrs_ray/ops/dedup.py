@@ -972,6 +972,41 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Snapshot-B mutation — the ONE source of truth for the deterministic
+# in-flight mutation every snapshot op shares (docs_snapshot_diff,
+# snapshot_new_texts, extraction.web_extract_incremental, and their
+# SQL oracles render from these): docs with doc_id % DEL == 0 are
+# deleted, surviving doc_id % CHG == 0 get SNAPSHOT_REV_PREFIX
+# prepended, doc_id % ADD == 0 re-ingest under id + SNAPSHOT_ID_OFFSET.
+SNAPSHOT_DEL_MOD = 7
+SNAPSHOT_CHG_MOD = 11
+SNAPSHOT_ADD_MOD = 13
+SNAPSHOT_REV_PREFIX = "rev2 "
+SNAPSHOT_ID_OFFSET = 10_000_000
+
+
+def snapshot_changed_mask(ids: np.ndarray) -> np.ndarray:
+    return (ids % SNAPSHOT_DEL_MOD != 0) & (ids % SNAPSHOT_CHG_MOD == 0)
+
+
+def snapshot_added_mask(ids: np.ndarray) -> np.ndarray:
+    return ids % SNAPSHOT_ADD_MOD == 0
+
+
+def snapshot_b_sql_cte(extra_cols: str = "") -> str:
+    """The snapshot-B churn set as a SQL CTE body (changed + added
+    rows with status), rendered from the shared constants."""
+    return (
+        f"SELECT doc_id, '{SNAPSHOT_REV_PREFIX}' || text AS text"
+        f"{extra_cols}, 'changed' AS status FROM documents "
+        f"WHERE doc_id % {SNAPSHOT_DEL_MOD} <> 0 "
+        f"AND doc_id % {SNAPSHOT_CHG_MOD} = 0 "
+        f"UNION ALL SELECT doc_id + {SNAPSHOT_ID_OFFSET} AS doc_id, text"
+        f"{extra_cols}, 'added' AS status FROM documents "
+        f"WHERE doc_id % {SNAPSHOT_ADD_MOD} = 0"
+    )
+
+
 def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
     """Corpus snapshot diff — the incremental-ingest primitive: compare
     snapshot A (the documents table) against snapshot B (a
@@ -1008,15 +1043,17 @@ def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
     def side_b(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_numpy()
-        keep = ids % 7 != 0
-        changed = keep & (ids % 11 == 0)
+        keep = ids % SNAPSHOT_DEL_MOD != 0
+        changed = snapshot_changed_mask(ids)
         out_ids = ids[keep].tolist()
         out_h = [
-            hashlib.md5((("rev2 " + t) if c else t).encode("utf-8")).hexdigest()
+            hashlib.md5(
+                ((SNAPSHOT_REV_PREFIX + t) if c else t).encode("utf-8")
+            ).hexdigest()
             for t, c in zip(texts[keep], changed[keep])
         ]
-        new_mask = ids % 13 == 0
-        out_ids += (ids[new_mask] + 10_000_000).tolist()
+        new_mask = snapshot_added_mask(ids)
+        out_ids += (ids[new_mask] + SNAPSHOT_ID_OFFSET).tolist()
         out_h += [
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts[new_mask]
         ]
@@ -1136,17 +1173,18 @@ def snapshot_new_texts(
             return _empty_b()
         ids = df["doc_id"].to_numpy()
         texts = df["text"].to_numpy()
-        ch = (ids % 7 != 0) & (ids % 11 == 0)
-        ad = ids % 13 == 0
-        out_ids = np.concatenate([ids[ch], ids[ad] + 10_000_000]).astype(
-            "int64"
-        )
+        ch = snapshot_changed_mask(ids)
+        ad = snapshot_added_mask(ids)
+        out_ids = np.concatenate(
+            [ids[ch], ids[ad] + SNAPSHOT_ID_OFFSET]
+        ).astype("int64")
         if not len(out_ids):
             return _empty_b()
         out_status = ["changed"] * int(ch.sum()) + ["added"] * int(ad.sum())
         digs = [
             hashlib.md5(t.encode("utf-8")).digest()
-            for t in ["rev2 " + t for t in texts[ch]] + list(texts[ad])
+            for t in [SNAPSHOT_REV_PREFIX + t for t in texts[ch]]
+            + list(texts[ad])
         ]
         return pd.DataFrame(
             {
@@ -1169,12 +1207,13 @@ def snapshot_new_texts(
     )
 
     def _empty_tagged() -> pa.Table:
+        # No h64: the Bloom probes are done by this point and the
+        # verify keys on h alone — don't pay 8 B/row of shuffle.
         return pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
                 "status": pa.array([], type=pa.string()),
                 "h": pa.array([], type=pa.string()),
-                "h64": pa.array([], type=pa.int64()),
                 "side": pa.array([], type=pa.int64()),
             }
         )
@@ -1204,9 +1243,14 @@ def snapshot_new_texts(
     def tag_b(df: pd.DataFrame):
         if df.empty:
             return _empty_tagged()
-        out = df.copy()
-        out["side"] = np.ones(len(df), dtype="int64")
-        return out
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "status": df["status"].to_numpy(),
+                "h": df["h"].to_numpy(),
+                "side": np.ones(len(df), dtype="int64"),
+            }
+        )
 
     def _prune_tag_a(df: pd.DataFrame, ref=None):
         """Keep A digests that might collide with B, tagged side=0."""
@@ -1221,7 +1265,6 @@ def snapshot_new_texts(
                 "doc_id": np.full(len(keep), -1, dtype="int64"),
                 "status": [""] * len(keep),
                 "h": keep["h"].to_numpy(),
-                "h64": keep["h64"].to_numpy(dtype="int64"),
                 "side": np.zeros(len(keep), dtype="int64"),
             }
         )

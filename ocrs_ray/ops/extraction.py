@@ -1209,18 +1209,25 @@ def web_extract_incremental(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    from .dedup import (
+        SNAPSHOT_ID_OFFSET,
+        SNAPSHOT_REV_PREFIX,
+        snapshot_added_mask,
+        snapshot_changed_mask,
+    )
+
     def inc(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         ids = df["doc_id"].to_numpy()
-        ch = (ids % 7 != 0) & (ids % 11 == 0)
-        ad = ids % 13 == 0
+        ch = snapshot_changed_mask(ids)
+        ad = snapshot_added_mask(ids)
         sub = pd.DataFrame(
             {
                 "doc_id": np.concatenate(
-                    [ids[ch], ids[ad] + 10_000_000]
+                    [ids[ch], ids[ad] + SNAPSHOT_ID_OFFSET]
                 ).astype("int64"),
                 "text": (
-                    ("rev2 " + df.loc[ch, "text"]).tolist()
+                    (SNAPSHOT_REV_PREFIX + df.loc[ch, "text"]).tolist()
                     + df.loc[ad, "text"].tolist()
                 ),
                 "lang": df.loc[ch, "lang"].tolist() + df.loc[ad, "lang"].tolist(),
@@ -1261,13 +1268,10 @@ def web_extract_incremental(sf_dir: str) -> rd.Dataset:
 def web_extract_incremental_sql() -> str:
     """Oracle: build the mutated snapshot-B churn set in SQL, run the
     SAME page synthesis + block scoring over it."""
+    from .dedup import snapshot_b_sql_cte
+
     b_cte = (
-        "WITH b AS ("
-        "SELECT doc_id, 'rev2 ' || text AS text, lang, source, "
-        "'changed' AS status FROM documents "
-        "WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0 "
-        "UNION ALL SELECT doc_id + 10000000 AS doc_id, text, lang, "
-        "source, 'added' FROM documents WHERE doc_id % 13 = 0), "
+        f"WITH b AS ({snapshot_b_sql_cte(extra_cols=', lang, source')}), "
         f"pages AS (SELECT doc_id, {synth_html_sql()} AS h FROM b)"
     )
     return (

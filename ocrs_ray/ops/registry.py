@@ -1140,13 +1140,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh"
         ),
         "simhash_neardup_pairs": _simhash_pairs_sql(),
+        # Both snapshot oracles render from dedup's shared mutation
+        # constants — the one source of truth for snapshot B.
         "docs_snapshot_diff": (
             "WITH a AS (SELECT doc_id, md5(text) AS h FROM documents), "
-            "b AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
-            "THEN md5('rev2 ' || text) ELSE md5(text) END AS h "
-            "FROM documents WHERE doc_id % 7 != 0 "
-            "UNION ALL SELECT doc_id + 10000000 AS doc_id, md5(text) AS h "
-            "FROM documents WHERE doc_id % 13 = 0), "
+            f"b AS (SELECT doc_id, CASE WHEN doc_id % {dedup.SNAPSHOT_CHG_MOD} = 0 "
+            f"THEN md5('{dedup.SNAPSHOT_REV_PREFIX}' || text) ELSE md5(text) END AS h "
+            f"FROM documents WHERE doc_id % {dedup.SNAPSHOT_DEL_MOD} != 0 "
+            f"UNION ALL SELECT doc_id + {dedup.SNAPSHOT_ID_OFFSET} AS doc_id, "
+            f"md5(text) AS h FROM documents WHERE doc_id % {dedup.SNAPSHOT_ADD_MOD} = 0), "
             "f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
             "CASE WHEN b.doc_id IS NULL THEN 'removed' "
             "WHEN a.doc_id IS NULL THEN 'added' "
@@ -1156,11 +1158,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE status != 'unchanged'"
         ),
         "snapshot_new_texts": (
-            "WITH b AS (SELECT doc_id, 'rev2 ' || text AS text, "
-            "'changed' AS status FROM documents "
-            "WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0 "
-            "UNION ALL SELECT doc_id + 10000000 AS doc_id, text, "
-            "'added' AS status FROM documents WHERE doc_id % 13 = 0) "
+            f"WITH b AS ({dedup.snapshot_b_sql_cte()}) "
             "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.status FROM b "
             "WHERE NOT EXISTS (SELECT 1 FROM documents d "
             "WHERE d.text = b.text)"
