@@ -127,3 +127,45 @@ def test_torn_manifest_line_is_uncommitted(tmp_path):
         fh.write('{"fragment_id": 1, "rows":')  # torn write, no newline
     assert m.committed() == {0}
     assert m.attempts(1) == 0
+
+
+def test_job_cli_submit_and_resume(corpus, tmp_path):
+    """The `python -m ocrs_ray.job` entrypoint (the `ray job submit`
+    command line): a killed submission exits nonzero after committing
+    partial shards; re-submitting the SAME command resumes, skips the
+    committed partitions, and the final stdout line is one parseable
+    JSON record — the job-level contract the north rule's multi-node
+    deployment relies on."""
+    import subprocess
+    import sys
+
+    out_root = str(tmp_path / "out")
+    cmd = [
+        sys.executable, "-m", "ocrs_ray.job",
+        "--spans", corpus["spans"], "--media", corpus["media"],
+        "--out", out_root, "--num-shards", "4", "--num-cpus", "4",
+    ]
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "RAY_ADDRESS": "local"}
+    first = subprocess.run(
+        cmd + ["--fail-after-shards", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert first.returncode != 0
+    from ocrs_ray.state import Manifest
+
+    assert len(Manifest(out_root).committed()) == 2
+
+    second = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert second.returncode == 0, second.stderr[-2000:]
+    record = json.loads(second.stdout.strip().splitlines()[-1])
+    assert record["shards_skipped"] == 2
+    assert record["shards_done"] == 2
+    assert len(Manifest(out_root).committed()) == 4
+    # Exactly-once output across the kill/resume pair.
+    got = _output_docs(out_root)
+    assert len(got) == N_DOCS
+    assert got == _expected_docs(corpus)
