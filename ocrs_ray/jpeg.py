@@ -15,7 +15,8 @@ real-user gap for baseline sequential JPEGs:
   factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple
   DHT/DQT segments. Arithmetic coding, hierarchical modes, 12-bit, and
   CMYK raise NotImplementedError cleanly.
-- encode: baseline sequential, 4:4:4 or 4:2:0 (box-averaged chroma), Annex-K standard
+- encode: baseline sequential, 4:4:4 / 4:2:2 / 4:2:0 (box-averaged
+  chroma), Annex-K standard
   quantization (quality-scaled, IJG curve) and Huffman tables — valid
   input for any decoder and the fixture generator for the tests.
 
@@ -239,20 +240,19 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def _subsample2(plane: np.ndarray) -> np.ndarray:
-    """2x2 box-average chroma subsampling (odd dims edge-replicated)."""
+def _subsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx box-average chroma subsampling (odd dims edge-replicated)."""
     h, w = plane.shape
-    if h % 2 or w % 2:
-        padded = np.empty((h + h % 2, w + w % 2), dtype=plane.dtype)
+    if h % fy or w % fx:
+        ph, pw = h + (-h % fy), w + (-w % fx)
+        padded = np.empty((ph, pw), dtype=plane.dtype)
         padded[:h, :w] = plane
-        if h % 2:
-            padded[h, :w] = plane[h - 1]
-        if w % 2:
-            padded[:, w] = padded[:, w - 1]
+        padded[h:, :w] = plane[h - 1 :, :]
+        padded[:, w:] = padded[:, w - 1 : w]
         plane = padded
-    return plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2).mean(
-        axis=(1, 3)
-    )
+    return plane.reshape(
+        plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+    ).mean(axis=(1, 3))
 
 
 def encode_jpeg(
@@ -260,12 +260,13 @@ def encode_jpeg(
 ) -> bytes:
     """Encode an (H, W) or (H, W, 1|3) uint8 array as baseline JPEG
     with Annex-K standard tables (quality-scaled). `subsampling` is
-    "444" (one block grid for all components) or "420" (2x2-sampled
-    luma MCUs with box-averaged chroma — the ubiquitous photo layout,
-    and the round-trip pin for the decoder's sampling-2 path)."""
+    "444" (one block grid for all components), "420" (2x2-sampled
+    luma MCUs with box-averaged chroma — the ubiquitous photo layout)
+    or "422" (horizontal-only) — together the round-trip pins for the
+    decoder's sampling-factor-2 paths."""
     if img.dtype != np.uint8:
         raise ValueError(f"encode_jpeg wants uint8, got {img.dtype}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling: {subsampling}")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
@@ -273,7 +274,8 @@ def encode_jpeg(
     if not grey and img.shape[2] != 3:
         raise ValueError(f"unsupported channel count: {img.shape[2]}")
     h, w = img.shape[:2]
-    sub = subsampling == "420" and not grey
+    sub = subsampling != "444" and not grey
+    fx, fy = (2, 2) if subsampling == "420" else (2, 1)
 
     qt_l = _quality_scale(QT_LUMA, quality)
     qt_c = _quality_scale(QT_CHROMA, quality)
@@ -283,10 +285,14 @@ def encode_jpeg(
         else [p for p in np.moveaxis(_rgb_to_ycbcr(img), 2, 0)]
     )
     if sub:
-        planes = [planes[0], _subsample2(planes[1]), _subsample2(planes[2])]
+        planes = [
+            planes[0],
+            _subsample(planes[1], fy, fx),
+            _subsample(planes[2], fy, fx),
+        ]
     qts = [qt_l] + ([qt_c, qt_c] if not grey else [])
     # (hi, vi) per component; MCU grid from the max factors.
-    samps = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
+    samps = [(fx, fy), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcux = -(-w // (8 * hmax))

@@ -43,31 +43,31 @@ def test_roundtrip_smooth_rgb_tight():
     assert err.mean() < 1.0
 
 
-def test_roundtrip_420_subsampling():
-    # 4:2:0 encode pins the decoder's sampling-2 MCU path (4 Y blocks
-    # + Cb + Cr per MCU, chroma upsampling, odd-size cropping).
-    for hw in [(16, 16), (15, 17), (33, 9), (64, 96)]:
-        img = _gradient_rgb(*hw)
-        out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
-        assert out.shape == img.shape
-        err = np.abs(out.astype(int) - img.astype(int))
-        # Chroma is genuinely half-resolution: bound loosely overall...
-        assert err.mean() < 8.0
-    # ...and tightly when chroma is FLAT (no subsampling information
-    # loss) — any block-order or upsample-alignment bug explodes this.
-    y, x = np.mgrid[0:24, 0:40]
-    g = (x * 255 / 39).astype(np.uint8)
-    flat = np.stack([g, g, g], axis=2)
-    out = decode_jpeg(encode_jpeg(flat, quality=95, subsampling="420"))
-    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
-    # SOF advertises 2x2 luma / 1x1 chroma.
-    data = encode_jpeg(flat, quality=95, subsampling="420")
-    sof = data.index(b"\xff\xc0")
-    assert (data[sof + 11], data[sof + 14], data[sof + 17]) == (
-        0x22,
-        0x11,
-        0x11,
-    )
+def test_roundtrip_subsampled_modes():
+    # 4:2:0 / 4:2:2 encode pin the decoder's sampling-2 MCU paths
+    # (multi-block MCUs, chroma upsampling, odd-size cropping).
+    for ss, y_samp in [("420", 0x22), ("422", 0x21)]:
+        for hw in [(16, 16), (15, 17), (33, 9), (64, 96)]:
+            img = _gradient_rgb(*hw)
+            out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=ss))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(int) - img.astype(int))
+            # Chroma is genuinely sub-resolution: bound loosely here...
+            assert err.mean() < 8.0
+        # ...and tightly when chroma is FLAT (no subsampling loss) —
+        # any block-order or upsample-alignment bug explodes this.
+        y, x = np.mgrid[0:24, 0:40]
+        g = (x * 255 / 39).astype(np.uint8)
+        flat = np.stack([g, g, g], axis=2)
+        out = decode_jpeg(encode_jpeg(flat, quality=95, subsampling=ss))
+        assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+        data = encode_jpeg(flat, quality=95, subsampling=ss)
+        sof = data.index(b"\xff\xc0")
+        assert (data[sof + 11], data[sof + 14], data[sof + 17]) == (
+            y_samp,
+            0x11,
+            0x11,
+        )
 
 
 def test_fill_bytes_before_markers_are_skipped():
