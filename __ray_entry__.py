@@ -459,7 +459,10 @@ _GATE_ORDER = [
     "events_asof_join",
     "events_range_join",
     "events_funnel",
-    "user_retention",
+    # fourth r03 rotation: the Bloom-routed incremental anti-join takes
+    # user_retention's slot (still sweep-verified; events family keeps
+    # five gate rows).
+    "snapshot_new_texts",
     "events_value_quantiles",
     "heavy_hitters_exact",
     "sample_documents",
