@@ -4,9 +4,12 @@ libraries.
 
 Covers the PNG subset the reference's input path needs for its test
 fixtures (/root/reference/ocrs-cli/src/main.rs:312-323 decodes via the
-`image` crate): 8-bit depth, color types 0 (grey), 2 (RGB), 3
-(palette), 4 (grey+alpha), 6 (RGBA), all five scanline filters,
-non-interlaced. Adam7 interlacing and 16-bit depth raise cleanly.
+`image` crate): bit depths 1/2/4/8/16 (16-bit downsamples to the high
+byte — the engine consumes uint8 HWC), color types 0 (grey), 2 (RGB),
+3 (palette), 4 (grey+alpha), 6 (RGBA), all five scanline filters,
+non-interlaced AND Adam7-interlaced (each pass unfiltered
+independently — prev-row state resets per pass — then scattered into
+the canvas on the standard 8x8 grid).
 
 The encoder writes filter-0 rows (always valid PNG; decoders are free
 to re-filter), which also makes encode->decode a bit-exact round trip
@@ -103,6 +106,40 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _expand_rows(
+    rows: np.ndarray, w: int, c: int, depth: int, scale: bool
+) -> np.ndarray:
+    """(h, rowbytes) unfiltered bytes -> (h, w, c) uint8 samples.
+    Sub-8-bit depths unpack MSB-first; 16-bit keeps the big-endian
+    high byte; `scale` stretches sub-8 grey to the full 0-255 range
+    (palette INDICES stay raw)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * c].reshape(h, w, c)
+    if depth == 16:
+        return rows[:, : w * c * 2].reshape(h, w, c, 2)[..., 0]
+    # 1/2/4-bit: always one sample per pixel (grey or palette index).
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (bits.reshape(h, -1, depth) * weights).sum(axis=2).astype(np.uint8)
+    v = v[:, :w]
+    if scale:
+        v = (v * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return v[:, :, None]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to an (H, W, C) uint8 array (C = 1, 2, 3 or 4;
     palette images expand to their palette's channel count)."""
@@ -134,20 +171,44 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"depth {depth} invalid for color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is invalid")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
     c = _CHANNELS[color_type]
-    stride = w * c
+    bpp = max(1, c * depth // 8)  # filter distance in BYTES
+    scale = color_type != 3  # palette indices must stay raw
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    img = _unfilter(raw, h, stride, c).reshape(h, w, c)
+    if interlace == 0:
+        rowbytes = (w * c * depth + 7) // 8
+        if raw.size != h * (rowbytes + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        img = _expand_rows(_unfilter(raw, h, rowbytes, bpp), w, c, depth, scale)
+    else:  # Adam7: each pass is its own independently-filtered image
+        img = np.zeros((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rowbytes = (pw * c * depth + 7) // 8
+            n = ph * (rowbytes + 1)
+            if off + n > raw.size:
+                raise ValueError("PNG interlaced data size mismatch")
+            sub = _unfilter(raw[off : off + n], ph, rowbytes, bpp)
+            off += n
+            img[y0::dy, x0::dx] = _expand_rows(sub, pw, c, depth, scale)
+        if off != raw.size:
+            raise ValueError("PNG interlaced data size mismatch")
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

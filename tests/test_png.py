@@ -156,3 +156,118 @@ def test_decode_media_png_through_engine():
     # container error, not a format gate
     with pytest.raises(ValueError):
         decode_media((b"x" * 16, 1, 1, 1, "webp"))
+
+
+def _chunk(tag, body):
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(
+        ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+    )
+
+
+def _png(ihdr_body, idat_raw, extra=b""):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr_body)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(idat_raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_16bit_depth_downsamples_high_byte():
+    # 16-bit samples v*257 have high byte v -> decode equals v exactly.
+    rng = np.random.default_rng(11)
+    for c, ctype in [(1, 0), (3, 2), (4, 6)]:
+        img8 = rng.integers(0, 256, size=(5, 7, c), dtype=np.uint8)
+        u16 = (img8.astype(">u2") * 257).astype(">u2")
+        raw = b"".join(b"\x00" + u16[y].tobytes() for y in range(5))
+        data = _png(struct.pack(">IIBBBBB", 7, 5, 16, ctype, 0, 0, 0), raw)
+        np.testing.assert_array_equal(decode_png(data), img8)
+
+
+def test_sub8bit_grey_scales_to_full_range():
+    # depth-1: 0/1 -> 0/255; depth-2: *85; depth-4: *17. 10 px wide so
+    # rows end mid-byte (padding bits must be dropped).
+    for depth, mult in [(1, 255), (2, 85), (4, 17)]:
+        rng = np.random.default_rng(depth)
+        vals = rng.integers(0, 1 << depth, size=(3, 10), dtype=np.uint8)
+        rows = []
+        for y in range(3):
+            # the low `depth` bits of each value, MSB-first
+            bits = (
+                vals[y][:, None]
+                >> np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            ) & 1
+            packed = np.packbits(bits.reshape(-1).astype(np.uint8))
+            rows.append(b"\x00" + packed.tobytes())
+        data = _png(
+            struct.pack(">IIBBBBB", 10, 3, depth, 0, 0, 0, 0), b"".join(rows)
+        )
+        out = decode_png(data)
+        np.testing.assert_array_equal(out[:, :, 0], vals * mult)
+
+
+def test_4bit_palette_indices_stay_raw():
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 1], [3, 2, 1, 0, 2]], dtype=np.uint8)
+    rows = []
+    for y in range(2):
+        bits = (idx[y][:, None] >> np.arange(3, -1, -1, dtype=np.uint8)) & 1
+        rows.append(b"\x00" + np.packbits(bits.reshape(-1)).tobytes())
+    data = _png(
+        struct.pack(">IIBBBBB", 5, 2, 4, 3, 0, 0, 0),
+        b"".join(rows),
+        extra=_chunk(b"PLTE", pal.tobytes()),
+    )
+    np.testing.assert_array_equal(decode_png(data), pal[idx])
+
+
+def _adam7_idat(img: np.ndarray, depth: int = 8) -> bytes:
+    """Test-side interlacer: slice the image into the 7 passes (the
+    inverse of the decoder's scatter), filter-0 the first row of each
+    pass and filter-2 (Up) the rest — so a decoder that fails to reset
+    its prev-row state between passes mismatches."""
+    from ocrs_ray.png import _ADAM7
+
+    h, w, c = img.shape
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        if depth == 16:
+            flat = (sub.astype(">u2") * 257).reshape(ph, -1).view(np.uint8)
+        else:
+            flat = sub.reshape(ph, -1)
+        prev = np.zeros(flat.shape[1], dtype=np.int32)
+        for y in range(ph):
+            cur = flat[y].astype(np.int32)
+            if y == 0:
+                out += b"\x00" + flat[y].tobytes()
+            else:
+                out += b"\x02" + ((cur - prev) % 256).astype(np.uint8).tobytes()
+            prev = cur
+    return bytes(out)
+
+
+def test_adam7_interlaced_decode():
+    rng = np.random.default_rng(77)
+    for h, w in [(16, 16), (9, 7), (5, 3), (1, 1), (2, 10)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = _png(
+            struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1), _adam7_idat(img)
+        )
+        np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_adam7_16bit_grey():
+    rng = np.random.default_rng(78)
+    img = rng.integers(0, 256, size=(11, 13, 1), dtype=np.uint8)
+    data = _png(
+        struct.pack(">IIBBBBB", 13, 11, 16, 0, 0, 0, 1),
+        _adam7_idat(img, depth=16),
+    )
+    np.testing.assert_array_equal(decode_png(data), img)
