@@ -2035,13 +2035,19 @@ def bm25_topk(
         # One pass: per-query-term df + doc count + char sum per block.
         # df is restricted to the query's terms, so the reduce payload
         # is len(q_terms)+2 numbers per block regardless of vocabulary.
-        dfs = {t: 0 for t in q_terms}
-        for text in batch["text"]:
-            seen = set(tok.findall(text.lower()))
-            for t in q_terms:
-                if t in seen:
-                    dfs[t] += 1
-        row = {f"df_{t}": [dfs[t]] for t in q_terms}
+        # Vectorized: a doc contains term t iff t occurs as a MAXIMAL
+        # [a-z]+ run (TOKEN_RE token), i.e. bounded by non-letters —
+        # one RE2 kernel pass per query term instead of Python-
+        # tokenizing every document.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(pa.array(batch["text"], type=pa.string()))
+        row = {}
+        for t in q_terms:
+            pat = f"(^|[^a-z]){re.escape(t)}([^a-z]|$)"
+            hit = pc.match_substring_regex(lower, pat)
+            row[f"df_{t}"] = [pc.sum(pc.cast(hit, pa.int64())).as_py() or 0]
         row["n"] = [len(batch)]
         row["chars"] = [int(batch["n_chars"].sum())]
         return pd.DataFrame(row)
