@@ -2038,11 +2038,15 @@ def bm25_topk(
         # Vectorized: a doc contains term t iff t occurs as a MAXIMAL
         # [a-z]+ run (TOKEN_RE token), i.e. bounded by non-letters —
         # one RE2 kernel pass per query term instead of Python-
-        # tokenizing every document.
+        # tokenizing every document. Lowercasing stays Python
+        # str.lower() for parity with the Score pass (pc.utf8_lower is
+        # SIMPLE case mapping and diverges on e.g. U+0130).
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        lower = pc.utf8_lower(pa.array(batch["text"], type=pa.string()))
+        lower = pa.array(
+            [t.lower() for t in batch["text"]], type=pa.string()
+        )
         row = {}
         for t in q_terms:
             pat = f"(^|[^a-z]){re.escape(t)}([^a-z]|$)"

@@ -211,8 +211,9 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
     """Decode an opaque media payload to an HWC uint8 array.
 
     "raw8-hwc" is a zero-parse numpy view; "png" decodes for real via
-    the stdlib-zlib codec in `ocrs_ray.png` (8-bit grey/RGB/RGBA/
-    palette, all five filters); "jpeg"/"jpg" decodes for real via the
+    the stdlib-zlib codec in `ocrs_ray.png` (grey/RGB/RGBA/palette,
+    bit depths 1-16, all five filters, Adam7 interlacing); "jpeg"/
+    "jpg" decodes for real via the
     pure-numpy codec in `ocrs_ray.jpeg` (baseline + progressive
     Huffman, 8-bit, the subset covering the reference's own fixture
     set — ocrs-cli decodes via the `image` crate,

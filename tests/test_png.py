@@ -56,11 +56,7 @@ def _encode_with_filters(img: np.ndarray, ftype: int) -> bytes:
         rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
         prev = cur
 
-    def chunk(tag, body):
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
-        )
-
+    chunk = _chunk
     color_type = {1: 0, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
@@ -81,11 +77,7 @@ def test_all_filters_decode(ftype, c):
 
 
 def test_palette_png():
-    def chunk(tag, body):
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
-        )
-
+    chunk = _chunk
     pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
     idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
     ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
