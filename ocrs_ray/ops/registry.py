@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_data_prep": composed.pretrain_data_prep,
         "events_value_cume_dist": analytics.events_value_cume_dist,
         "docs_partitioned_sink_roundtrip": sources.docs_partitioned_sink_roundtrip,
+        "docs_compacted_sink_roundtrip": sources.docs_compacted_sink_roundtrip,
         "docs_arrow_ipc_roundtrip": sources.docs_arrow_ipc_roundtrip,
         "docs_jsonl_roundtrip": sources.docs_jsonl_roundtrip,
         "docs_webdataset_roundtrip": sources.docs_webdataset_roundtrip,
@@ -1313,6 +1314,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_partitioned_sink_roundtrip": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1"
+        ),
+        "docs_compacted_sink_roundtrip": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)) "
+            "AS BIGINT) AS sum_h FROM documents GROUP BY source"
         ),
         "docs_arrow_ipc_roundtrip": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "

@@ -17,6 +17,7 @@ parallelizes across the cluster exactly like parquet row groups.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.csv as pacsv
 
@@ -33,6 +34,8 @@ __all__ = [
     "docs_jsonl_roundtrip",
     "write_documents_partitioned",
     "docs_partitioned_sink_roundtrip",
+    "compact_partitioned_corpus",
+    "docs_compacted_sink_roundtrip",
     "docs_arrow_ipc_roundtrip",
     "encode_webdataset_shard",
     "decode_webdataset_shard",
@@ -412,6 +415,110 @@ def docs_partitioned_sink_roundtrip(sf_dir: str) -> rd.Dataset:
         return counts.materialize()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def compact_partitioned_corpus(
+    in_dir: str, out_dir: str, partitions: int | None = None
+) -> int:
+    """Compact a fragmented Hive-partitioned corpus: read the whole
+    layout, co-locate each partition key's rows with one keyed
+    repartition, and rewrite — one file per partition directory
+    instead of one per (writer block x key). THE operational fix for
+    the small-files problem a long-running incremental sink accretes
+    (metadata-bound scans, per-file open cost). Returns the output
+    file count.
+
+    Scale shape: one streaming scan + one hash exchange + a streaming
+    write; nothing driver-sized. At 100 TB a partition key's rows can
+    exceed one sane file, so `partitions` oversizes the exchange and
+    the writer emits one file per (block, key) — file count is then
+    `partitions`-bounded rather than writer-fragmentation-bounded.
+    """
+    import glob
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    npart = partitions or max(2, min(16, cluster_ncpu()))
+    ds = rd.read_parquet(in_dir)
+    enable_hash_shuffle(ds)
+    compacted = ds.repartition(npart, keys=["source"])
+    enable_hash_shuffle(compacted)
+    compacted.write_parquet(out_dir, partition_cols=["source"])
+    return len(glob.glob(f"{out_dir}/*/*.parquet"))
+
+
+def docs_compacted_sink_roundtrip(
+    sf_dir: str, fragment_factor: int = 8
+) -> rd.Dataset:
+    """Compaction coverage: fragment the documents table into a
+    many-small-files Hive layout (`fragment_factor` writer blocks x
+    one file per (block, source)), compact it with
+    `compact_partitioned_corpus`, require a real file-count reduction
+    LOUDLY, and report per-source (n_docs, content checksum) from the
+    COMPACTED data — the oracle computes the same off the original
+    table, so any row lost, duplicated or corrupted by
+    fragment->compact->read fails the value compare. The checksum is
+    the per-source sum of each text's leading-8-hex md5 (the
+    `md5_bucket` SQL-mirrorable fold; 32-bit values sum safely in
+    int64 at any realistic partition size)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from .relational import tree_sum
+
+    frag_dir = tempfile.mkdtemp(prefix="ocrs_ray_frag_")
+    comp_dir = tempfile.mkdtemp(prefix="ocrs_ray_comp_")
+    try:
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        ds.repartition(fragment_factor).write_parquet(
+            frag_dir, partition_cols=["source"]
+        )
+        import glob
+
+        n_before = len(glob.glob(f"{frag_dir}/*/*.parquet"))
+        n_after = compact_partitioned_corpus(frag_dir, comp_dir)
+        if n_after >= n_before:
+            raise RuntimeError(
+                f"compaction did not reduce file count: {n_before} -> "
+                f"{n_after} (fragmented layout assumption broken)"
+            )
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            h = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                    for t in b["text"]
+                ],
+                dtype="int64",
+            )
+            g = pd.DataFrame({"source": b["source"].to_numpy(), "h": h})
+            agg = g.groupby("source", as_index=False).agg(
+                n_docs=("h", "size"), sum_h=("h", "sum")
+            )
+            return pd.DataFrame(
+                {
+                    "source": agg["source"].to_numpy(),
+                    "n_docs": agg["n_docs"].to_numpy(dtype="int64"),
+                    "sum_h": agg["sum_h"].to_numpy(dtype="int64"),
+                }
+            )
+
+        counts = tree_sum(
+            rd.read_parquet(comp_dir).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["source"],
+            ["n_docs", "sum_h"],
+        )
+        return counts.materialize()
+    finally:
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        shutil.rmtree(comp_dir, ignore_errors=True)
 
 
 def write_documents_jsonl(ds: rd.Dataset, out_dir: str) -> None:

@@ -207,3 +207,38 @@ def test_webdataset_rerun_overwrites_stale_shards(ray_session, tmp_path):
     n_second = len(glob.glob(f"{out}/shard-*.tar"))
     assert n_second == 3 and n_first != n_second
     assert documents_from_webdataset(out).count() == 500
+
+
+def test_compaction_reduces_files_and_preserves_content(ray_session, tmp_path):
+    """compact_partitioned_corpus: a fragmented Hive layout (8 writer
+    blocks x per-source files) compacts to ~one file per source with
+    every row intact."""
+    import glob
+
+    import ray.data as rd
+
+    from ocrs_ray.ops.sources import compact_partitioned_corpus
+
+    ds = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    ds.repartition(8).write_parquet(frag, partition_cols=["source"])
+    n_before = len(glob.glob(f"{frag}/*/*.parquet"))
+    n_after = compact_partitioned_corpus(frag, comp)
+    n_sources = len(glob.glob(f"{frag}/source=*"))
+    assert n_before > n_sources  # genuinely fragmented
+    assert n_after < n_before
+    assert n_after <= 2 * n_sources  # ~1 file/source at this scale
+    a = (
+        rd.read_parquet(comp)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = sorted(b.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
