@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": relational.lineitem_rollup,
         "supplier_region_rollup": relational.supplier_region_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_sorted_sink_scan": relational.events_sorted_sink_scan,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "events_daily_active_users_hll": relational.events_daily_active_users_hll,
         "customer_order_counts": relational.customer_order_counts,
@@ -563,6 +564,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "events_sorted_sink_scan": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'"
         ),
         "events_value_quantiles": (
             "SELECT event_type, "

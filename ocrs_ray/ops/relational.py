@@ -32,6 +32,7 @@ __all__ = [
     "events_funnel",
     "user_retention",
     "events_value_quantiles",
+    "events_sorted_sink_scan",
     "events_distinct_users_hll",
     "events_daily_active_users_hll",
     "customer_order_counts",
@@ -1029,6 +1030,66 @@ def supplier_region_rollup(sf_dir: str) -> rd.Dataset:
     # The region key space is bounded (5 regions) regardless of fact
     # rows, so the partials tree-reduce — no hash-aggregate machinery.
     return tree_sum(ds, ["r_name"], ["sum_acctbal_micro", "n_suppliers"])
+
+
+def events_sorted_sink_scan(
+    sf_dir: str, lo: str = "2024-01-10", hi: str = "2024-01-15"
+) -> "pd.DataFrame":
+    """Sort-clustered sink + pruned window re-scan: globally sort the
+    events ledger by ts (Ray Data's range-partitioned distributed
+    sort — the all-to-all this op exists to exercise), write the
+    sorted layout, then answer a time-window aggregate with a
+    predicate-pushdown re-read of that layout. Sorting clusters each
+    file/row-group's ts range tightly, so the window filter prunes
+    whole files at the metadata level — the write-once/scan-many
+    layout choice for time-windowed corpora (the test pins the file
+    ranges really are disjoint).
+
+    Scale shape: one distributed sort + streaming write, then a
+    pruned streaming scan with per-block partials; the driver holds
+    one row per block. Exact: micro-unit sums, count + sum oracled.
+    """
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    out_dir = tempfile.mkdtemp(prefix="ocrs_ray_sorted_")
+    try:
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "value"]
+        ).sort("ts").write_parquet(out_dir)
+
+        win = rd.read_parquet(
+            out_dir,
+            columns=["ts", "value"],
+            filter=(
+                (pads.field("ts") >= datetime.fromisoformat(lo))
+                & (pads.field("ts") < datetime.fromisoformat(hi))
+            ),
+        )
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            micro = round_half_away(b["value"].to_numpy() * MICRO).astype(
+                "int64"
+            )
+            return pd.DataFrame(
+                {
+                    "n_events": [len(b)],
+                    "sum_value_micro": [int(micro.sum())],
+                }
+            )
+
+        parts = win.map_batches(partial, batch_format="pandas").to_pandas()
+        return pd.DataFrame(
+            {
+                "n_events": [int(parts["n_events"].sum())],
+                "sum_value_micro": [int(parts["sum_value_micro"].sum())],
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def events_value_quantiles(sf_dir: str, partitions: int = 8) -> rd.Dataset:

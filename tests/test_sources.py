@@ -242,3 +242,36 @@ def test_compaction_reduces_files_and_preserves_content(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
+
+def test_sorted_sink_files_have_disjoint_ts_ranges(ray_session, tmp_path):
+    """The sort-clustered events layout: after a global ts sort +
+    write, per-file ts [min, max] ranges must be pairwise disjoint —
+    the property that lets a time-window filter prune whole files at
+    the metadata level (an unsorted write interleaves ranges and
+    prunes nothing)."""
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    out = str(tmp_path / "sorted")
+    rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"]).sort(
+        "ts"
+    ).write_parquet(out)
+    import glob
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    spans = []
+    total = 0
+    for f in files:
+        md = pq_mod.ParquetFile(f).metadata
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        t = pq_mod.read_table(f, columns=["ts"])
+        ts = t.column("ts").to_pandas()
+        spans.append((ts.min(), ts.max()))
+    assert total == 1000  # nothing lost by the sort+write
+    assert len(spans) > 1  # genuinely multiple files -> prunable units
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # disjoint, in order
