@@ -1082,6 +1082,11 @@ def events_sorted_sink_scan(
             )
 
         parts = win.map_batches(partial, batch_format="pandas").to_pandas()
+        if parts.empty:
+            # Zero blocks matched the window: to_pandas() returns a
+            # COLUMN-LESS frame (CLAUDE.md zero-row trap) — emit the
+            # correct empty aggregate instead of a KeyError.
+            return pd.DataFrame({"n_events": [0], "sum_value_micro": [0]})
         return pd.DataFrame(
             {
                 "n_events": [int(parts["n_events"].sum())],

@@ -461,7 +461,6 @@ def docs_compacted_sink_roundtrip(
     the per-source sum of each text's leading-8-hex md5 (the
     `md5_bucket` SQL-mirrorable fold; 32-bit values sum safely in
     int64 at any realistic partition size)."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -489,13 +488,9 @@ def docs_compacted_sink_roundtrip(
             )
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
-            h = np.array(
-                [
-                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
-                    for t in b["text"]
-                ],
-                dtype="int64",
-            )
+            from .sampling import md5_bucket
+
+            h = md5_bucket(b["text"]).astype("int64")
             g = pd.DataFrame({"source": b["source"].to_numpy(), "h": h})
             agg = g.groupby("source", as_index=False).agg(
                 n_docs=("h", "size"), sum_h=("h", "sum")
