@@ -467,7 +467,10 @@ _GATE_ORDER = [
     "heavy_hitters_exact",
     "sample_documents",
     "docs_pack_chunks",
-    "docs_partitioned_sink_roundtrip",
+    # fifth r03 rotation: the compaction roundtrip supersedes the plain
+    # partitioned roundtrip (same layout coverage + content checksum +
+    # the small-files rewrite; the plain one stays sweep-verified).
+    "docs_compacted_sink_roundtrip",
     "pretrain_data_prep",
     "lineitem_pricing_summary",
     # third r03 rotation: the value-salted hot-key distinct count (the
