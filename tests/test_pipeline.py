@@ -221,3 +221,39 @@ def test_first_file_rejects_lance_dir_without_pylance(tmp_path):
     (d / "file.lance").write_bytes(b"")
     with pytest.raises(RuntimeError, match="pylance"):
         _first_file(str(d))
+
+
+def test_gpu_actor_pool_mapping_contract(ray_session, corpus, monkeypatch):
+    """The north-star deployment holds detection/recognition weights in
+    GPU actor pools; no GPU exists in this sandbox, so the seam is
+    contract-tested: building the (lazy, never-executed) pipeline with
+    ocr_num_gpus > 0 must pass num_gpus to the OCR actor stage, and
+    with the default 0 it must NOT send the kwarg (a zero value would
+    still make Ray schedule against the GPU resource)."""
+    import ray.data as rd_mod
+
+    calls = []
+    orig = rd_mod.Dataset.map_batches
+
+    def spy(self, fn, *a, **kw):
+        name = getattr(fn, "__name__", type(fn).__name__ if not isinstance(fn, type) else fn.__name__)
+        calls.append((name, dict(kw)))
+        return orig(self, fn, *a, **kw)
+
+    monkeypatch.setattr(rd_mod.Dataset, "map_batches", spy)
+    ds = read_spans(corpus["spans"])
+    media = load_media_store(corpus["media"])
+
+    build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2, ocr_num_gpus=0.5)
+    )
+    ocr_calls = [kw for n, kw in calls if n.startswith("Ocr")]
+    assert ocr_calls and ocr_calls[-1]["num_gpus"] == 0.5
+    assert ocr_calls[-1]["num_cpus"] == 1.0
+
+    calls.clear()
+    build_ocr_pipeline(
+        ds, media, OcrPipelineConfig(ocr_concurrency=2)
+    )
+    ocr_calls = [kw for n, kw in calls if n.startswith("Ocr")]
+    assert ocr_calls and "num_gpus" not in ocr_calls[-1]
