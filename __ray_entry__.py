@@ -404,78 +404,68 @@ def entry() -> Any:
 #: The driver's correctness gate records only the first 50 queries()
 #: entries — this list is EXACTLY 50 (r02 had 51 and silently dropped
 #: slot 51) — and puts an ORACLE-BACKED representative of every
-#: operator family inside the gated window: OCR pipelines (7),
-#: media/video (5), text analysis (10, incl. the reworked
-#: lm_bigram_score + docs_dup_gram_fraction), dedup (8, incl.
-#: neardup_best_survivors), embedding/ANN (4), events/windows (7),
-#: sketches (2), sampling/sinks (3), composed (1), relational/TPC-H
-#: (3). Rotated out vs r02 (all still sweep-verified in-repo by
-#: tests/test_oracle_sweep.py): ocr_media_spans (a filter of the gated
-#: ocr_pipeline_flat), q18_large_orders, events_user_running_sum.
+#: operator family inside the gated window. 154 oracle-backed queries
+#: compete for the slots, so the gate ROTATES each round to give
+#: never-externally-gated ops a CORRECTNESS row; everything rotated
+#: out stays value-compared in-repo by tests/test_oracle_sweep.py
+#: every run. r04 rotation — ten FIRST-TIME entries in
+#: (fuzzy_name_pairs, simhash_neardup_pairs, events_global_cumsum,
+#: docs_global_length_rank, lineitem_cube, events_sorted_sink_scan,
+#: q9_product_profit, events_value_outliers, docs_jsonl_roundtrip,
+#: events_user_type_sequence), ten out whose family keeps gate rows
+#: (ocr_doc_stats, ocr_text_quality, media_thumbnails,
+#: docs_repetition_stats, lm_quality_score, dedup_normalized,
+#: eval_decontaminate, neardup_survivors, embedding_neardup_pairs,
+#: events_tumbling_window).
 _GATE_ORDER = [
     "ocr_pipeline_flat",
     "ocr_pipeline_flat_beam",
-    "ocr_doc_stats",
     "ocr_doc_text",
-    "ocr_text_quality",
     "ocr_layout",
     "ocr_joined_flat",
     "media_features",
-    "media_thumbnails",
     "media_ahash_neardup",
     "media_ahash_survivors",
     "video_frames",
     "text_quality",
-    "docs_repetition_stats",
-    # r03 rotation: the new extraction family takes the slots of
-    # token_counts / content_hash / q3_top_orders (all still
-    # value-compared in tests/test_oracle_sweep.py every run).
     "docs_html_main_content",
     "docs_html_links",
     "docs_pdf_page_text",
-    # second r03 rotation: the iterative-exact PageRank and the
-    # composed extraction chain take the slots of docs_token_entropy /
-    # events_topk_per_group (both still sweep-verified every run).
     "docs_link_pagerank",
     "web_extract_prep",
-    "lm_quality_score",
     "lm_bigram_score",
     "tfidf_top_terms",
     "docs_gopher_quality_filter",
+    "docs_global_length_rank",
+    "docs_jsonl_roundtrip",
     "dedup_exact",
-    "dedup_normalized",
     "dedup_survivors",
-    "eval_decontaminate",
     "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
     "dedup_clusters",
-    "neardup_survivors",
     "neardup_best_survivors",
-    "embedding_neardup_pairs",
     "embedding_clusters",
     "ann_topk_bruteforce",
     "embedding_label_centroid",
-    "events_tumbling_window",
+    "fuzzy_name_pairs",
     "events_sessionize",
     "events_asof_join",
     "events_range_join",
     "events_funnel",
-    # fourth r03 rotation: the Bloom-routed incremental anti-join takes
-    # user_retention's slot (still sweep-verified; events family keeps
-    # five gate rows).
+    "events_global_cumsum",
+    "events_user_type_sequence",
+    "events_value_outliers",
+    "events_sorted_sink_scan",
     "snapshot_new_texts",
     "events_value_quantiles",
     "heavy_hitters_exact",
     "sample_documents",
     "docs_pack_chunks",
-    # fifth r03 rotation: the compaction roundtrip supersedes the plain
-    # partitioned roundtrip (same layout coverage + content checksum +
-    # the small-files rewrite; the plain one stays sweep-verified).
     "docs_compacted_sink_roundtrip",
     "pretrain_data_prep",
     "lineitem_pricing_summary",
-    # third r03 rotation: the value-salted hot-key distinct count (the
-    # explicit skew-handling op) takes q8_market_share's slot (q8 stays
-    # sweep-verified every run; TPC-H keeps lineitem_pricing_summary).
+    "lineitem_cube",
+    "q9_product_profit",
     "source_distinct_shingles",
     "docs_dup_gram_fraction",
 ]

@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="CPU budget for a LOCAL session (ignored on a cluster)",
     )
+    p.add_argument(
+        "--compact-to",
+        default=None,
+        help="after ALL shards commit, compact the fragmented shard "
+        "layout into this directory (opt-in post-pass; idempotent on "
+        "resume — a killed compaction redoes cleanly)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -78,12 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         from ocrs_ray.pipeline import OcrPipelineConfig, cluster_ncpu
         from ocrs_ray.state import run_ocr_job
 
-        # Size the actor pool from the MEASURED cluster, leaving >= 2
-        # CPUs for the read task + shuffle aggregators (the config
-        # default of 4 actors deadlocks a 4-CPU session — CLAUDE.md).
+        # Size the actor pool from the MEASURED cluster. ncpu-2 alone
+        # deadlocks at 32 CPUs (30 actors + 8 shuffle aggregators + the
+        # read task exceed the budget); cap at 3/4 of the cluster like
+        # bench.py so aggregators and the read always fit.
         ncpu = cluster_ncpu(default=4)
         cfg = OcrPipelineConfig(
-            ocr_concurrency=max(1, ncpu - 2),
+            ocr_concurrency=max(2, min(ncpu - 2, int(ncpu * 0.75))),
             reassemble_partitions=max(4, min(2 * ncpu, 64)),
         )
         t0 = time.time()
@@ -104,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
             "metrics": result["metrics"],
             "lineage": result["lineage"],
         }
+        if args.compact_to:
+            # run_ocr_job returning means every shard is committed —
+            # the incremental sink is complete, so the small-files
+            # rewrite is safe (and redone from scratch on resume).
+            from ocrs_ray.state import compact_job_output
+
+            record["compaction"] = compact_job_output(
+                args.out, args.compact_to
+            )
+            record["compaction"]["dir"] = args.compact_to
     finally:
         if owns_session:
             # Flush Ray's stderr chatter before the JSON record so the

@@ -2235,7 +2235,7 @@ def source_distinct_shingles(
     shuffle ships every distinct (key, x) pair of a hot key to ONE
     worker (a source owning 60% of a crawl owns ~60% of the pairs —
     that partition's heap scales with the corpus). Salting by a hash
-    of the VALUE instead (bucket = md5(shingle) % B) makes buckets
+    of the VALUE instead (bucket = siphash(shingle) % B) makes buckets
     partition the shingle space: per-bucket distinct counts are
     disjoint and SUM exactly, so the hot group spreads evenly over
     all B partitions and per-task memory is bounded by |vocab|/B,
@@ -2243,17 +2243,14 @@ def source_distinct_shingles(
     which keys the shuffle on the group key (right for unbounded,
     unskewed keys; wrong for a bounded hot key space).
 
-    Scale shape: per-block local dedup (combiner, md5 once per
-    distinct shingle) -> one bucket-keyed repartition of distinct
-    (source, bucket, shingle) rows -> per-partition exact distinct
-    counts -> tree-sum over the bounded source key space. Emits
+    Scale shape: per-block local dedup (combiner: Arrow split ->
+    zero-copy window joins -> hash-distinct, one siphash per distinct
+    shingle) -> one bucket-keyed repartition of distinct (source,
+    bucket, shingle) rows -> per-partition exact distinct counts ->
+    tree-sum over the bounded source key space. Emits
     (source, n_distinct_shingles).
     """
-    import hashlib
-
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
-
-    from .text import TOKEN_CLASS_RE
 
     npart = partitions or max(2, min(16, cluster_ncpu()))
     # Oversalt: B = 8 x partitions. Bucket values hash to partitions,
@@ -2261,7 +2258,6 @@ def source_distinct_shingles(
     # with 0 (measured 2x row imbalance); 8x buckets per partition
     # smooths the balls-in-bins variance to ~±20%.
     n_buckets = 8 * npart
-    tok_pat = TOKEN_CLASS_RE
 
     def _empty_pairs():
         import pyarrow as pa
@@ -2274,33 +2270,58 @@ def source_distinct_shingles(
             }
         )
 
-    def local_shingles(df: pd.DataFrame):
-        if df.empty:
+    def local_shingles(batch):
+        # Fully vectorized combiner: tokens are TOKEN_CLASS_RE runs,
+        # i.e. whatever whitespace-split leaves non-empty, so Arrow's
+        # split_pattern_regex + list_flatten does the tokenize; k-gram
+        # windows are ZERO-COPY slices of the flat token array joined
+        # element-wise, masked where a window crosses a doc boundary
+        # (token j and j+k-1 belong to different parent docs).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
             return _empty_pairs()
-        tok = re.compile(tok_pat)
-        seen: set[tuple[str, str]] = set()
-        for s, t in zip(df["source"], df["text"]):
-            w = tok.findall(t)
-            for j in range(len(w) - k + 1):
-                seen.add((s, " ".join(w[j : j + k])))
-        if not seen:
+        text = pc.cast(batch.column("text"), pa.string())
+        toks = pc.split_pattern_regex(text, r"[ \t\n\r\f\v]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = pc.filter(flat, nonempty)
+        parent = pc.filter(parent, nonempty)
+        n = len(flat)
+        if n < k:
             return _empty_pairs()
-        srcs, shs = zip(*seen)
-        # NOT setdefault: it evaluates the md5 eagerly on every call,
-        # caching nothing — the explicit miss check really does hash
-        # once per distinct shingle.
-        memo: dict[str, int] = {}
-        for x in shs:
-            if x not in memo:
-                memo[x] = (
-                    int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
-                    % n_buckets
-                )
-        bks = np.fromiter(
-            (memo[x] for x in shs), dtype="int64", count=len(shs)
+        n_win = n - k + 1
+        doc_idx = parent.to_numpy()
+        valid = doc_idx[:n_win] == doc_idx[k - 1 :]
+        windows = [flat.slice(i, n_win) for i in range(k)]
+        sh = pc.binary_join_element_wise(*windows, " ")
+        mask = pa.array(valid)
+        sh = pc.filter(sh, mask)
+        if len(sh) == 0:
+            return _empty_pairs()
+        src = pc.take(
+            pc.cast(batch.column("source"), pa.string()),
+            pa.array(doc_idx[:n_win][valid]),
         )
-        return pd.DataFrame(
-            {"source": list(srcs), "bucket": bks, "shingle": list(shs)}
+        # Local distinct via one hash aggregation, then one
+        # deterministic siphash per DISTINCT shingle (pandas
+        # hash_array uses a fixed key — stable across processes, so
+        # every replica of a shingle lands in the same bucket).
+        ded = (
+            pa.table({"source": src, "shingle": sh})
+            .group_by(["source", "shingle"])
+            .aggregate([])
+        )
+        sh_np = ded.column("shingle").to_pandas().to_numpy()
+        bks = (pd.util.hash_array(sh_np) % n_buckets).astype("int64")
+        return pa.table(
+            {
+                "source": ded.column("source"),
+                "bucket": pa.array(bks),
+                "shingle": ded.column("shingle"),
+            }
         )
 
     def count_distinct(df: pd.DataFrame):
@@ -2323,7 +2344,7 @@ def source_distinct_shingles(
         )
 
     ds = _read_docs(sf_dir, ["source", "text"]).map_batches(
-        local_shingles, batch_format="pandas"
+        local_shingles, batch_format="pyarrow"
     )
     enable_hash_shuffle(ds)
     partials = ds.repartition(npart, keys=["bucket"]).map_batches(

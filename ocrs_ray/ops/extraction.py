@@ -273,6 +273,21 @@ BLOCK_TAGS = frozenset(
 _TAG_SCAN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*)>", re.ASCII)
 
 
+def _is_self_closing(attrs: str) -> bool:
+    """True for XML-style self-closed tags (<br/>, <section />,
+    <img src="x"/>) but NOT for an unquoted attribute value that
+    happens to end in '/' (<div data-href=http://x.com/>): per the
+    HTML5 tokenizer an unquoted value consumes everything up to
+    whitespace or '>', so that '/' belongs to the value. The '/'
+    counts as self-closing only when preceded by whitespace, a quote,
+    or nothing (bare <tag/>)."""
+    a = attrs.rstrip()
+    if not a.endswith("/"):
+        return False
+    before = a[:-1]
+    return not before or before[-1] in ' \t\r\n"\''
+
+
 def html_block_segments(html: str) -> list[tuple[str, str]]:
     """Generic nesting-aware block segmentation: scan tags with a
     depth stack and emit (tag, inner_html) for each TOP-LEVEL block
@@ -291,7 +306,7 @@ def html_block_segments(html: str) -> list[tuple[str, str]]:
             continue
         if not in_body or tag not in BLOCK_TAGS:
             continue
-        if not closing and m.group(3).rstrip().endswith("/"):
+        if not closing and _is_self_closing(m.group(3)):
             # XML-style self-closed block (<section/>): no depth
             # change; at top level it is its own empty block.
             if depth == 0:

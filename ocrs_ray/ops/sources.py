@@ -418,7 +418,11 @@ def docs_partitioned_sink_roundtrip(sf_dir: str) -> rd.Dataset:
 
 
 def compact_partitioned_corpus(
-    in_dir: str, out_dir: str, partitions: int | None = None
+    in_dir: str,
+    out_dir: str,
+    partitions: int | None = None,
+    key: str = "source",
+    file_extensions: list[str] | None = None,
 ) -> int:
     """Compact a fragmented Hive-partitioned corpus: read the whole
     layout, co-locate each partition key's rows with one keyed
@@ -434,17 +438,36 @@ def compact_partitioned_corpus(
     the writer emits one file per (block, key) — file count is then
     `partitions`-bounded rather than writer-fragmentation-bounded.
     """
-    import glob
-
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     npart = partitions or max(2, min(16, cluster_ncpu()))
-    ds = rd.read_parquet(in_dir)
+    # file_extensions lets a caller compact a layout whose root also
+    # holds non-parquet state (e.g. a job manifest.jsonl next to the
+    # part=N/ dirs); hive partition columns (`key`) are inferred.
+    ds = rd.read_parquet(in_dir, file_extensions=file_extensions)
     enable_hash_shuffle(ds)
-    compacted = ds.repartition(npart, keys=["source"])
+    compacted = ds.repartition(npart, keys=[key])
     enable_hash_shuffle(compacted)
-    compacted.write_parquet(out_dir, partition_cols=["source"])
-    return len(glob.glob(f"{out_dir}/*/*.parquet"))
+    compacted.write_parquet(out_dir, partition_cols=[key])
+    return _count_parquet_files(out_dir)
+
+
+def _count_parquet_files(root: str) -> int:
+    """Recursive parquet-file count via pyarrow.fs so the tally works
+    on any filesystem the writer targets (s3://, hdfs://, local) and
+    at any partition-directory depth — a local single-level glob
+    returns 0 for remote URIs and under-counts nested layouts."""
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(root)
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(path, recursive=True, allow_not_found=True)
+    )
+    return sum(
+        1
+        for i in infos
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
 
 
 def docs_compacted_sink_roundtrip(
@@ -477,9 +500,7 @@ def docs_compacted_sink_roundtrip(
         ds.repartition(fragment_factor).write_parquet(
             frag_dir, partition_cols=["source"]
         )
-        import glob
-
-        n_before = len(glob.glob(f"{frag_dir}/*/*.parquet"))
+        n_before = _count_parquet_files(frag_dir)
         n_after = compact_partitioned_corpus(frag_dir, comp_dir)
         if n_after >= n_before:
             raise RuntimeError(

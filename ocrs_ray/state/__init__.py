@@ -4,6 +4,7 @@ from .metrics import MetricsActor, get_metrics_actor, metrics_snapshot
 from .checkpoint import (
     Manifest,
     ShardPlan,
+    compact_job_output,
     plan_shards,
     run_ocr_job,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "metrics_snapshot",
     "Manifest",
     "ShardPlan",
+    "compact_job_output",
     "plan_shards",
     "run_ocr_job",
 ]

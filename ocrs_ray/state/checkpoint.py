@@ -255,6 +255,40 @@ def run_ocr_job(
     }
 
 
+def compact_job_output(
+    out_root: str, compact_dir: str, partitions: int | None = None
+) -> dict[str, int]:
+    """Opt-in post-pass for a COMPLETED job: rewrite the run's
+    shard-fragmented layout (part=<sid>/ with one file per writer
+    block) into a compacted layout with `partitions`-bounded file
+    count, keyed on the fragment id so the per-partition lineage
+    mapping survives the rewrite. Idempotent: the target is cleared
+    first, so a killed compaction re-runs cleanly when the job
+    command is re-submitted (all shards skip, compaction redoes).
+
+    Only call after every shard committed — run_ocr_job rmtree's and
+    rewrites uncommitted partials on resume, so a completed manifest
+    guarantees the tree holds exactly the committed data.
+    """
+    import shutil as _shutil
+
+    from ocrs_ray.ops.sources import (
+        _count_parquet_files,
+        compact_partitioned_corpus,
+    )
+
+    files_before = _count_parquet_files(out_root)
+    _shutil.rmtree(compact_dir, ignore_errors=True)
+    files_after = compact_partitioned_corpus(
+        out_root,
+        compact_dir,
+        partitions=partitions,
+        key="part",
+        file_extensions=["parquet"],
+    )
+    return {"files_before": files_before, "files_after": files_after}
+
+
 def read_output(out_root: str):
     """Read a committed run's output as a Ray Dataset (committed
     partitions only — an uncommitted partial directory from a killed

@@ -140,6 +140,7 @@ def test_job_cli_submit_and_resume(corpus, tmp_path):
     import sys
 
     out_root = str(tmp_path / "out")
+    compact_dir = str(tmp_path / "compact")
     cmd = [
         sys.executable, "-m", "ocrs_ray.job",
         "--spans", corpus["spans"], "--media", corpus["media"],
@@ -147,7 +148,7 @@ def test_job_cli_submit_and_resume(corpus, tmp_path):
     ]
     env = {**os.environ, "PYTHONPATH": "/root/repo", "RAY_ADDRESS": "local"}
     first = subprocess.run(
-        cmd + ["--fail-after-shards", "2"],
+        cmd + ["--fail-after-shards", "2", "--compact-to", compact_dir],
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=600,
     )
@@ -155,9 +156,12 @@ def test_job_cli_submit_and_resume(corpus, tmp_path):
     from ocrs_ray.state import Manifest
 
     assert len(Manifest(out_root).committed()) == 2
+    # The killed run never reached the post-pass: no partial compaction.
+    assert not os.path.exists(compact_dir)
 
     second = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd="/root/repo",
+        cmd + ["--compact-to", compact_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=600,
     )
     assert second.returncode == 0, second.stderr[-2000:]
@@ -169,3 +173,10 @@ def test_job_cli_submit_and_resume(corpus, tmp_path):
     got = _output_docs(out_root)
     assert len(got) == N_DOCS
     assert got == _expected_docs(corpus)
+    # Opt-in compaction post-pass: real file-count reduction, and the
+    # compacted layout carries the identical doc set (nothing lost,
+    # duplicated, or corrupted by the rewrite).
+    comp = record["compaction"]
+    assert comp["dir"] == compact_dir
+    assert comp["files_after"] < comp["files_before"], comp
+    assert _output_docs(compact_dir) == got

@@ -141,6 +141,23 @@ def test_block_segments_self_closing_block():
     ]
 
 
+def test_block_segments_unquoted_attr_trailing_slash_is_open_tag():
+    # Per the HTML5 tokenizer an unquoted attribute value consumes up
+    # to whitespace/'>', so the '/' in data-href=http://x.com/ is part
+    # of the VALUE — the tag opens a block and must be depth-tracked.
+    html = (
+        "<html><body><div data-href=http://x.com/>main</div>"
+        "<nav>n</nav></body></html>"
+    )
+    assert ex.html_block_segments(html) == [("div", "main"), ("nav", "n")]
+    # Quoted value ending in '/' then a real self-close still closes.
+    html2 = '<html><body><section data-u="a/"/><div>d</div></body></html>'
+    assert ex.html_block_segments(html2) == [("section", ""), ("div", "d")]
+    # Whitespace before the slash (<br />-style) self-closes.
+    html3 = "<html><body><aside /><div>d</div></body></html>"
+    assert ex.html_block_segments(html3) == [("aside", ""), ("div", "d")]
+
+
 # ---------------------------------------------------------------------------
 # markup-safety guard
 
