@@ -217,11 +217,12 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
     pure-numpy codec in `ocrs_ray.jpeg` (baseline + progressive
     Huffman, 8-bit, the subset covering the reference's own fixture
     set — ocrs-cli decodes via the `image` crate,
-    /root/reference/ocrs-cli/src/main.rs:312-323); "webp" decodes the
-    lossless (VP8L) half for real via the pure-numpy codec in
-    `ocrs_ray.webp` — lossy VP8 still raises NotImplementedError
-    (boolean arithmetic decoder + loop filter), keeping the Ray-side
-    plumbing identical for when a native codec is available.
+    /root/reference/ocrs-cli/src/main.rs:312-323); "webp" decodes BOTH
+    halves for real via pure-numpy codecs: lossless VP8L and lossy VP8
+    keyframes (boolean arithmetic decoder, full intra prediction,
+    normal+simple loop filters — `ocrs_ray.vp8`, bit-exact against
+    libwebp in tests), plus VP8X containers with ALPH alpha planes;
+    only animated WebP (ANIM) still raises.
     """
     blob, h, w, c, fmt = payload
     if fmt == "raw8-hwc":

@@ -505,6 +505,15 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read_bit()  # alpha hint
     if br.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    rgba = _decode_lossless_rgba(br, w, h)
+    if np.all(rgba[:, :, 3] == 255):
+        return np.ascontiguousarray(rgba[:, :, :3])
+    return np.ascontiguousarray(rgba)
+
+
+def _decode_lossless_rgba(br: BitReader, w: int, h: int) -> np.ndarray:
+    """Decode a headerless VP8L image stream (shared by the VP8L chunk
+    and the ALPH chunk's compressed alpha plane) to HxWx4 RGBA."""
     px, transforms, cur_w = _decode_image_stream(br, w, h, True)
     # inverse transforms, reverse read order
     for ttype, tdata, width_at_read in reversed(transforms):
@@ -543,32 +552,90 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     if cur_w != w:
         raise ValueError("width mismatch after inverse transforms")
     ch = px_to_channels(px).reshape(h, w, 4)
-    rgba = ch[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
-    if np.all(rgba[:, :, 3] == 255):
-        return np.ascontiguousarray(rgba[:, :, :3])
-    return np.ascontiguousarray(rgba)
+    return ch[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
+
+
+def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk to an (h, w) uint8 alpha plane (WebP
+    container spec §Alpha). Header byte: bits 0-1 compression (0 raw,
+    1 lossless), 2-3 filtering, 4-5 pre-processing (no inverse)."""
+    head = payload[0]
+    compression = head & 3
+    filtering = (head >> 2) & 3
+    if compression == 0:
+        plane = np.frombuffer(payload[1 : 1 + w * h], dtype=np.uint8)
+        if plane.size != w * h:
+            raise ValueError("raw ALPH plane truncated")
+        a = plane.reshape(h, w).astype(np.int64)
+    elif compression == 1:
+        # headerless VP8L stream; the alpha value rides the GREEN channel
+        br = BitReader(payload[1:])
+        rgba = _decode_lossless_rgba(br, w, h)
+        a = rgba[:, :, 1].astype(np.int64)
+    else:
+        raise ValueError(f"unknown ALPH compression {compression}")
+    if filtering == 0:
+        return a.astype(np.uint8)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        if y == 0 or filtering == 1:
+            # horizontal: leftmost pixel predicts from the row above
+            # (row 0 of the vertical/gradient filters also unfilters
+            # horizontally, mirroring libwebp's Unfilter dispatch)
+            acc = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                acc = (acc + a[y, x]) & 0xFF
+                out[y, x] = acc
+        elif filtering == 2:  # vertical
+            out[y] = (out[y - 1] + a[y]) & 0xFF
+        else:  # gradient
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                pred = min(255, max(0, left + top - top_left))
+                left = (a[y, x] + pred) & 0xFF
+                out[y, x] = left
+                top_left = top
+    return out.astype(np.uint8)
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
-    """Decode a WebP container. Lossless (VP8L) only; lossy VP8 and
-    extended VP8X raise NotImplementedError honestly."""
+    """Decode a WebP container: lossless (VP8L), lossy (VP8 keyframe),
+    and extended (VP8X with optional ALPH alpha plane). Animation
+    (ANIM/ANMF) raises honestly."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
+    alph = None
+    vp8_payload = None
     while pos + 8 <= len(blob):
         fourcc = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         payload = blob[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
-        if fourcc in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                f"WebP {fourcc.decode().strip()} (lossy/extended) decode "
-                "needs a boolean arithmetic decoder; only lossless VP8L "
-                "is implemented"
-            )
+        if fourcc == b"VP8 ":
+            vp8_payload = payload
+            break
+        if fourcc == b"VP8X":
+            if payload[0] & 0x02:  # animation flag
+                raise NotImplementedError("animated WebP (ANIM) not supported")
+        elif fourcc == b"ALPH":
+            alph = payload
+        elif fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError("animated WebP (ANIM) not supported")
         pos += 8 + size + (size & 1)
-    raise ValueError("no image chunk found in WebP container")
+    if vp8_payload is None:
+        raise ValueError("no image chunk found in WebP container")
+    from ocrs_ray import vp8 as _vp8
+
+    rgb = _vp8.decode_vp8(vp8_payload)
+    if alph is None:
+        return rgb
+    h, w = rgb.shape[:2]
+    a = decode_alpha(alph, w, h)
+    return np.ascontiguousarray(np.dstack([rgb, a]))
 
 
 # ---------------------------------------------------------------------------

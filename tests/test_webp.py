@@ -249,11 +249,24 @@ def test_container_rejects_non_webp():
         W.decode_webp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
-def test_lossy_vp8_honestly_gated(rng):
-    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
-    blob = bytearray(W.encode_webp_lossless(img))
-    blob[12:16] = b"VP8 "  # masquerade as lossy
-    with pytest.raises(NotImplementedError, match="lossless VP8L"):
+def test_lossy_vp8_now_decodes(rng):
+    # Round 4: lossy VP8 keyframes decode for real (ocrs_ray.vp8);
+    # the container routes them instead of raising.
+    from ocrs_ray.vp8 import encode_webp_lossy
+
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = W.decode_webp(encode_webp_lossy(img, q_index=4))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 48  # lossy
+
+
+def test_lossy_vp8_inter_frame_honestly_gated(rng):
+    from ocrs_ray.vp8 import encode_webp_lossy
+
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_webp_lossy(img))
+    blob[20] |= 1  # flip the frame tag's keyframe bit -> inter frame
+    with pytest.raises(NotImplementedError, match="inter frames"):
         W.decode_webp(bytes(blob))
 
 
@@ -323,3 +336,52 @@ def test_roundtrip_property():
         assert np.array_equal(out, exp)
 
     check()
+
+
+def test_flagship_pipeline_on_lossy_webp_media(ray_session):
+    """Lossy-WebP payloads flow through the FULL distributed pipeline:
+    with the corpus media store re-encoded as VP8 keyframes, every
+    OCR'd media span must equal the single-process engine golden
+    computed from the SAME decoded pixels (VP8 is lossy, so like the
+    JPEG twin the golden is recomputed from the decoded payload — the
+    test pins the distributed plumbing over the new codec)."""
+    import numpy as np
+
+    from ocrs_ray.corpus import ensure_corpus, make_engine
+    from ocrs_ray.pipeline import (
+        OcrPipelineConfig,
+        build_ocr_pipeline,
+        load_media_store,
+        read_spans,
+    )
+    from ocrs_ray.vp8 import encode_webp_lossy
+
+    corpus = ensure_corpus(
+        "/tmp/ocrs_ray_test_corpus/docs100", n_docs=100, n_templates=16
+    )
+    media = load_media_store(corpus["media"])
+    engine = make_engine()
+    webp_media = {}
+    golden = {}
+    for ref, (blob, h, w, c, fmt) in media.items():
+        assert fmt == "raw8-hwc"
+        img = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, c)
+        payload = encode_webp_lossy(img, q_index=4)
+        webp_media[ref] = (payload, h, w, c, "webp")
+        decoded = W.decode_webp(payload)
+        golden[ref] = engine.get_text(
+            engine.prepare_input(decoded, order="hwc")
+        )
+
+    cfg = OcrPipelineConfig(ocr_concurrency=2, reassemble_partitions=4)
+    out = build_ocr_pipeline(
+        read_spans(corpus["spans"]), webp_media, cfg
+    ).to_pandas()
+
+    n_media = 0
+    for _, r in out.iterrows():
+        for s in r["spans"]:
+            if s["kind"] == "media":
+                assert s["text"] == golden[s["media_ref"]], s["media_ref"]
+                n_media += 1
+    assert n_media > 50
