@@ -12,6 +12,7 @@ modes.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 
 import numpy as np
@@ -223,3 +224,53 @@ def test_decode_media_routes_jpeg(ray_session):
     assert eng.get_text(eng.prepare_input(a, order="hwc")) == eng.get_text(
         eng.prepare_input(b, order="hwc")
     )
+
+
+# ---------------------------------------------------------------------------
+# real-world fixture: a libjpeg-encoded 16x16 logo from CPython's test
+# suite (543 bytes, embedded for hermeticity). An independent real
+# encoder's output must decode to the pinned pixels, and sit within a
+# sane PSNR of the same logo's lossless PNG twin composited on black
+# (test_png.py cross-validates that twin against system libpng).
+FIXTURE_JPG = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUG"
+    "CQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgE"
+    "BAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QA"
+    "JBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAA"
+    "AAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA"
+    "AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZds"
+    "kzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0"
+    "rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo"
+    "5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmIT"
+    "jbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+
+
+def test_real_libjpeg_fixture_decodes_pinned():
+    import hashlib
+
+    img = decode_jpeg(FIXTURE_JPG)
+    assert img.shape == (16, 16, 3)
+    assert (
+        hashlib.md5(img.tobytes()).hexdigest()
+        == "dbb5d9878836c7edc21cfc2ce6115416"
+    )
+
+
+def test_real_fixture_psnr_vs_png_twin():
+    import glob
+
+    from ocrs_ray.png import decode_png
+
+    paths = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.png"
+    ))
+    if not paths:
+        pytest.skip("png twin not on disk")
+    png = decode_png(open(paths[0], "rb").read()).astype(np.float64)
+    comp = png[:, :, :3] * (png[:, :, 3:4] / 255.0)  # composite on black
+    img = decode_jpeg(FIXTURE_JPG).astype(np.float64)
+    mse = np.mean((img - comp) ** 2)
+    psnr = 10 * np.log10(255 * 255 / mse)
+    assert psnr > 17.0, psnr  # 19.4 measured; sharp-edge 16x16 JPEG

@@ -263,3 +263,86 @@ def test_adam7_16bit_grey():
         _adam7_idat(img, depth=16),
     )
     np.testing.assert_array_equal(decode_png(data), img)
+
+
+# ---------------------------------------------------------------------------
+# system-libpng cross-validation (ctypes; skipped when absent)
+# ---------------------------------------------------------------------------
+
+
+def _libpng():
+    import ctypes
+    import ctypes.util
+
+    for name in ("libpng16.so.16", "libpng16.so", "libpng.so",
+                 ctypes.util.find_library("png16"),
+                 ctypes.util.find_library("png")):
+        if not name:
+            continue
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+LIBPNG = _libpng()
+
+
+@pytest.mark.skipif(LIBPNG is None, reason="system libpng not available")
+def test_libpng_cross_validation():
+    """Independent-implementation conformance: libpng's simplified
+    read API (safe — errors return, no longjmp) must agree with our
+    decoder on real-world PNGs, and must decode our encoder's output
+    byte-for-byte. Same oracle pattern as the VP8 libwebp tests."""
+    import ctypes
+
+    class PngImage(ctypes.Structure):
+        _fields_ = [
+            ("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+            ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+            ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+            ("colormap_entries", ctypes.c_uint32),
+            ("warning_or_error", ctypes.c_uint32),
+            ("message", ctypes.c_char * 64),
+        ]
+
+    def libpng_rgba(data: bytes) -> np.ndarray:
+        img = PngImage()
+        img.version = 1  # PNG_IMAGE_VERSION
+        assert LIBPNG.png_image_begin_read_from_memory(
+            ctypes.byref(img), data, len(data)
+        ), img.message
+        img.format = 3  # PNG_FORMAT_RGBA
+        buf = (ctypes.c_uint8 * (img.width * img.height * 4))()
+        assert LIBPNG.png_image_finish_read(
+            ctypes.byref(img), None, buf, 0, None
+        ), img.message
+        arr = np.ctypeslib.as_array(buf)
+        return arr.reshape(img.height, img.width, 4).copy()
+
+    def to_rgba(a: np.ndarray) -> np.ndarray:
+        if a.shape[2] == 1:
+            a = np.repeat(a, 3, axis=2)
+        if a.shape[2] == 3:
+            a = np.dstack([a, np.full(a.shape[:2], 255, np.uint8)])
+        return a
+
+    rng = np.random.default_rng(3)
+    for shape in [(9, 13, 3), (16, 5, 4), (7, 7, 1), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_png(img)
+        # libpng decodes our encoder's stream to the same pixels...
+        np.testing.assert_array_equal(libpng_rgba(blob), to_rgba(img))
+        # ...and both decoders agree on it
+        np.testing.assert_array_equal(to_rgba(decode_png(blob)), libpng_rgba(blob))
+    # real-world fixture (CPython test suite), when present on disk
+    import glob
+
+    for p in sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.png"
+    ))[:1]:
+        data = open(p, "rb").read()
+        np.testing.assert_array_equal(
+            to_rgba(decode_png(data)), libpng_rgba(data)
+        )
