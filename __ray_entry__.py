@@ -58,6 +58,11 @@ def _ocr_docs(sf_dir: str):
     # 2 — at ncpu<=3 a second actor IS the deadlock. Conservative
     # pre-init fallback (4 CPUs -> 2 actors) since the driver contract
     # guarantees init happened, but a wrong guess must not hang.
+    # The 4-actor CAP is gate-scale-specific: the correctness gate runs
+    # at sf0.01 (~1200 docs) where actor startup dominates and a wide
+    # pool only adds spawn latency. Production paths size from
+    # cluster_ncpu()*0.75 instead (bench.py, job.py) — do NOT copy this
+    # cap into them.
     ncpu = cluster_ncpu(default=4)
     w = max(1, min(ncpu - 2, 4))
     return build_ocr_pipeline(
@@ -302,6 +307,29 @@ def _media_ahash_survivors(sf_dir: str):
     return media_ahash_survivors(_corpus_for(sf_dir)["media"])
 
 
+def _media_webp_transcode(sf_dir: str):
+    """Media normalization: lossy-WebP transcode of every media row
+    (pure-numpy VP8 keyframe encoder, bit-exact-vs-libwebp decoder)
+    with compression/fidelity accounting. Deterministic; value-pinned
+    in tests/test_multimodal.py against a single-process recompute;
+    blobs reduced to md5 for a stable driver row shape."""
+    from ocrs_ray.ops.multimodal import media_webp_transcode
+
+    ds = _digest_cols(
+        media_webp_transcode(_corpus_for(sf_dir)["media"]),
+        {"image": "webp_md5"},
+    )
+    return ds.map_batches(
+        lambda t: t.select(
+            [
+                "media_ref", "height", "width", "webp_md5", "orig_bytes",
+                "webp_bytes", "compression_ratio_milli", "psnr_milli_db",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _media_webdataset_roundtrip(sf_dir: str):
     """Binary-payload WebDataset tar roundtrip over the corpus media
     table (rows-only at the driver: the media table is corpus-internal,
@@ -487,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash_neardup": _media_ahash_neardup,
         "media_ahash_survivors": _media_ahash_survivors,
         "media_webdataset_roundtrip": _media_webdataset_roundtrip,
+        "media_webp_transcode": _media_webp_transcode,
         "video_frames": _video_frames,
         "ocr_annotated": _ocr_annotated,
         "ocr_text_maps": _ocr_text_maps,

@@ -153,6 +153,82 @@ def media_thumbnails(media_path: str, out_h: int = 32, out_w: int = 32) -> rd.Da
     )
 
 
+class MediaWebpTranscoder:
+    """Actor-pool stage: decode -> lossy-WebP (VP8 keyframe) re-encode
+    -> decode back; emits the transcoded payload plus compression /
+    fidelity accounting. The media-normalization stage a 100-TB corpus
+    runs to standardize heterogeneous crawled payloads onto one codec:
+    output rows keep the opaque-binary + typed-metadata layout, so the
+    transcoded table is itself a valid media table (composable with
+    every other media op).
+
+    Scale shape: stateless per-row codec work in an actor pool, no
+    shuffle; payload-heavy rows ride small batches. Deterministic
+    (pure-integer codec), so the whole row is value-reproducible.
+    """
+
+    def __init__(self, q_index: int = 8):
+        self.q_index = q_index
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocrs_ray.vp8 import encode_webp_lossy
+        from ocrs_ray.webp import decode_webp
+
+        refs, blobs, hs, ws, cs, fmts = [], [], [], [], [], []
+        orig_b, webp_b, ratio_milli, psnr_milli = [], [], [], []
+        for ref, payload in _payloads(batch):
+            img = decode_media(payload)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            blob = encode_webp_lossy(img, q_index=self.q_index)
+            back = decode_webp(blob)
+            src = img if img.shape[2] == 3 else np.repeat(img[:, :, :1], 3, 2)
+            mse = float(
+                np.mean(
+                    (back.astype(np.float64) - src.astype(np.float64)) ** 2
+                )
+            )
+            psnr = 99_000 if mse == 0 else int(
+                round(10_000 * np.log10(255 * 255 / mse))
+            )
+            refs.append(ref)
+            blobs.append(blob)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            cs.append(3)
+            fmts.append("webp")
+            orig_b.append(len(payload[0]))
+            webp_b.append(len(blob))
+            ratio_milli.append(1000 * len(payload[0]) // max(1, len(blob)))
+            psnr_milli.append(psnr)
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "image": pa.array(blobs, type=pa.binary()),
+                "height": pa.array(hs, type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+                "channels": pa.array(cs, type=pa.int32()),
+                "format": pa.array(fmts, type=pa.string()),
+                "orig_bytes": pa.array(orig_b, type=pa.int64()),
+                "webp_bytes": pa.array(webp_b, type=pa.int64()),
+                "compression_ratio_milli": pa.array(
+                    ratio_milli, type=pa.int64()
+                ),
+                "psnr_milli_db": pa.array(psnr_milli, type=pa.int64()),
+            }
+        )
+
+
+def media_webp_transcode(media_path: str, q_index: int = 8) -> rd.Dataset:
+    return read_media(media_path).map_batches(
+        MediaWebpTranscoder,
+        fn_constructor_args=(q_index,),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+
+
 class VideoFrameSampler:
     """Actor-pool stage: one video row -> N sampled frame rows.
 

@@ -201,3 +201,54 @@ def test_media_webdataset_roundtrip_exact(media_path):
         }
     ).sort_values("media_ref").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def test_media_webp_transcode_exact(media_path):
+    """Full value pin for the lossy-WebP normalization stage: the
+    distributed transcode must equal a single-process recompute
+    row-for-row (payload bytes, sizes, ratio, PSNR) — the codec is
+    pure-integer deterministic, so equality is exact."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.multimodal import media_webp_transcode
+    from ocrs_ray.pipeline import decode_media
+    from ocrs_ray.vp8 import encode_webp_lossy
+    from ocrs_ray.webp import decode_webp
+
+    got = (
+        media_webp_transcode(media_path, q_index=8)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    src = pq.read_table(media_path).to_pandas()
+    assert len(got) == len(src) > 0
+    by_ref = {r["media_ref"]: r for _, r in got.iterrows()}
+    n_checked = 0
+    for _, s in src.iterrows():
+        img = decode_media(
+            (s["image"], s["height"], s["width"], s["channels"], s["format"])
+        )
+        if img.ndim == 2:
+            img = img[:, :, None]
+        blob = encode_webp_lossy(img, q_index=8)
+        row = by_ref[s["media_ref"]]
+        assert bytes(row["image"]) == blob
+        assert row["orig_bytes"] == len(s["image"])
+        assert row["webp_bytes"] == len(blob)
+        assert row["compression_ratio_milli"] == 1000 * len(s["image"]) // len(blob)
+        back = decode_webp(blob)
+        srcp = img if img.shape[2] == 3 else np.repeat(img[:, :, :1], 3, 2)
+        mse = float(np.mean((back.astype(np.float64) - srcp.astype(np.float64)) ** 2))
+        psnr = 99_000 if mse == 0 else int(round(10_000 * np.log10(255 * 255 / mse)))
+        assert row["psnr_milli_db"] == psnr
+        assert row["psnr_milli_db"] > 20_000  # sane fidelity at q=8
+        n_checked += 1
+    assert n_checked == len(src)
+    # the output is itself a valid media table: payloads decode
+    first = got.iloc[0]
+    dec = decode_media(
+        (bytes(first["image"]), first["height"], first["width"],
+         first["channels"], first["format"])
+    )
+    assert dec.shape == (first["height"], first["width"], 3)
