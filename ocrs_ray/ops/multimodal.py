@@ -232,12 +232,15 @@ def media_webp_transcode(media_path: str, q_index: int = 8) -> rd.Dataset:
 class VideoFrameSampler:
     """Actor-pool stage: one video row -> N sampled frame rows.
 
-    Real video decode needs a codec library absent from this container,
-    so payloads with format "raw8-hwc" are treated as a deterministic
-    fake "video" whose frame t is the image rolled by t rows — the
-    per-row fan-out (flat_map shape), frame indexing, and output schema
-    are the real distributed plumbing; a cv2/av decoder swaps into
-    `_frames` without touching the Ray side.
+    Animated WebP is decoded FOR REAL (`ocrs_ray.webp.decode_webp_frames`
+    composites ANMF frames with libwebp's WebPAnimDecoder semantics) and
+    sampled evenly to at most `n_frames`. True video containers (mp4 etc.)
+    need a codec library absent from this container, so payloads with
+    format "raw8-hwc" are treated as a deterministic fake "video" whose
+    frame t is the image rolled by t rows — the per-row fan-out (flat_map
+    shape), frame indexing, and output schema are the same distributed
+    plumbing either way; a cv2/av decoder swaps into `_frames` without
+    touching the Ray side.
     """
 
     def __init__(self, n_frames: int = 4):
@@ -245,6 +248,14 @@ class VideoFrameSampler:
 
     def _frames(self, payload) -> list[np.ndarray]:
         fmt = payload[4]
+        if fmt == "webp":
+            from ocrs_ray.webp import decode_webp_frames
+
+            frames = [f for f, _dur in decode_webp_frames(payload[0])]
+            if len(frames) <= self.n_frames:
+                return frames
+            picks = np.linspace(0, len(frames) - 1, self.n_frames).round().astype(int)
+            return [frames[i] for i in picks]
         if fmt == "raw8-hwc":
             img = decode_media(payload)
             return [np.roll(img, t, axis=0) for t in range(self.n_frames)]

@@ -221,8 +221,10 @@ def decode_media(payload: tuple[bytes, int, int, int, str]) -> np.ndarray:
     halves for real via pure-numpy codecs: lossless VP8L and lossy VP8
     keyframes (boolean arithmetic decoder, full intra prediction,
     normal+simple loop filters — `ocrs_ray.vp8`, bit-exact against
-    libwebp in tests), plus VP8X containers with ALPH alpha planes;
-    only animated WebP (ANIM) still raises.
+    libwebp in tests), VP8X containers with ALPH alpha planes, and
+    animated WebP (ANIM/ANMF frame compositing — decode yields the
+    first composited frame, like the `image` crate's `read_image`;
+    `webp.decode_webp_frames` exposes the full sequence).
     """
     blob, h, w, c, fmt = payload
     if fmt == "raw8-hwc":

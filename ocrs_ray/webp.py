@@ -1,12 +1,16 @@
-"""Pure-numpy WebP lossless (VP8L) codec.
+"""Pure-numpy WebP lossless (VP8L) codec + container layer.
 
 Decoder covers the full VP8L surface: all four transforms (predictor,
 color, subtract-green, color-indexing with pixel packing), color
 cache, meta-prefix (spatially varying code groups), and LZ77
-backward references with the 2D near-distance map. Lossy VP8 and the
-VP8X extended container stay honestly gated behind
-NotImplementedError (they need a boolean arithmetic decoder + full
-in-loop filtering — a different project).
+backward references with the 2D near-distance map. The container
+layer (`decode_webp` / `decode_webp_frames`) routes lossy VP8
+keyframes to `ocrs_ray.vp8`, unfilters ALPH alpha planes (raw and
+VP8L-compressed, all four filters), and composites animated
+VP8X+ANIM/ANMF sequences with libwebp's WebPAnimDecoder semantics
+(transparent canvas init, zero-fill dispose, non-premultiplied
+integer blending — demux/anim_decode.c). `encode_webp_anim` is the
+matching muxer used to pin the compositor by round-trip.
 
 The encoder is a minimal spec-conformant VP8L writer used to pin the
 decoder by round-trip: per-channel prefix codes are either "simple"
@@ -600,42 +604,203 @@ def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_webp(blob: bytes) -> np.ndarray:
-    """Decode a WebP container: lossless (VP8L), lossy (VP8 keyframe),
-    and extended (VP8X with optional ALPH alpha plane). Animation
-    (ANIM/ANMF) raises honestly."""
-    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) container")
-    pos = 12
+def _iter_chunks(data: bytes, pos: int = 0):
+    """Yield (fourcc, payload) over a RIFF chunk sequence (even-padded)."""
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield fourcc, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _decode_still(chunks: list[tuple[bytes, bytes]]) -> np.ndarray:
+    """Decode a (ALPH?, VP8|VP8L) chunk group to HWC uint8 (RGB or
+    RGBA) — the shared payload shape of a still image and of one ANMF
+    frame's body."""
     alph = None
-    vp8_payload = None
-    while pos + 8 <= len(blob):
-        fourcc = blob[pos : pos + 4]
-        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
-        payload = blob[pos + 8 : pos + 8 + size]
+    for fourcc, payload in chunks:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
-        if fourcc == b"VP8 ":
-            vp8_payload = payload
-            break
-        if fourcc == b"VP8X":
-            if payload[0] & 0x02:  # animation flag
-                raise NotImplementedError("animated WebP (ANIM) not supported")
-        elif fourcc == b"ALPH":
+        if fourcc == b"ALPH":
             alph = payload
-        elif fourcc in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP (ANIM) not supported")
-        pos += 8 + size + (size & 1)
-    if vp8_payload is None:
-        raise ValueError("no image chunk found in WebP container")
-    from ocrs_ray import vp8 as _vp8
+        elif fourcc == b"VP8 ":
+            from ocrs_ray import vp8 as _vp8
 
-    rgb = _vp8.decode_vp8(vp8_payload)
-    if alph is None:
-        return rgb
-    h, w = rgb.shape[:2]
-    a = decode_alpha(alph, w, h)
-    return np.ascontiguousarray(np.dstack([rgb, a]))
+            rgb = _vp8.decode_vp8(payload)
+            if alph is None:
+                return rgb
+            h, w = rgb.shape[:2]
+            a = decode_alpha(alph, w, h)
+            return np.ascontiguousarray(np.dstack([rgb, a]))
+    raise ValueError("no image chunk found in WebP container")
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    if img.shape[2] == 4:
+        return img
+    a = np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)
+    return np.concatenate([img, a], axis=2)
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Non-premultiplied src-over-dst with libwebp's exact integer
+    arithmetic (demux/anim_decode.c BlendPixelRowNonPremult): floor
+    divisions, src_alpha == 0 keeps dst untouched."""
+    sa = src[:, :, 3].astype(np.int64)
+    da = dst[:, :, 3].astype(np.int64)
+    scale = (da * (255 - sa)) // 255
+    ba = sa + scale
+    safe = np.where(ba == 0, 1, ba)
+    out = np.empty_like(dst)
+    for c in range(3):
+        out[:, :, c] = (
+            (src[:, :, c].astype(np.int64) * sa + dst[:, :, c].astype(np.int64) * scale)
+            // safe
+        ).astype(np.uint8)
+    out[:, :, 3] = ba.astype(np.uint8)
+    keep = sa == 0
+    out[keep] = dst[keep]
+    return out
+
+
+def decode_webp_frames(blob: bytes) -> list[tuple[np.ndarray, int]]:
+    """Decode a WebP container to [(HWC uint8 RGBA canvas, duration_ms)].
+
+    Still images return one (frame, 0) entry. Animated containers
+    (VP8X + ANIM/ANMF) composite each frame onto the canvas with
+    libwebp's WebPAnimDecoder semantics (demux/anim_decode.c): the
+    canvas initializes to transparent black, dispose-to-background
+    zero-fills the PREVIOUS frame's rect (the ANIM background color is
+    metadata for players, not baked into pixels), and alpha blending
+    uses the non-premultiplied integer formula of `_blend_over`.
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    chunks = list(_iter_chunks(blob, 12))
+    animated = any(f in (b"ANIM", b"ANMF") for f, _ in chunks) or any(
+        f == b"VP8X" and payload[0] & 0x02 for f, payload in chunks
+    )
+    if not animated:
+        return [(_to_rgba(_decode_still(chunks)), 0)]
+    cw = ch_ = None
+    for fourcc, payload in chunks:
+        if fourcc == b"VP8X":
+            cw = 1 + int.from_bytes(payload[4:7], "little")
+            ch_ = 1 + int.from_bytes(payload[7:10], "little")
+    if cw is None:
+        raise ValueError("animated WebP without a VP8X canvas chunk")
+    canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
+    frames: list[tuple[np.ndarray, int]] = []
+    prev_rect: tuple[int, int, int, int] | None = None
+    prev_dispose = False
+    for fourcc, payload in chunks:
+        if fourcc != b"ANMF":
+            continue
+        x = 2 * int.from_bytes(payload[0:3], "little")
+        y = 2 * int.from_bytes(payload[3:6], "little")
+        fw = 1 + int.from_bytes(payload[6:9], "little")
+        fh = 1 + int.from_bytes(payload[9:12], "little")
+        dur = int.from_bytes(payload[12:15], "little")
+        flags = payload[15]
+        no_blend = bool(flags & 0x02)
+        dispose = bool(flags & 0x01)
+        if x + fw > cw or y + fh > ch_:
+            raise ValueError("ANMF frame rect exceeds the VP8X canvas")
+        img = _to_rgba(_decode_still(list(_iter_chunks(payload, 16))))
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame size disagrees with its bitstream")
+        if prev_dispose and prev_rect is not None:
+            px, py, pw, ph = prev_rect
+            canvas[py : py + ph, px : px + pw] = 0
+        window = canvas[y : y + fh, x : x + fw]
+        canvas[y : y + fh, x : x + fw] = img if no_blend else _blend_over(window, img)
+        frames.append((canvas.copy(), dur))
+        prev_rect, prev_dispose = (x, y, fw, fh), dispose
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """Decode a WebP container: lossless (VP8L), lossy (VP8 keyframe),
+    extended (VP8X with optional ALPH alpha plane), and animated
+    (first composited frame — the behavior of the reference's `image`
+    crate, whose `read_image` decodes frame 0 of an animation;
+    `decode_webp_frames` exposes the full frame sequence)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    chunks = list(_iter_chunks(blob, 12))
+    if any(f in (b"ANIM", b"ANMF") for f, _ in chunks) or any(
+        f == b"VP8X" and payload[0] & 0x02 for f, payload in chunks
+    ):
+        return decode_webp_frames(blob)[0][0]
+    return _decode_still(chunks)
+
+
+def encode_webp_anim(
+    frames: list[np.ndarray],
+    durations_ms: list[int],
+    *,
+    offsets: list[tuple[int, int]] | None = None,
+    blend: list[bool] | None = None,
+    dispose: list[bool] | None = None,
+    canvas_size: tuple[int, int] | None = None,
+    background: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop_count: int = 0,
+    lossy_q: int | None = None,
+) -> bytes:
+    """Mux HWC uint8 frames into an animated WebP (VP8X + ANIM + ANMF).
+
+    Frame payloads are our own VP8L chunks (lossless, so decode
+    round-trips exactly) or, with `lossy_q`, VP8 keyframes. `offsets`
+    must be even (the container stores x/2, y/2); `blend[i]` True means
+    alpha-blend frame i over the canvas (container B flag clear),
+    `dispose[i]` True zero-fills its rect before the next frame.
+    Container layout per the WebP container spec (RIFF, even-padded
+    chunks); used as the round-trip fixture source for
+    `decode_webp_frames` the same way `encode_vp8l` pins `decode_vp8l`.
+    """
+    n = len(frames)
+    if not n or len(durations_ms) != n:
+        raise ValueError("need >= 1 frame and matching durations")
+    offsets = offsets or [(0, 0)] * n
+    blend = [True] * n if blend is None else blend
+    dispose = [False] * n if dispose is None else dispose
+    if canvas_size is None:
+        canvas_size = (
+            max(x + f.shape[1] for (x, _), f in zip(offsets, frames)),
+            max(y + f.shape[0] for (_, y), f in zip(offsets, frames)),
+        )
+    cw, ch_ = canvas_size
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    has_alpha = any(f.shape[2] == 4 and not np.all(f[:, :, 3] == 255) for f in frames)
+    vp8x = bytes([0x02 | (0x10 if has_alpha else 0)]) + b"\x00\x00\x00"
+    vp8x += (cw - 1).to_bytes(3, "little") + (ch_ - 1).to_bytes(3, "little")
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop_count)
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for img, dur, (x, y), bl, dis in zip(frames, durations_ms, offsets, blend, dispose):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        fh, fw = img.shape[:2]
+        if x + fw > cw or y + fh > ch_:
+            raise ValueError("frame exceeds canvas")
+        head = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        head += (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+        head += int(dur).to_bytes(3, "little")
+        head += bytes([(0 if bl else 0x02) | (0x01 if dis else 0)])
+        if lossy_q is not None:
+            from ocrs_ray import vp8 as _vp8
+
+            payload = chunk(b"VP8 ", _vp8.encode_vp8(img[:, :, :3], q_index=lossy_q))
+        else:
+            payload = chunk(b"VP8L", encode_vp8l(img))
+        body += chunk(b"ANMF", head + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
 # ---------------------------------------------------------------------------

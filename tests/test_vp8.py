@@ -178,11 +178,12 @@ def test_fixture_container_rgba_bit_exact():
     )
 
 
-def test_animated_webp_raises():
-    # minimal VP8X container with the animation flag set
+def test_animation_flag_without_frames_raises():
+    # VP8X animation flag set but no ANMF frames: malformed, loud error
+    # (full animation decode is covered in tests/test_webp_anim.py)
     vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes([0x02] + [0] * 9)
     blob = b"RIFF" + (4 + len(vp8x)).to_bytes(4, "little") + b"WEBP" + vp8x
-    with pytest.raises(NotImplementedError, match="ANIM"):
+    with pytest.raises(ValueError, match="no ANMF frames"):
         decode_webp(blob)
 
 
