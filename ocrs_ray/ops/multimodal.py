@@ -11,13 +11,14 @@ Codec support in this container:
 - "png" decodes for real via the stdlib-zlib codec (`ocrs_ray.png`);
 - "jpeg"/"jpg" decodes for real via the pure-numpy baseline +
   progressive codec (`ocrs_ray.jpeg`);
-- "webp" (lossless VP8L) decodes for real via the pure-numpy codec
-  (`ocrs_ray.webp`); lossy VP8 still raises NotImplementedError;
-- audio/video have no corpus payloads here: `audio_features` raises
-  NotImplementedError for real codecs and `video_frame_sample`
-  documents its contract over a deterministic fake frame stream so the
+- "webp" decodes for real via the pure-numpy codecs — lossless VP8L
+  and lossy VP8 keyframes (`ocrs_ray.webp` / `ocrs_ray.vp8`, bit-exact
+  vs libwebp), including animated ANIM/ANMF compositing;
+- audio has no corpus payloads or codec here: `audio_features` raises
+  NotImplementedError; `video_frame_sample` decodes animated WebP for
+  real and documents a deterministic fake frame stream for raw8 so the
   distributed shape (actor pool, per-row fan-out to frame rows) is
-  real and tested.
+  real and tested for container formats this sandbox lacks.
 """
 
 from __future__ import annotations
