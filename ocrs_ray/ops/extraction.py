@@ -807,6 +807,47 @@ def _link_edges(sf_dir: str) -> rd.Dataset:
     return links.map_batches(parse, batch_format="pyarrow")
 
 
+#: Per-worker-process cache of fetched stationary blocks (pagerank's
+#: edge/node partitions), keyed by the object refs' hex ids. Blocks
+#: are immutable for a run, so reused workers skip the arrow->pandas
+#: conversion on every later round. Capped — one entry is one
+#: partition frame, which must fit in worker heap anyway (the same
+#: contract as every per-block keyed op here).
+_PR_BLOCK_CACHE: dict = {}
+
+
+def _pb_of(ids: np.ndarray, npart: int) -> np.ndarray:
+    """Partition bucket of a node id: fixed-key siphash (pandas
+    util.hash_array — process-deterministic) mod npart. One function
+    for BOTH src- and dst-side keying, so a node's bucket is a single
+    value everywhere."""
+    from pandas.util import hash_array
+
+    return (hash_array(ids.astype("int64")) % np.uint64(npart)).astype(
+        "int64"
+    )
+
+
+def _fetch_block_frame(refs) -> "object":
+    """ray.get + concat + to_pandas for a set of stationary block
+    refs, memoized per worker process (see _PR_BLOCK_CACHE)."""
+    import ray
+
+    key = tuple(sorted(r.hex() for r in refs))
+    df = _PR_BLOCK_CACHE.get(key)
+    if df is None:
+        tbls = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in ray.get(list(refs))
+        ]
+        tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+        df = tbl.to_pandas()
+        if len(_PR_BLOCK_CACHE) >= 4:
+            _PR_BLOCK_CACHE.clear()
+        _PR_BLOCK_CACHE[key] = df
+    return df
+
+
 def docs_link_pagerank(
     sf_dir: str, iters: int = 5, checkpoint_dir: str | None = None
 ) -> rd.Dataset:
@@ -820,13 +861,28 @@ def docs_link_pagerank(
     deliberately omitted on BOTH sides (this graph has no dangling
     nodes: every doc keeps at least one valid prev/next link).
 
-    Scale shape: the canonical distributed power iteration — per
-    round, ONE src-keyed tagged-union cogroup joins ranks to edges
-    (emitting (dst, contrib) rows) and ONE dst-keyed cogroup
-    re-aggregates against the node list; edges are src-partitioned
-    once up front (out-degree computed per block after the keyed
-    repartition, no separate join), and the O(nodes) rank state is
-    materialized per round in the object store — never on the driver.
+    Scale shape: Pregel-style power iteration with STATIONARY graph
+    state. Edges (with out-degree and precomputed dst bucket) and the
+    node list are hash-bucketed by `_pb_of(node) % npart` and
+    materialized ONCE as per-partition Arrow blocks in the object
+    store; the driver holds only {bucket: ObjectRef}. Each round is
+    then a single map over the bucket-partitioned rank state (each
+    block zero-copy-fetches ITS edge partition, joins ranks to edges,
+    and pre-aggregates contributions per dst — the combiner) followed
+    by ONE keyed exchange of those partial sums to the dst buckets,
+    where the stationary node blocks close the recurrence. Per-round
+    shuffle volume is O(partially-aggregated contribs + npart
+    sentinels), NOT O(edges): the O(E) edge set never moves again
+    after setup. Sentinel rows (node=-1, one per bucket) guarantee
+    every bucket's block exists each round so zero-inbound partitions
+    still emit their nodes at 150_000.
+
+    Partitioning assumptions (documented per the custom-operator
+    rule): a bucket's edge/node partition must fit in a worker's heap
+    (scale `npart` with the graph), and correctness does NOT rely on
+    Ray assigning the same bucket to the same partition index across
+    datasets — blocks carry their bucket ids and stage 2 filters the
+    fetched node blocks to the buckets actually present.
 
     With `checkpoint_dir`, each completed round's rank state is
     committed as partitioned parquet under `iter=NNNN/` (written to a
@@ -838,146 +894,49 @@ def docs_link_pagerank(
     (`state/checkpoint.py`), extended to iterative-algorithm state.
     """
     import pandas as pd
-    import numpy as np
+    import ray
 
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     npart = max(2, min(16, cluster_ncpu()))
-
-    # edges with out-degree: one src-keyed repartition co-locates each
-    # src's edges, so degree is a per-block count — no join.
-    def with_degree(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pa.table(
-                {
-                    "src": pa.array([], type=pa.int64()),
-                    "dst": pa.array([], type=pa.int64()),
-                    "deg": pa.array([], type=pa.int64()),
-                }
-            ).to_pandas()
-        out = df.copy()
-        out["deg"] = df.groupby("src")["src"].transform("size").to_numpy(
-            dtype="int64"
-        )
-        return out
-
-    edges = _link_edges(sf_dir)
-    enable_hash_shuffle(edges)
-    edges_deg = (
-        edges.repartition(npart, keys=["src"])
-        .map_batches(with_degree, batch_format="pandas", batch_size=None)
-        .materialize()
-    )
-
-    def _t1_empty() -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.array([], type=pa.int64()),
-                "dst": pa.array([], type=pa.int64()),
-                "deg": pa.array([], type=pa.int64()),
-                "val": pa.array([], type=pa.int64()),
-            }
-        )
-
-    def tag_rank_t1(df: pd.DataFrame):
-        if df.empty:
-            return _t1_empty()
-        return pd.DataFrame(
-            {
-                "node": df["node"].to_numpy(dtype="int64"),
-                "dst": np.full(len(df), -1, dtype="int64"),
-                "deg": np.zeros(len(df), dtype="int64"),
-                "val": df["rank"].to_numpy(dtype="int64"),
-            }
-        )
-
-    def tag_edges_t1(df: pd.DataFrame):
-        if df.empty:
-            return _t1_empty()
-        return pd.DataFrame(
-            {
-                "node": df["src"].to_numpy(dtype="int64"),
-                "dst": df["dst"].to_numpy(dtype="int64"),
-                "deg": df["deg"].to_numpy(dtype="int64"),
-                "val": np.zeros(len(df), dtype="int64"),
-            }
-        )
 
     def _contrib_empty() -> pa.Table:
         return pa.table(
             {
                 "node": pa.array([], type=pa.int64()),
                 "val": pa.array([], type=pa.int64()),
-                "is_node": pa.array([], type=pa.int64()),
+                "pb": pa.array([], type=pa.int64()),
             }
         )
 
-    def contrib_block(df: pd.DataFrame):
-        if df.empty:
-            return _contrib_empty()
-        is_edge = df["dst"].to_numpy() >= 0
-        ranks = df.loc[~is_edge, ["node", "val"]].rename(columns={"val": "rank"})
-        e = df.loc[is_edge, ["node", "dst", "deg"]]
-        if e.empty or ranks.empty:
-            return _contrib_empty()
-        m = e.merge(ranks, on="node", how="inner")
-        if m.empty:
-            return _contrib_empty()
-        contrib = m["rank"].to_numpy(dtype="int64") // m["deg"].to_numpy(
-            dtype="int64"
-        )
-        return pd.DataFrame(
-            {
-                "node": m["dst"].to_numpy(dtype="int64"),
-                "val": contrib,
-                "is_node": np.zeros(len(m), dtype="int64"),
-            }
-        )
-
-    def tag_rank_t2(df: pd.DataFrame):
-        if df.empty:
-            return _contrib_empty()
-        return pd.DataFrame(
-            {
-                "node": df["node"].to_numpy(dtype="int64"),
-                "val": np.zeros(len(df), dtype="int64"),
-                "is_node": np.ones(len(df), dtype="int64"),
-            }
-        )
-
-    def rank_block(df: pd.DataFrame):
-        if df.empty:
-            return pa.table(
-                {
-                    "node": pa.array([], type=pa.int64()),
-                    "rank": pa.array([], type=pa.int64()),
-                }
-            ).to_pandas()
-        is_node = df["is_node"].to_numpy() == 1
-        nodes = df.loc[is_node, ["node"]]
-        agg = (
-            df.loc[~is_node]
-            .groupby("node", as_index=False)["val"]
-            .sum()
-            .rename(columns={"val": "agg"})
-        )
-        m = nodes.merge(agg, on="node", how="left")
-        a = m["agg"].fillna(0).to_numpy(dtype="int64")
-        return pd.DataFrame(
-            {
-                "node": m["node"].to_numpy(dtype="int64"),
-                "rank": 150_000 + (17 * a) // 20,
-            }
-        )
-
-    def init_rank(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    def _rank_empty() -> pa.Table:
         return pa.table(
             {
-                "node": batch.column("doc_id"),
-                "rank": pa.array([1_000_000] * n, type=pa.int64()),
+                "node": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "pb": pa.array([], type=pa.int64()),
             }
         )
+
+    @ray.remote(num_cpus=0)
+    def _pbs_of(tbl) -> list[int]:
+        # metadata probe over a stationary block — zero-CPU so these
+        # never compete with the map/shuffle pools (the registry-actor
+        # rule from the working notes).
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl)
+        if tbl.num_rows == 0:
+            return []
+        pb = tbl.column("pb").to_numpy(zero_copy_only=False)
+        return [int(p) for p in np.unique(pb)]
+
+    def _refs_by_pb(mat) -> dict:
+        refs = mat.to_arrow_refs()
+        by_pb: dict = {}
+        for pbs, ref in zip(ray.get([_pbs_of.remote(r) for r in refs]), refs):
+            for p in pbs:
+                by_pb[p] = ref
+        return by_pb
 
     start_iter = 0
     ranks = None
@@ -1012,43 +971,228 @@ def docs_link_pagerank(
         done = [i for i in done if i <= iters]
         if done:
             start_iter = done[-1]
-            ranks = rd.read_parquet(
+            resumed = rd.read_parquet(
                 os.path.join(checkpoint_dir, f"iter={start_iter:04d}")
-            ).materialize()
+            )
+            enable_hash_shuffle(resumed)
+            # restore the bucket partitioning (checkpoints persist pb)
+            ranks = resumed.repartition(npart, keys=["pb"]).materialize()
+
+    # ---- stationary node list (bucket-partitioned once) ----
+    def node_pb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "pb": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t.column("doc_id"), "pb": pa.array(_pb_of(ids, npart))}
+        )
+
+    nodes = read_documents(sf_dir, ["doc_id"]).map_batches(
+        node_pb, batch_format="pyarrow"
+    )
+    enable_hash_shuffle(nodes)
+    nodes = nodes.repartition(npart, keys=["pb"]).materialize()
+    node_by_pb = _refs_by_pb(nodes)
 
     if ranks is None:
-        ranks = read_documents(sf_dir, ["doc_id"]).map_batches(
+
+        def init_rank(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "rank": pa.array(
+                        np.full(t.num_rows, 1_000_000, dtype=np.int64)
+                    ),
+                    "pb": t.column("pb"),
+                }
+            )
+
+        # map over the materialized node blocks — partitioning kept
+        ranks = nodes.map_batches(
             init_rank, batch_format="pyarrow"
         ).materialize()
 
-    for it in range(start_iter + 1, iters + 1):
-        t1 = ranks.map_batches(tag_rank_t1, batch_format="pandas").union(
-            edges_deg.map_batches(tag_edges_t1, batch_format="pandas")
+    # ---- stationary edges (bucket-partitioned once, skipped when the
+    # checkpoint already covers every requested round) ----
+    edge_by_pb: dict = {}
+    if start_iter < iters:
+
+        def edge_pb(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "src": pa.array([], type=pa.int64()),
+                        "dst": pa.array([], type=pa.int64()),
+                        "pb": pa.array([], type=pa.int64()),
+                        "dst_pb": pa.array([], type=pa.int64()),
+                    }
+                )
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "pb": pa.array(_pb_of(src, npart)),
+                    "dst_pb": pa.array(_pb_of(dst, npart)),
+                }
+            )
+
+        # out-degree: the pb keying co-locates each src's edges, so
+        # degree is a per-block count — no join.
+        def with_degree(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pa.table(
+                    {
+                        "src": pa.array([], type=pa.int64()),
+                        "dst": pa.array([], type=pa.int64()),
+                        "pb": pa.array([], type=pa.int64()),
+                        "dst_pb": pa.array([], type=pa.int64()),
+                        "deg": pa.array([], type=pa.int64()),
+                    }
+                ).to_pandas()
+            out = df.copy()
+            out["deg"] = (
+                df.groupby("src")["src"].transform("size").to_numpy(
+                    dtype="int64"
+                )
+            )
+            return out
+
+        edges = _link_edges(sf_dir).map_batches(
+            edge_pb, batch_format="pyarrow"
         )
-        enable_hash_shuffle(t1)
-        contribs = t1.repartition(npart, keys=["node"]).map_batches(
-            contrib_block, batch_format="pandas", batch_size=None
-        )
-        t2 = ranks.map_batches(tag_rank_t2, batch_format="pandas").union(
-            contribs
-        )
-        enable_hash_shuffle(t2)
-        ranks = (
-            t2.repartition(npart, keys=["node"])
-            .map_batches(rank_block, batch_format="pandas", batch_size=None)
+        enable_hash_shuffle(edges)
+        edges_deg = (
+            edges.repartition(npart, keys=["pb"])
+            .map_batches(with_degree, batch_format="pandas", batch_size=None)
             .materialize()
         )
+        edge_by_pb = _refs_by_pb(edges_deg)
+
+    # one sentinel row per bucket keeps every bucket's stage-2 block
+    # alive even when no contributions flow to it this round
+    sentinels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([-1] * npart, type=pa.int64()),
+                "val": pa.array([0] * npart, type=pa.int64()),
+                "pb": pa.array(list(range(npart)), type=pa.int64()),
+            }
+        )
+    )
+
+    def stage1(df: pd.DataFrame):
+        # rank block -> partially-aggregated (dst, contrib) rows.
+        # Fetches only ITS buckets' stationary edge blocks (worker-
+        # memoized); the inner merge keys on real node ids, so any
+        # extra buckets sharing a fetched block can't double-count.
+        if df.empty:
+            return _contrib_empty()
+        pbs = np.unique(df["pb"].to_numpy())
+        refs = {edge_by_pb[int(p)] for p in pbs if int(p) in edge_by_pb}
+        if not refs:
+            return _contrib_empty()
+        e = _fetch_block_frame(refs)
+        m = e.merge(
+            pd.DataFrame(
+                {
+                    "src": df["node"].to_numpy(dtype="int64"),
+                    "rank": df["rank"].to_numpy(dtype="int64"),
+                }
+            ),
+            on="src",
+            how="inner",
+        )
+        if m.empty:
+            return _contrib_empty()
+        contrib = m["rank"].to_numpy(dtype="int64") // m["deg"].to_numpy(
+            dtype="int64"
+        )
+        out = pd.DataFrame(
+            {
+                "node": m["dst"].to_numpy(dtype="int64"),
+                "val": contrib,
+                "pb": m["dst_pb"].to_numpy(dtype="int64"),
+            }
+        )
+        agg = out.groupby(["node", "pb"], as_index=False)["val"].sum()
+        return agg[["node", "val", "pb"]]
+
+    def stage2(df: pd.DataFrame):
+        # exchanged contribs -> next-round ranks, against the
+        # stationary node blocks. Filtering the fetched nodes to the
+        # buckets PRESENT in this block (each bucket lands in exactly
+        # one block, sentinel-guaranteed) keeps every node emitted
+        # exactly once without assuming cross-dataset partition
+        # alignment.
+        if df.empty:
+            return _rank_empty()
+        pbs = np.unique(df["pb"].to_numpy())
+        refs = {node_by_pb[int(p)] for p in pbs if int(p) in node_by_pb}
+        if not refs:
+            return _rank_empty()
+        nf = _fetch_block_frame(refs)
+        nf = nf[np.isin(nf["pb"].to_numpy(), pbs)]
+        if nf.empty:
+            return _rank_empty()
+        real = df[df["node"].to_numpy() >= 0]
+        agg = real.groupby("node", as_index=False)["val"].sum()
+        m = pd.DataFrame(
+            {
+                "node": nf["node"].to_numpy(dtype="int64"),
+                "pb": nf["pb"].to_numpy(dtype="int64"),
+            }
+        ).merge(agg, on="node", how="left")
+        a = m["val"].fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "node": m["node"].to_numpy(dtype="int64"),
+                "rank": 150_000 + (17 * a) // 20,
+                "pb": m["pb"].to_numpy(dtype="int64"),
+            }
+        )
+
+    for it in range(start_iter + 1, iters + 1):
+        contribs = ranks.map_batches(
+            stage1, batch_format="pandas", batch_size=None
+        ).union(sentinels)
+        enable_hash_shuffle(contribs)
+        nxt = contribs.repartition(npart, keys=["pb"]).map_batches(
+            stage2, batch_format="pandas", batch_size=None
+        )
+        enable_hash_shuffle(nxt)
         if checkpoint_dir:
+            # checkpointing needs a round barrier: materialize, then
+            # commit the round's state via write-tmp + atomic rename
             import os
 
+            ranks = nxt.materialize()
             tmp = os.path.join(
                 checkpoint_dir, f".tmp-{it:04d}-{os.getpid()}"
             )
             ranks.write_parquet(tmp)
             os.rename(tmp, os.path.join(checkpoint_dir, f"iter={it:04d}"))
+        else:
+            # no checkpoint: chain rounds lazily so the streaming
+            # executor pipelines all k exchanges in ONE execution —
+            # no per-round barrier, state still lives in the object
+            # store. The plan is k stages deep, executed once by the
+            # final consumer.
+            ranks = nxt
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"node": "doc_id", "rank": "rank_micro"})
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(dtype="int64"),
+                "rank_micro": df["rank"].to_numpy(dtype="int64"),
+            }
+        )
 
     return ranks.map_batches(finish, batch_format="pandas")
 
