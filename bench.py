@@ -133,6 +133,7 @@ def run_headline(
 MIN_OF_2_OPS = frozenset(
     {
         "q20_heavy_shippers",
+        "docs_link_pagerank",
         "dedup_clusters",
         "events_value_outliers",
         "events_value_mad",
