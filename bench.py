@@ -338,8 +338,12 @@ def main() -> None:
         "sf": sf,
         "num_cpus": num_cpus,
     }
-    with open(sidecar, "w") as f:
-        json.dump(full, f, indent=1)
+    # Only the full-suite run owns the sidecar: --headline-only is also
+    # the --scaling subprocess, and letting it write would clobber the
+    # 150-op record with a single headline entry.
+    if not args.headline_only:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
 
     op_only = {k: v for k, v in op_walls.items() if k != "ocr_headline"}
     result = {

@@ -612,16 +612,17 @@ def pdf_page_text_sql() -> str:
     )
 
 
-def _parse_pdf_batch(batch: pa.Table):
-    """Shared synth -> regex parse for both PDF ops. The loop is per
+def _parse_pdf_batch(batch: pa.Table, streamer=_pdf_stream_for_text):
+    """Shared synth -> regex parse for the PDF ops. The loop is per
     run (<= 15/doc at corpus lengths), with a compiled RE2-compatible
-    pattern — the docs_extract_matches explode shape."""
+    pattern — the docs_extract_matches explode shape. `streamer` picks
+    the synthetic layout (zigzag vs newspaper columns)."""
     run_re = re.compile(PDF_RUN_RE, re.ASCII)
     parsed = []  # (doc_id, x, y, run_text)
     for d, t in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        stream = _pdf_stream_for_text(t)
+        stream = streamer(t)
         for x, y, run_text in run_re.findall(stream):
             parsed.append((d, int(x), int(y), run_text))
     return parsed
@@ -691,6 +692,128 @@ def docs_pdf_page_text(sf_dir: str) -> rd.Dataset:
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "n_runs": pa.array(counts, type=pa.int64()),
+                "page_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        assemble, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------
+# Newspaper-column PDF layout: true column detection
+# --------------------------------------------------------------------
+
+
+def _pdf_column_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
+    """TRUE newspaper-column layout: chunks fill the LEFT column top
+    to bottom, then the RIGHT — chunk i of n sits at column
+    i // rpc, row i % rpc with rpc = ceil(n/2) rows per column,
+    x = 72 + col*240, y = 720 - row*14. Unlike `_pdf_runs_for_text`'s
+    zigzag (where naive row-major (y desc, x asc) order happens to be
+    correct), here row-major order INTERLEAVES the columns and
+    corrupts the text: reconstruction requires column detection.
+    Same grammar, same guards, same max length (rpc <= 52 keeps
+    y positive exactly when n <= 104 chunks = `_PDF_MAX_CHARS`)."""
+    if len(text) > _PDF_MAX_CHARS:
+        raise ValueError(
+            f"text of {len(text)} chars exceeds the {_PDF_MAX_CHARS}-char "
+            "synthetic single-page layout — negative y would break the "
+            "run grammar (and the oracle) silently"
+        )
+    if "(" in text or ")" in text:
+        raise ValueError(
+            "text contains parentheses — the minimal (...) Tj run "
+            "grammar cannot escape them; refusing to synthesize a "
+            "silently-corrupt content stream"
+        )
+    n = (len(text) + PDF_CHUNK - 1) // PDF_CHUNK
+    rpc = (n + 1) // 2  # ceil(n/2) rows per column
+    runs = []
+    for i in range(n):
+        chunk = text[i * PDF_CHUNK : (i + 1) * PDF_CHUNK]
+        runs.append(
+            (i, 72 + (i // rpc) * 240, 720 - (i % rpc) * 14, chunk)
+        )
+    return runs
+
+
+def _pdf_column_stream_for_text(text: str) -> str:
+    """Serialize the column-layout runs in the same SHUFFLED (i%3, i)
+    order as `_pdf_stream_for_text` — the parser sees no ordering
+    hint from the stream."""
+    runs = sorted(_pdf_column_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
+    return " ".join(
+        f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
+    )
+
+
+_PDF_COL_SYNTH_SQL = (
+    "WITH nch AS (SELECT doc_id, text, CAST(ceil(length(text) / "
+    f"{PDF_CHUNK}.0) AS BIGINT) AS n FROM documents), "
+    "rp AS (SELECT doc_id, text, CAST(ceil(n / 2.0) AS BIGINT) AS rpc, "
+    "unnest(range(0, n)) AS i FROM nch), "
+    "r AS (SELECT doc_id, i, 72 + (i // rpc) * 240 AS x, "
+    "720 - (i % rpc) * 14 AS y, "
+    f"substr(text, CAST(1 + i * {PDF_CHUNK} AS INTEGER), {PDF_CHUNK}) "
+    "AS chunk FROM rp), "
+    "stream AS (SELECT doc_id, string_agg('BT 1 0 0 1 ' || x || ' ' || y "
+    "|| ' Tm (' || chunk || ') Tj ET', ' ' ORDER BY i % 3, i) AS s "
+    "FROM r GROUP BY doc_id), "
+    "m AS (SELECT doc_id, unnest(regexp_extract_all(s, "
+    f"'{PDF_RUN_RE}')) AS run FROM stream), "
+    "parsed AS (SELECT doc_id, "
+    f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 1) AS BIGINT) AS x, "
+    f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 2) AS BIGINT) AS y, "
+    f"regexp_extract(run, '{PDF_RUN_RE}', 3) AS run_text FROM m)"
+)
+
+
+def pdf_column_text_sql() -> str:
+    """Oracle for docs_pdf_column_text: synthesize the shuffled
+    newspaper-column stream in SQL, parse with the same RE2 grammar,
+    read columns left-to-right / top-to-bottom (x ASC, y DESC)."""
+    return (
+        _PDF_COL_SYNTH_SQL + " SELECT d.doc_id, "
+        "CAST(coalesce(p.n_cols, 0) AS BIGINT) AS n_cols, "
+        "coalesce(p.page_text, '') AS page_text FROM documents d "
+        "LEFT JOIN (SELECT doc_id, count(DISTINCT x) AS n_cols, "
+        "string_agg(run_text, '' ORDER BY x ASC, y DESC) AS page_text "
+        "FROM parsed GROUP BY doc_id) p ON d.doc_id = p.doc_id"
+    )
+
+
+def docs_pdf_column_text(sf_dir: str) -> rd.Dataset:
+    """Column-aware PDF text extraction: parse the shuffled
+    newspaper-column content stream, DETECT the columns (distinct x
+    origins, left-to-right), read each column top-to-bottom, and
+    reassemble — (doc_id, n_cols, page_text). The zigzag ops'
+    row-major sort would interleave the columns here; exact
+    round-trip to the source text certifies the column detection
+    (layout analysis, not just geometric sorting).
+
+    Scale shape: stateless map, one output row per doc, no shuffle.
+    """
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        rows = _parse_pdf_batch(batch, streamer=_pdf_column_stream_for_text)
+        by_doc: dict[int, list] = {}
+        for rec in rows:
+            by_doc.setdefault(rec[0], []).append(rec)
+        ids, ncols, texts = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            recs = by_doc.get(d, [])
+            # Column detection: distinct x origins, read left-to-right,
+            # each column top-to-bottom.
+            recs.sort(key=lambda r: (r[1], -r[2]))
+            ids.append(d)
+            ncols.append(len({r[1] for r in recs}))
+            texts.append("".join(r[3] for r in recs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_cols": pa.array(ncols, type=pa.int64()),
                 "page_text": pa.array(texts, type=pa.string()),
             }
         )
@@ -849,7 +972,10 @@ def _fetch_block_frame(refs) -> "object":
 
 
 def docs_link_pagerank(
-    sf_dir: str, iters: int = 5, checkpoint_dir: str | None = None
+    sf_dir: str,
+    iters: int = 5,
+    checkpoint_dir: str | None = None,
+    npart: int | None = None,
 ) -> rd.Dataset:
     """PageRank over the internal link graph, integer-exact: ranks
     start at 1_000_000 micro-units per node and iterate
@@ -879,7 +1005,8 @@ def docs_link_pagerank(
 
     Partitioning assumptions (documented per the custom-operator
     rule): a bucket's edge/node partition must fit in a worker's heap
-    (scale `npart` with the graph), and correctness does NOT rely on
+    (scale the `npart` kwarg with the graph — the default suits the
+    test scales), and correctness does NOT rely on
     Ray assigning the same bucket to the same partition index across
     datasets — blocks carry their bucket ids and stage 2 filters the
     fetched node blocks to the buckets actually present.
@@ -898,7 +1025,12 @@ def docs_link_pagerank(
 
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
-    npart = max(2, min(16, cluster_ncpu()))
+    # default bucket count suits the test scales; at real scale pass
+    # `npart` sized so one bucket's edges fit a worker's heap (the
+    # documented partitioning assumption) — any value works, including
+    # npart >> nodes (empty buckets ride the sentinel path).
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
 
     def _contrib_empty() -> pa.Table:
         return pa.table(

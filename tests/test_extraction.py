@@ -266,6 +266,85 @@ def test_pdf_parse_batch_matches_synth():
 
 
 # ---------------------------------------------------------------------------
+# newspaper-column PDF layout (column detection required)
+
+
+def test_pdf_column_layout_row_major_order_is_wrong():
+    # 5 distinct chunks -> rpc=3: col 0 holds chunks 0-2, col 1 holds
+    # 3-4. Column order (x asc, y desc) recovers the text; the zigzag
+    # ops' row-major sort (y desc, x asc) interleaves the columns.
+    text = "".join(f"{i:040d}" for i in range(5))
+    runs = ex._pdf_column_runs_for_text(text)
+    assert len(runs) == 5
+    assert sorted({r[1] for r in runs}) == [72, 312]
+    col_order = sorted(runs, key=lambda r: (r[1], -r[2]))
+    assert [r[0] for r in col_order] == [0, 1, 2, 3, 4]
+    assert "".join(r[3] for r in col_order) == text
+    row_major = sorted(runs, key=lambda r: (-r[2], r[1]))
+    assert [r[0] for r in row_major] == [0, 3, 1, 4, 2]
+    assert "".join(r[3] for r in row_major) != text
+
+
+def test_pdf_column_runs_edge_sizes():
+    # n=1 -> one column; n=2 -> rpc=1, one chunk per column (both at
+    # y=720, where row-major order coincides); empty -> no runs.
+    assert ex._pdf_column_runs_for_text("") == []
+    one = ex._pdf_column_runs_for_text("a" * 30)
+    assert [(r[1], r[2]) for r in one] == [(72, 720)]
+    two = ex._pdf_column_runs_for_text("b" * 80)
+    assert [(r[1], r[2]) for r in two] == [(72, 720), (312, 720)]
+    # max-size text keeps every y positive
+    full = ex._pdf_column_runs_for_text("c" * ex._PDF_MAX_CHARS)
+    assert min(r[2] for r in full) > 0
+    with pytest.raises(ValueError, match="synthetic single-page layout"):
+        ex._pdf_column_runs_for_text("x" * (ex._PDF_MAX_CHARS + 1))
+    with pytest.raises(ValueError, match="parentheses"):
+        ex._pdf_column_runs_for_text("see (note)")
+
+
+def test_pdf_column_text_matches_oracle(ray_session, tmp_path):
+    # Op vs SQL oracle on edge sizes: empty (0 cols), single-chunk
+    # (1 col), and a 5-distinct-chunk doc where row-major order would
+    # corrupt the text (2 cols) — exact round-trip certifies the
+    # column detection.
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import (
+        docs_pdf_column_text,
+        pdf_column_text_sql,
+    )
+
+    five = "".join(f"{i:040d}" for i in range(5))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["", "hello world", five]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = (
+        docs_pdf_column_text(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(pdf_column_text_sql()).df().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_cols"].tolist() == [0, 1, 2]
+    assert out["page_text"].tolist() == ["", "hello world", five]
+    assert exp["n_cols"].tolist() == out["n_cols"].tolist()
+    assert exp["page_text"].tolist() == out["page_text"].tolist()
+
+
+# ---------------------------------------------------------------------------
 # checkpoint-resumable pagerank (needs Ray)
 
 
@@ -298,6 +377,55 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
     committed = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
     assert committed == ["iter=0001", "iter=0002", "iter=0003", "iter=0004"]
     pd.testing.assert_frame_equal(resumed, fresh)
+
+
+def test_pagerank_npart_invariant(ray_session, tmp_path):
+    """Bucket count must not change values: npart >> nodes forces the
+    sentinel-only / empty-bucket paths (most buckets have no nodes, so
+    many exchange blocks are sentinel rows only), npart=2 packs many
+    buckets per block — both must agree with the default exactly.
+    npart=16 (not 64): at the 4-CPU test budget a 64-partition hash
+    exchange demands more aggregator CPUs than the session owns and
+    the test crawls (the hash_shuffle.py:1217 'Limited available CPU'
+    warning); 16 partitions over 12 docs still leaves >= 4 empty
+    buckets while keeping the standard 2-aggregator footprint."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import docs_link_pagerank
+
+    n = 12
+    texts = [f"w{i} " * 6 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n, type=pa.string()),
+                "source": pa.array(["s0"] * n, type=pa.string()),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+        row_group_size=4,
+    )
+    sf = str(tmp_path)
+
+    def run(**kw):
+        return (
+            docs_link_pagerank(sf, iters=3, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    base = run()
+    assert len(base) == n
+    pd.testing.assert_frame_equal(run(npart=16), base)
+    pd.testing.assert_frame_equal(run(npart=2), base)
 
 
 def test_pagerank_checkpoint_rejects_wrong_corpus(ray_session, tmp_path):
