@@ -436,15 +436,20 @@ def entry() -> Any:
 #: compete for the slots, so the gate ROTATES each round to give
 #: never-externally-gated ops a CORRECTNESS row; everything rotated
 #: out stays value-compared in-repo by tests/test_oracle_sweep.py
-#: every run. r04 rotation — ten FIRST-TIME entries in
+#: every run. r04 rotation — twelve FIRST-TIME entries in
 #: (fuzzy_name_pairs, simhash_neardup_pairs, events_global_cumsum,
 #: docs_global_length_rank, lineitem_cube, events_sorted_sink_scan,
 #: q9_product_profit, events_value_outliers, docs_jsonl_roundtrip,
-#: events_user_type_sequence), ten out whose family keeps gate rows
+#: events_user_type_sequence, plus the two r04-NEW extraction ops
+#: docs_pdf_column_text — column-detection layout, in over its zigzag
+#: sibling docs_pdf_page_text — and docs_html_nested_main_content —
+#: depth-tracking scanner over nested markup, in over flat
+#: docs_html_main_content), twelve out whose family keeps gate rows
 #: (ocr_doc_stats, ocr_text_quality, media_thumbnails,
 #: docs_repetition_stats, lm_quality_score, dedup_normalized,
 #: eval_decontaminate, neardup_survivors, embedding_neardup_pairs,
-#: events_tumbling_window).
+#: events_tumbling_window, docs_pdf_page_text,
+#: docs_html_main_content).
 _GATE_ORDER = [
     "ocr_pipeline_flat",
     "ocr_pipeline_flat_beam",
@@ -456,9 +461,9 @@ _GATE_ORDER = [
     "media_ahash_survivors",
     "video_frames",
     "text_quality",
-    "docs_html_main_content",
+    "docs_html_nested_main_content",
     "docs_html_links",
-    "docs_pdf_page_text",
+    "docs_pdf_column_text",
     "docs_link_pagerank",
     "web_extract_prep",
     "lm_bigram_score",

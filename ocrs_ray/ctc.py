@@ -42,12 +42,13 @@ def decode_greedy(scores: np.ndarray) -> list[CtcStep]:
 
 
 def _log_sum_exp(a: float, b: float) -> float:
-    if a == -math.inf:
-        return b
-    if b == -math.inf:
-        return a
-    m = max(a, b)
-    return m + math.log(math.exp(a - m) + math.exp(b - m))
+    # np.logaddexp, NOT the hand m+log(exp(a-m)+exp(b-m)) formula: the
+    # vectorized decoder uses the numpy kernel, and the differential
+    # test requires BIT-identical totals — the hand formula rounds
+    # differently in the last ulp, which flips strict comparisons
+    # between tied beams (hypothesis-found: an all-uniform 23x2 frame
+    # matrix at width 2 decoded to different-length outputs).
+    return float(np.logaddexp(a, b))
 
 
 def decode_beam(scores: np.ndarray, beam_width: int) -> list[CtcStep]:

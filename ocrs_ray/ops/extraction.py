@@ -140,16 +140,22 @@ _FIELD_SQL = {
 _MARKUP_UNSAFE_RE = r'[<>&()"]'
 
 
-def synth_html_sql() -> str:
-    """The page construction as a DuckDB `||` expression over the
-    documents view — byte-identical to `_synth_html_arrow`."""
+def _template_sql(template: tuple) -> str:
+    """A page template as a DuckDB `||` expression over the documents
+    view — byte-identical to `_render_template_arrow`."""
     parts = []
-    for piece in _PAGE_TEMPLATE:
+    for piece in template:
         if isinstance(piece, tuple):
             parts.append(_FIELD_SQL[piece[0]])
         else:
             parts.append("'" + piece.replace("'", "''") + "'")
     return " || ".join(parts)
+
+
+def synth_html_sql() -> str:
+    """The flat-page construction as a DuckDB `||` expression over the
+    documents view — byte-identical to `_synth_html_arrow`."""
+    return _template_sql(_PAGE_TEMPLATE)
 
 
 def _guard_markup_safe(text: pa.Array) -> None:
@@ -167,8 +173,8 @@ def _guard_markup_safe(text: pa.Array) -> None:
         )
 
 
-def _synth_html_arrow(batch: pa.Table) -> pa.Array:
-    """Render `_PAGE_TEMPLATE` for each row via one vectorized
+def _render_template_arrow(batch: pa.Table, template: tuple) -> pa.Array:
+    """Render a page template for each row via one vectorized
     binary_join_element_wise — zero Python per row."""
     import pyarrow.compute as pc
 
@@ -191,9 +197,15 @@ def _synth_html_arrow(batch: pa.Table) -> pa.Array:
         "text": text,
     }
     pieces = [
-        fields[p[0]] if isinstance(p, tuple) else p for p in _PAGE_TEMPLATE
+        fields[p[0]] if isinstance(p, tuple) else p for p in template
     ]
     return pc.binary_join_element_wise(*pieces, "")
+
+
+def _synth_html_arrow(batch: pa.Table) -> pa.Array:
+    """Render the flat `_PAGE_TEMPLATE` (the four-block page every
+    flat HTML op consumes)."""
+    return _render_template_arrow(batch, _PAGE_TEMPLATE)
 
 
 _DOC_COLS = ["doc_id", "text", "lang", "source"]
@@ -887,6 +899,145 @@ def html_main_content_sql() -> str:
         _block_stats_cte() + " SELECT doc_id, block_idx AS main_idx, "
         "tag AS main_tag, CAST(text_chars * (1000000 - link_density_ppm) "
         "AS BIGINT) AS score_micro, flat_text AS main_text FROM blocks "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY "
+        "text_chars * (1000000 - link_density_ppm) DESC, block_idx ASC) = 1"
+    )
+
+
+# --------------------------------------------------------------------
+# Nested-markup main content: the depth-tracking scanner as the
+# production path, certified by a structurally-anchored oracle
+# --------------------------------------------------------------------
+
+#: NESTED page: the top-level <div class="body"> contains a nested
+#: <div class="inner"> followed by a tail paragraph — a non-greedy
+#: pattern split (`<div class="body">(.*?)</div>`) stops at the INNER
+#: close and silently drops the tail, so correct segmentation requires
+#: the depth-tracking scanner. Single line, markup-safe fields only
+#: (same `_guard_markup_safe` contract as the flat template).
+_NESTED_PAGE_TEMPLATE = (
+    "<html><head><title>N ",
+    ("id",),
+    '</title></head><body><nav><a href="/home">Home</a> '
+    '<a href="/doc/',
+    ("id_prev",),
+    '">Prev</a> <a href="/doc/',
+    ("id_next",),
+    '">Next</a></nav><div class="body"><h1>Doc ',
+    ("id",),
+    "</h1><p>",
+    ("text",),
+    '</p><div class="inner"><a href="/ref/',
+    ("id_mod13",),
+    '">[',
+    ("id_mod13",),
+    ']</a> pull quote</div><p>Tail from ',
+    ("source",),
+    ".</p></div><footer>&copy; 2024 ",
+    ("source",),
+    ' <a href="/terms">Terms</a></footer></body></html>',
+)
+
+#: SQL-side structural anchors for the nested page's THREE top-level
+#: segments. The body arm is GREEDY and anchored on the following
+#: block (`</div><footer>`), so the nested </div> stays inside — the
+#: independent parse the scanner is value-compared against.
+_NESTED_BLOCK_ANCHORS = (
+    (0, "nav", "<nav>(.*)</nav>"),
+    (1, "div", '<div class="body">(.*)</div><footer>'),
+    (2, "footer", "<footer>(.*)</footer>"),
+)
+
+
+def docs_html_nested_main_content(sf_dir: str) -> rd.Dataset:
+    """Main-content pick over NESTED markup: segment each page with
+    the depth-tracking `html_block_segments` scanner (a nested
+    same-tag element must not split its parent), score each top-level
+    segment with the shared `text_chars * (1_000_000 - density_ppm)`
+    heuristic, emit the argmax segment — (doc_id, main_idx, main_tag,
+    score_micro, main_text). The flat ops' anchored-pattern split
+    would truncate the body at the inner </div> and lose the tail
+    paragraph; the oracle's structurally-anchored greedy parse
+    catches any scanner mis-segmentation value-exactly.
+
+    Scale shape: stateless map; the per-page Python scanner loop is
+    bounded by tags/page (the production cost of nesting — crawled
+    markup has no anchorable structure), all block statistics stay
+    vectorized Arrow kernels over the flattened segment array.
+    """
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        pages = _render_template_arrow(batch, _NESTED_PAGE_TEMPLATE)
+        segs = [html_block_segments(p) for p in pages.to_pylist()]
+        shapes = {tuple(t for t, _ in s) for s in segs}
+        if shapes != {("nav", "div", "footer")}:
+            raise ValueError(
+                f"unexpected top-level segmentation {shapes} — the "
+                "scanner and the template-anchored oracle would diverge"
+            )
+        n, k = len(batch), 3
+        inner = pa.array(
+            [blk for s in segs for _t, blk in s], type=pa.string()
+        )
+        flat = strip_markup(inner)
+        tc = pc.cast(pc.utf8_length(flat), pa.int64())
+        if pc.min(tc).as_py() == 0:
+            raise ValueError("empty top-level segment — density undefined")
+        lc = _link_chars(inner)
+        dens = pc.divide(pc.multiply(lc, 1_000_000), tc)
+        scores = (
+            tc.to_numpy() * (1_000_000 - dens.to_numpy())
+        ).reshape(n, k)
+        win = scores.argmax(axis=1)  # first max == lowest idx tiebreak
+        rows = np.arange(n)
+        tags = np.array(["nav", "div", "footer"])
+        texts = np.asarray(flat.to_numpy(zero_copy_only=False)).reshape(n, k)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "main_idx": pa.array(win.astype("int64")),
+                "main_tag": pa.array(tags[win], type=pa.string()),
+                "score_micro": pa.array(
+                    scores[rows, win].astype("int64")
+                ),
+                "main_text": pa.array(texts[rows, win], type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+def html_nested_main_content_sql() -> str:
+    """Oracle for docs_html_nested_main_content: render the SAME
+    nested template in SQL, extract the three top-level segments by
+    STRUCTURAL anchors (greedy body arm anchored on the following
+    block), then the shared strip/density/argmax pick."""
+    pages = (
+        "WITH pages AS (SELECT doc_id, "
+        f"{_template_sql(_NESTED_PAGE_TEMPLATE)} AS h FROM documents)"
+    )
+    arms = []
+    for idx, tag, pattern in _NESTED_BLOCK_ANCHORS:
+        blk = f"regexp_extract(h, '{pattern}', 1)"
+        flat = strip_markup_sql(blk)
+        lc = _link_chars_sql(blk)
+        arms.append(
+            f"SELECT doc_id, CAST({idx} AS BIGINT) AS block_idx, "
+            f"'{tag}' AS tag, CAST(length({flat}) AS BIGINT) AS text_chars, "
+            f"CAST({lc} AS BIGINT) AS link_chars, {flat} AS flat_text "
+            "FROM pages"
+        )
+    return (
+        pages + ", blocks AS (SELECT doc_id, block_idx, tag, text_chars, "
+        "link_chars, (1000000 * link_chars) // text_chars AS "
+        "link_density_ppm, flat_text FROM ("
+        + " UNION ALL ".join(arms)
+        + ")) SELECT doc_id, block_idx AS main_idx, tag AS main_tag, "
+        "CAST(text_chars * (1000000 - link_density_ppm) AS BIGINT) AS "
+        "score_micro, flat_text AS main_text FROM blocks "
         "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY "
         "text_chars * (1000000 - link_density_ppm) DESC, block_idx ASC) = 1"
     )

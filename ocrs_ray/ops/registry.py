@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_html_links": extraction.docs_html_links,
         "docs_html_block_stats": extraction.docs_html_block_stats,
         "docs_html_main_content": extraction.docs_html_main_content,
+        "docs_html_nested_main_content": (
+            extraction.docs_html_nested_main_content
+        ),
         "docs_pdf_runs": extraction.docs_pdf_runs,
         "docs_pdf_page_text": extraction.docs_pdf_page_text,
         "docs_pdf_column_text": extraction.docs_pdf_column_text,
@@ -426,6 +429,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_html_links": extraction.html_links_sql(),
         "docs_html_block_stats": extraction.html_block_stats_sql(),
         "docs_html_main_content": extraction.html_main_content_sql(),
+        "docs_html_nested_main_content": (
+            extraction.html_nested_main_content_sql()
+        ),
         "docs_pdf_runs": extraction.pdf_runs_sql(),
         "docs_pdf_page_text": extraction.pdf_page_text_sql(),
         "docs_pdf_column_text": extraction.pdf_column_text_sql(),

@@ -266,6 +266,86 @@ def test_pdf_parse_batch_matches_synth():
 
 
 # ---------------------------------------------------------------------------
+# nested-markup main content (depth-tracking scanner as production path)
+
+
+def test_nested_scanner_keeps_tail_after_inner_div():
+    import re as _re
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([3], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s0"]),
+        }
+    )
+    page = ex._render_template_arrow(batch, ex._NESTED_PAGE_TEMPLATE)[0].as_py()
+    segs = ex.html_block_segments(page)
+    assert [t for t, _ in segs] == ["nav", "div", "footer"]
+    body = segs[1][1]
+    # The tail paragraph sits AFTER the nested inner div: a non-greedy
+    # pattern split stops at the inner </div> and silently drops it.
+    assert "Tail from s0." in body
+    naive = _re.search(r'<div class="body">(.*?)</div>', page).group(1)
+    assert "Tail from" not in naive
+
+
+def test_html_nested_main_content_matches_oracle(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import (
+        docs_html_nested_main_content,
+        html_nested_main_content_sql,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 7, 12], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta words here",
+                        "x",
+                        "longer body text " * 10,
+                        "",
+                    ]
+                ),
+                "lang": pa.array(["en", "de", "en", "fr"]),
+                "source": pa.array(["s0", "s1", "s2", "s3"]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = (
+        docs_html_nested_main_content(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.execute(html_nested_main_content_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    # the long-text body must win for doc 7 and carry the tail
+    row7 = out[out.doc_id == 7].iloc[0]
+    assert row7.main_tag == "div" and "Tail from s2." in row7.main_text
+
+
+# ---------------------------------------------------------------------------
 # newspaper-column PDF layout (column detection required)
 
 

@@ -10,7 +10,7 @@ No Ray session required — everything here is kernel-level.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 # ---------------------------------------------------------------------------
@@ -86,6 +86,32 @@ def test_ctc_beam_invariants(scores, width):
 
 @given(score_matrices(), st.integers(min_value=1, max_value=12))
 @settings(max_examples=100, deadline=None)
+@example(
+    scores=np.array([[0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.],
+           [0., 0.]], dtype=np.float32),
+    width=2,
+).via('discovered failure')
 def test_ctc_beam_matches_reference_impl(scores, width):
     """Differential test: the vectorized beam search is bit-identical
     to the dict-of-prefix-tuples textbook implementation."""
