@@ -28,6 +28,7 @@ __all__ = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "spherical_kmeans",
     "kmeans_embeddings",
     "embedding_label_centroid",
@@ -393,6 +394,149 @@ def ann_topk_ivf(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         CellScan,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    return _finalize_topk(local, k)
+
+
+def _pq_kmeans(
+    vecs: np.ndarray, k: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic plain (Euclidean) k-means for PQ codebook
+    training: seeded permutation init, fixed iterations, empty cells
+    keep their previous centroid. Spherical k-means is wrong here —
+    subvectors are NOT unit vectors and re-normalizing centroids
+    would bias the reconstruction."""
+    rng = np.random.default_rng(seed)
+    cents = vecs[rng.permutation(len(vecs))[:k]].copy()
+    for _ in range(iters):
+        d2 = (
+            -2.0 * (vecs @ cents.T)
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_train(
+    sample_unit: np.ndarray, m_subspaces: int, n_codes: int, seed: int
+) -> np.ndarray:
+    """Per-subspace codebooks (m, n_codes, d/m) trained on the unit
+    sample. `m_subspaces` is lowered to the largest divisor of the
+    dimension so subvector blocks tile exactly (deterministic)."""
+    d = sample_unit.shape[1]
+    m = max(1, min(m_subspaces, d))
+    while d % m:
+        m -= 1
+    sub = d // m
+    k = min(n_codes, len(sample_unit))
+    cbs = np.empty((m, k, sub), dtype=np.float64)
+    for b in range(m):
+        cbs[b] = _pq_kmeans(
+            sample_unit[:, b * sub : (b + 1) * sub], k, seed + b
+        )
+    return cbs
+
+
+def ann_topk_pq(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    shortlist: int | None = None,
+    seed: int = 17,
+) -> rd.Dataset:
+    """Approximate top-k via product quantization with asymmetric
+    distance (ADC) and exact rerank (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search").
+
+    Train: per-subspace Euclidean k-means codebooks on a deterministic
+    head sample (driver-side once; the m x n_codes x d/m codebook
+    tensor — a few KB — is the ONLY broadcast state). Search: each
+    batch encodes its vectors to PQ codes vectorized, scores every
+    query by summed codebook lookup tables (approximate inner product
+    against UNIT corpus vectors == approximate cosine), keeps a
+    `shortlist` of candidates per query, and reranks the shortlist
+    with EXACT cosine — so emitted similarities are exact and only
+    RECALL is approximate. shortlist >= batch size degrades to exact
+    brute force (pinned in tests, the nprobe==nlist analog).
+
+    Scale shape: at 100 TB the codes (m bytes/vector) would be
+    precomputed once into a codes column and the scan reads codes
+    instead of embeddings — an 8-32x read-volume cut; here encoding is
+    per-batch on the fly, which keeps the op a pure function of the
+    embeddings table. No shuffle; candidates reduce through the shared
+    single-block finalize.
+    """
+    if shortlist is None:
+        shortlist = 4 * k
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
+    sample = _unit(_stream_head_sample(sf_dir, train_sample))
+    cbs = _pq_train(sample, m_subspaces, n_codes, seed)
+    ref = ray.put((q_ids, q_unit, cbs, k, shortlist))
+
+    class PqScan:
+        def __init__(self, ref):
+            (self.q_ids, self.q_unit, self.cbs, self.k,
+             self.shortlist) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(
+                batch.column("vec_id").to_pylist(), dtype=np.int64
+            )
+            emb = _unit(embedding_batch_matrix(batch))
+            m, _codes, sub = self.cbs.shape
+            n = len(vid)
+            codes = np.empty((n, m), dtype=np.int64)
+            for b in range(m):
+                x = emb[:, b * sub : (b + 1) * sub]
+                d2 = (
+                    -2.0 * (x @ self.cbs[b].T)
+                    + (self.cbs[b] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, b] = np.argmin(d2, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                approx = np.zeros(n, dtype=np.float64)
+                for b in range(m):
+                    lut = self.cbs[b] @ self.q_unit[qi, b * sub : (b + 1) * sub]
+                    approx += lut[codes[:, b]]
+                mask = vid != self.q_ids[qi]  # exclude self
+                rows = np.flatnonzero(mask)
+                # shortlist by ADC score, tie-broken on id so the
+                # exact-degenerate path is deterministic
+                sel = np.lexsort((vid[rows], -approx[rows]))[: self.shortlist]
+                cand = rows[sel]
+                exact = emb[cand] @ self.q_unit[qi]
+                top_ids, top_sims = _local_topk_select(
+                    vid[cand], exact, self.k
+                )
+                out_q.extend([self.q_ids[qi]] * len(top_ids))
+                out_n.extend(top_ids.tolist())
+                out_s.extend(top_sims.tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        PqScan,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         batch_size=2048,

@@ -449,6 +449,40 @@ def test_ann_ivf_partial_probe_recall(ray_session):
     assert hits / total >= 0.5  # embeddings are label-clustered; 4/16 cells
 
 
+def test_ann_pq_full_shortlist_is_exact(ray_session):
+    """shortlist >= batch size reranks EVERY row exactly -> identical
+    to brute force regardless of codebook quality (the nprobe==nlist
+    analog for PQ)."""
+    from ocrs_ray.ops.similarity import ann_topk_bruteforce, ann_topk_pq
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=5).to_pandas()
+    pq_ = ann_topk_pq(
+        SF, n_queries=5, k=5, m_subspaces=4, n_codes=4, shortlist=10**9
+    ).to_pandas()
+    cols = ["query_id", "rank", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(cols[:2]).reset_index(drop=True)[cols],
+        pq_.sort_values(cols[:2]).reset_index(drop=True)[cols],
+    )
+
+
+def test_ann_pq_adc_shortlist_recall(ray_session):
+    """A bounded ADC shortlist trades recall for rerank volume; recall
+    stays high on the clustered synthetic embeddings, and the emitted
+    similarities are exact cosines (rerank property)."""
+    from ocrs_ray.ops.similarity import ann_topk_bruteforce, ann_topk_pq
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10).to_pandas()
+    pq_ = ann_topk_pq(SF, n_queries=5, k=10).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(pq_.loc[pq_.query_id == qid, "neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5
+
+
 def test_supplier_region_rollup(ray_session):
     import pyarrow.parquet as pq
 
