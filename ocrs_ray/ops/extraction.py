@@ -836,6 +836,131 @@ def docs_pdf_column_text(sf_dir: str) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------
+# Multi-page PDF: pagination removes the single-page length cap
+# --------------------------------------------------------------------
+
+#: Rows per synthetic page (y = 720 - r*14 stays >= 34 for r < 50).
+PDF_ROWS_PER_PAGE = 50
+#: Page-stream separator in the serialized multi-page document (real
+#: PDFs carry one content stream per page object; this is the flat
+#: single-line equivalent the parser re-splits on).
+PDF_PAGE_SEP = " %%PAGE%% "
+
+
+def _pdf_multipage_stream_for_text(text: str) -> str:
+    """Serialize a MULTI-PAGE document: chunk i sits on page i // 50,
+    row i % 50 (single column, x = 72). Runs are shuffled (i%3, i)
+    WITHIN each page; pages are joined in order by `PDF_PAGE_SEP`.
+    No length cap — overflow starts the next page, which is exactly
+    what the single-page ops' `_PDF_MAX_CHARS` guard cannot do. The
+    parentheses guard still applies (grammar has no escapes)."""
+    if "(" in text or ")" in text:
+        raise ValueError(
+            "text contains parentheses — the minimal (...) Tj run "
+            "grammar cannot escape them; refusing to synthesize a "
+            "silently-corrupt content stream"
+        )
+    n = (len(text) + PDF_CHUNK - 1) // PDF_CHUNK
+    rpp = PDF_ROWS_PER_PAGE
+    pages: dict[int, list] = {}
+    for i in range(n):
+        chunk = text[i * PDF_CHUNK : (i + 1) * PDF_CHUNK]
+        pages.setdefault(i // rpp, []).append((i, 72, 720 - (i % rpp) * 14, chunk))
+    out = []
+    for pg in sorted(pages):
+        runs = sorted(pages[pg], key=lambda r: (r[0] % 3, r[0]))
+        out.append(
+            " ".join(
+                f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET"
+                for _i, x, y, chunk in runs
+            )
+        )
+    return PDF_PAGE_SEP.join(out)
+
+
+def docs_pdf_multipage_text(sf_dir: str) -> rd.Dataset:
+    """Multi-page PDF text extraction, long format: split the
+    serialized document on the page separator, parse each page's
+    shuffled runs, sort into reading order (y desc; single column),
+    and emit (doc_id, page_idx, n_runs, page_text) — one row per
+    page. Concatenating page_text over page_idx round-trips the
+    source text exactly, at ANY length (pagination replaces the
+    single-page ops' max-chars guard). Zero-chunk docs emit no rows
+    (the docs_pdf_runs convention).
+
+    Scale shape: stateless map explode, no shuffle; rows per doc
+    bounded by ceil(len/2000).
+    """
+    run_re = re.compile(PDF_RUN_RE, re.ASCII)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, pgs, counts, texts = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            stream = _pdf_multipage_stream_for_text(t)
+            if not stream:
+                continue
+            for pg, page_s in enumerate(stream.split(PDF_PAGE_SEP)):
+                runs = [
+                    (int(y), rt) for _x, y, rt in run_re.findall(page_s)
+                ]
+                runs.sort(key=lambda r: -r[0])
+                ids.append(d)
+                pgs.append(pg)
+                counts.append(len(runs))
+                texts.append("".join(rt for _y, rt in runs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "page_idx": pa.array(pgs, type=pa.int64()),
+                "n_runs": pa.array(counts, type=pa.int64()),
+                "page_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def pdf_multipage_text_sql() -> str:
+    """Oracle for docs_pdf_multipage_text: synthesize the SAME
+    serialized multi-page string in SQL (per-page shuffled streams
+    joined by the separator), re-split it, re-parse each page with
+    the shared RE2 grammar, reassemble in reading order."""
+    rpp = PDF_ROWS_PER_PAGE
+    sep = PDF_PAGE_SEP
+    return (
+        "WITH ch AS (SELECT doc_id, text, unnest(range(0, CAST(ceil("
+        f"length(text) / {PDF_CHUNK}.0) AS BIGINT))) AS i FROM documents), "
+        f"r AS (SELECT doc_id, i, i // {rpp} AS pg, 72 AS x, "
+        f"720 - (i % {rpp}) * 14 AS y, "
+        f"substr(text, CAST(1 + i * {PDF_CHUNK} AS INTEGER), {PDF_CHUNK}) "
+        "AS chunk FROM ch), "
+        "pstream AS (SELECT doc_id, pg, string_agg('BT 1 0 0 1 ' || x || "
+        "' ' || y || ' Tm (' || chunk || ') Tj ET', ' ' ORDER BY i % 3, i) "
+        "AS s FROM r GROUP BY doc_id, pg), "
+        f"doc_stream AS (SELECT doc_id, string_agg(s, '{sep}' "
+        "ORDER BY pg) AS doc_s FROM pstream GROUP BY doc_id), "
+        "pages AS (SELECT doc_id, "
+        "generate_subscripts(l, 1) - 1 AS page_idx, unnest(l) AS page_s "
+        f"FROM (SELECT doc_id, string_split(doc_s, '{sep}') AS l "
+        "FROM doc_stream)), "
+        "m AS (SELECT doc_id, page_idx, unnest(regexp_extract_all(page_s, "
+        f"'{PDF_RUN_RE}')) AS run FROM pages), "
+        "parsed AS (SELECT doc_id, page_idx, "
+        f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 2) AS BIGINT) AS y, "
+        f"regexp_extract(run, '{PDF_RUN_RE}', 3) AS run_text FROM m) "
+        "SELECT doc_id, CAST(page_idx AS BIGINT) AS page_idx, "
+        "CAST(count(*) AS BIGINT) AS n_runs, "
+        "string_agg(run_text, '' ORDER BY y DESC) AS page_text "
+        "FROM parsed GROUP BY doc_id, page_idx"
+    )
+
+
+# --------------------------------------------------------------------
 # Oracle SQL builders (HTML family)
 # --------------------------------------------------------------------
 

@@ -425,6 +425,84 @@ def test_pdf_column_text_matches_oracle(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# multi-page PDF (pagination removes the single-page length cap)
+
+
+def test_pdf_multipage_stream_paginates_and_roundtrips():
+    import re as _re
+
+    run_re = _re.compile(ex.PDF_RUN_RE, _re.ASCII)
+    # 5000 chars > the single-page ops' 4160-char guard: 125 chunks
+    # over 3 pages (50 + 50 + 25)
+    text = "x" * 5000
+    with pytest.raises(ValueError):
+        ex._pdf_runs_for_text(text * 0 + "y" * (ex._PDF_MAX_CHARS + 1))
+    stream = ex._pdf_multipage_stream_for_text(text)
+    pages = stream.split(ex.PDF_PAGE_SEP)
+    assert len(pages) == 3
+    assert [len(run_re.findall(p)) for p in pages] == [50, 50, 25]
+    got = "".join(
+        "".join(
+            rt
+            for _y, rt in sorted(
+                ((int(y), rt) for _x, y, rt in run_re.findall(p)),
+                key=lambda r: -r[0],
+            )
+        )
+        for p in pages
+    )
+    assert got == text
+    assert ex._pdf_multipage_stream_for_text("") == ""
+    with pytest.raises(ValueError, match="parentheses"):
+        ex._pdf_multipage_stream_for_text("bad (stream)")
+
+
+def test_pdf_multipage_text_matches_oracle(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import (
+        docs_pdf_multipage_text,
+        pdf_multipage_text_sql,
+    )
+
+    texts = ["", "short one", "word " * 500, "x" * 5000]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = (
+        docs_pdf_multipage_text(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "page_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.execute(pdf_multipage_text_sql())
+        .df()
+        .sort_values(["doc_id", "page_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # zero-chunk doc emits no rows; the 5000-char doc spans 3 pages
+    assert 0 not in set(out.doc_id)
+    assert out[out.doc_id == 3].page_idx.tolist() == [0, 1, 2]
+    whole = "".join(out[out.doc_id == 3].page_text)
+    assert whole == "x" * 5000
+
+
+# ---------------------------------------------------------------------------
 # checkpoint-resumable pagerank (needs Ray)
 
 
