@@ -132,6 +132,10 @@ _FIELD_SQL = {
     "id_next": "CAST(doc_id + 1 AS VARCHAR)",
     "id_mod7": "CAST(doc_id % 7 AS VARCHAR)",
     "id_mod13": "CAST(doc_id % 13 AS VARCHAR)",
+    # per-table-row cell values for the table-extraction template
+    "id_r1": "CAST(doc_id % 97 AS VARCHAR)",
+    "id_r2": "CAST((doc_id * 2) % 97 AS VARCHAR)",
+    "id_r3": "CAST((doc_id * 3) % 97 AS VARCHAR)",
     "lang": "lang",
     "source": "source",
     "text": "text",
@@ -192,6 +196,9 @@ def _render_template_arrow(batch: pa.Table, template: tuple) -> pa.Array:
         "id_next": pc.cast(pc.add(ids, 1), pa.string()),
         "id_mod7": pc.cast(_mod(ids, 7), pa.string()),
         "id_mod13": pc.cast(_mod(ids, 13), pa.string()),
+        "id_r1": pc.cast(_mod(ids, 97), pa.string()),
+        "id_r2": pc.cast(_mod(pc.multiply(ids, 2), 97), pa.string()),
+        "id_r3": pc.cast(_mod(pc.multiply(ids, 3), 97), pa.string()),
         "lang": pc.cast(batch.column("lang"), pa.string()),
         "source": pc.cast(batch.column("source"), pa.string()),
         "text": text,
@@ -957,6 +964,156 @@ def pdf_multipage_text_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n_runs, "
         "string_agg(run_text, '' ORDER BY y DESC) AS page_text "
         "FROM parsed GROUP BY doc_id, page_idx"
+    )
+
+
+# --------------------------------------------------------------------
+# HTML table extraction (ragged per-doc structure)
+# --------------------------------------------------------------------
+
+#: One table row: label cell + value cell ([^<]* bodies — both
+#: engines agree on boundaries without non-greedy backtracking).
+HTML_TR_RE = r"<tr><td>([^<]*)</td><td>([^<]*)</td></tr>"
+
+_TABLE_ROW_TEMPLATES = (
+    ("<tr><td>k1</td><td>", ("id_r1",), "</td></tr>"),
+    ("<tr><td>k2</td><td>", ("id_r2",), "</td></tr>"),
+    ("<tr><td>k3</td><td>", ("id_r3",), "</td></tr>"),
+)
+
+
+def _table_page_template(n_rows: int) -> tuple:
+    """Page variant with `n_rows` table rows (1..3) — the per-doc row
+    count (doc_id % 3 + 1) makes the extraction output RAGGED."""
+    parts: tuple = (
+        "<html><body><h1>Data ",
+        ("id",),
+        '</h1><table class="data">',
+    )
+    for r in range(n_rows):
+        parts = parts + _TABLE_ROW_TEMPLATES[r]
+    return parts + ("</table><footer>", ("source",), "</footer></body></html>")
+
+
+def docs_html_table_extract(sf_dir: str) -> rd.Dataset:
+    """HTML table extraction: parse the page's <table> rows into a
+    ragged long format — (doc_id, row_idx, row_label, row_value),
+    1-3 rows per doc (doc_id % 3 + 1). The structured-data sibling of
+    the link explode: crawled pages carry key-value tables
+    (infoboxes, spec sheets) that pipeline stages consume as typed
+    rows, not flattened text.
+
+    Scale shape: stateless map explode, output bounded by rows/page;
+    the per-match loop is the docs_html_links shape.
+    """
+    import pyarrow.compute as pc
+
+    templates = [_table_page_template(n) for n in (1, 2, 3)]
+    tr_re = re.compile(HTML_TR_RE, re.ASCII)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rendered = [
+            _render_template_arrow(batch, t).to_numpy(zero_copy_only=False)
+            for t in templates
+        ]
+        mod = pc.subtract(
+            batch.column("doc_id"),
+            pc.multiply(pc.divide(batch.column("doc_id"), 3), 3),
+        ).to_numpy()
+        pages = np.select(
+            [mod == 0, mod == 1], rendered[:2], default=rendered[2]
+        )
+        ids, idxs, labels, vals = [], [], [], []
+        for d, page in zip(batch.column("doc_id").to_pylist(), pages):
+            for j, (lab, val) in enumerate(tr_re.findall(page)):
+                ids.append(d)
+                idxs.append(j)
+                labels.append(lab)
+                vals.append(val)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "row_idx": pa.array(idxs, type=pa.int64()),
+                "row_label": pa.array(labels, type=pa.string()),
+                "row_value": pa.array(vals, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+def docs_table_value_rollup(sf_dir: str) -> rd.Dataset:
+    """Typed aggregation over the EXTRACTED tables: per row_label, the
+    bigint sum of the (numeric) row_value cells and the row count —
+    the extraction-to-typed-aggregate composition (parse cells, cast,
+    reduce). Label space is bounded (k1..k3), so partials tree-reduce
+    without a hash shuffle (the CLAUDE.md bounded-key convention).
+
+    Scale shape: stateless extract + per-batch combiner + tree
+    reduce; nothing key-space-sized leaves the workers.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import tree_sum
+
+    rows = docs_html_table_extract(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "row_label": batch.column("row_label"),
+                "sum_value": pc.cast(batch.column("row_value"), pa.int64()),
+                "n_rows": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by("row_label").aggregate(
+            [("sum_value", "sum"), ("n_rows", "sum")]
+        )
+        return pa.table(
+            {
+                "row_label": g.column("row_label"),
+                "sum_value": g.column("sum_value_sum"),
+                "n_rows": g.column("n_rows_sum"),
+            }
+        )
+
+    return tree_sum(
+        rows.map_batches(partial, batch_format="pyarrow"),
+        ["row_label"],
+        ["sum_value", "n_rows"],
+    )
+
+
+def table_value_rollup_sql() -> str:
+    return (
+        "SELECT row_label, CAST(sum(CAST(row_value AS BIGINT)) AS BIGINT) "
+        "AS sum_value, CAST(count(*) AS BIGINT) AS n_rows FROM ("
+        + html_table_extract_sql()
+        + ") GROUP BY row_label"
+    )
+
+
+def html_table_extract_sql() -> str:
+    """Oracle for docs_html_table_extract: render the SAME three page
+    variants selected by doc_id % 3, re-parse every <tr> with the
+    shared pattern, ordinal row_idx."""
+    cases = " ".join(
+        f"WHEN {n - 1} THEN {_template_sql(_table_page_template(n))}"
+        for n in (1, 2, 3)
+    )
+    return (
+        f"WITH pages AS (SELECT doc_id, CASE doc_id % 3 {cases} END AS h "
+        "FROM documents), "
+        "rows_ AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS row_idx, "
+        "unnest(l) AS tr FROM (SELECT doc_id, "
+        f"regexp_extract_all(h, '{HTML_TR_RE}') AS l FROM pages)) "
+        "SELECT doc_id, CAST(row_idx AS BIGINT) AS row_idx, "
+        f"regexp_extract(tr, '{HTML_TR_RE}', 1) AS row_label, "
+        f"regexp_extract(tr, '{HTML_TR_RE}', 2) AS row_value FROM rows_"
     )
 
 

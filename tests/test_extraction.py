@@ -425,6 +425,74 @@ def test_pdf_column_text_matches_oracle(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# HTML table extraction (ragged per-doc structure)
+
+
+def test_table_templates_render_ragged_rows():
+    import re as _re
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 5], type=pa.int64()),
+            "text": pa.array(["a", "b", "c"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+        }
+    )
+    tr_re = _re.compile(ex.HTML_TR_RE, _re.ASCII)
+    t3 = ex._render_template_arrow(batch, ex._table_page_template(3))
+    rows = tr_re.findall(t3[2].as_py())  # doc 5 page with 3 rows
+    # cell values are (doc_id * r) % 97 per row r
+    assert rows == [("k1", "5"), ("k2", "10"), ("k3", "15")]
+    t1 = ex._render_template_arrow(batch, ex._table_page_template(1))
+    assert tr_re.findall(t1[0].as_py()) == [("k1", "0")]
+
+
+def test_html_table_extract_matches_oracle(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.extraction import (
+        docs_html_table_extract,
+        html_table_extract_sql,
+    )
+
+    n = 9
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array([f"w{i} salad" for i in range(n)]),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = (
+        docs_html_table_extract(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "row_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.execute(html_table_extract_sql())
+        .df()
+        .sort_values(["doc_id", "row_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # ragged: doc_id % 3 + 1 rows per doc
+    assert out.groupby("doc_id").size().tolist() == [1, 2, 3] * 3
+
+
+# ---------------------------------------------------------------------------
 # multi-page PDF (pagination removes the single-page length cap)
 
 
