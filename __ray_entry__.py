@@ -442,14 +442,17 @@ def entry() -> Any:
 #: q9_product_profit, events_value_outliers, docs_jsonl_roundtrip,
 #: events_user_type_sequence, plus the two r04-NEW extraction ops
 #: docs_pdf_column_text — column-detection layout, in over its zigzag
-#: sibling docs_pdf_page_text — and docs_html_nested_main_content —
+#: sibling docs_pdf_page_text — docs_html_nested_main_content —
 #: depth-tracking scanner over nested markup, in over flat
-#: docs_html_main_content), twelve out whose family keeps gate rows
-#: (ocr_doc_stats, ocr_text_quality, media_thumbnails,
-#: docs_repetition_stats, lm_quality_score, dedup_normalized,
-#: eval_decontaminate, neardup_survivors, embedding_neardup_pairs,
-#: events_tumbling_window, docs_pdf_page_text,
-#: docs_html_main_content).
+#: docs_html_main_content — and the ragged table-extraction pair
+#: docs_html_table_extract / docs_table_value_rollup, in over
+#: r03-gated docs_html_links / web_extract_prep), fourteen out whose
+#: family keeps gate rows (ocr_doc_stats, ocr_text_quality,
+#: media_thumbnails, docs_repetition_stats, lm_quality_score,
+#: dedup_normalized, eval_decontaminate, neardup_survivors,
+#: embedding_neardup_pairs, events_tumbling_window,
+#: docs_pdf_page_text, docs_html_main_content, docs_html_links,
+#: web_extract_prep).
 _GATE_ORDER = [
     "ocr_pipeline_flat",
     "ocr_pipeline_flat_beam",
@@ -462,10 +465,10 @@ _GATE_ORDER = [
     "video_frames",
     "text_quality",
     "docs_html_nested_main_content",
-    "docs_html_links",
+    "docs_html_table_extract",
     "docs_pdf_column_text",
     "docs_link_pagerank",
-    "web_extract_prep",
+    "docs_table_value_rollup",
     "lm_bigram_score",
     "tfidf_top_terms",
     "docs_gopher_quality_filter",
