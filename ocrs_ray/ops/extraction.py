@@ -1793,6 +1793,361 @@ def link_pagerank_sql(iters: int = 5) -> str:
 
 
 # --------------------------------------------------------------------
+# Link-graph degree / anchor analytics (doc + ref edges)
+# --------------------------------------------------------------------
+
+#: Internal edge href: /doc/<id> (the prev/next links) or /ref/<id%13>
+#: (the citation link — 13 hub targets, so the in-side is HOT and
+#: asymmetric, unlike the reciprocal prev/next chain). One alternation
+#: pattern, named group for pc.extract_regex, index 1 for DuckDB
+#: (RE2 both sides).
+ANY_DOC_HREF_RE = r"^/(?:doc|ref)/(?P<d>[0-9]+)$"
+_ANY_DOC_HREF_SQL = r"^/(?:doc|ref)/([0-9]+)$"
+
+
+def _doc_ref_edges(sf_dir: str, with_anchor: bool = False) -> rd.Dataset:
+    """Internal edges (src, dst[, anchor]) over BOTH /doc/ and /ref/
+    hrefs from the extracted link table: targets outside the corpus
+    are dropped (the doc-0 prev link and last-doc next link don't
+    parse / exceed max_id) and so are self-loops (docs 0..12 /ref/
+    themselves). Edge OCCURRENCES, not distinct pairs — consumers
+    dedup where their semantics need it."""
+    import pyarrow.compute as pc
+
+    links = docs_html_links(sf_dir)
+    # pruned single-column scan for the bound (same as _link_edges)
+    max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("href"), ANY_DOC_HREF_RE)
+        ok = pc.is_valid(hit)
+        dst = pc.cast(pc.struct_field(hit, "d"), pa.int64())
+        src = batch.column("doc_id")
+        keep = pc.and_(
+            pc.and_(ok, pc.less_equal(dst, max_id)),
+            pc.not_equal(dst, src),
+        )
+        cols = {"src": src, "dst": dst}
+        if with_anchor:
+            cols["anchor"] = pc.cast(batch.column("anchor"), pa.string())
+        t = pa.table(cols).filter(keep)
+        if t.num_rows == 0:
+            empty = {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+            }
+            if with_anchor:
+                empty["anchor"] = pa.array([], type=pa.string())
+            return pa.table(empty)
+        return t
+
+    return links.map_batches(parse, batch_format="pyarrow")
+
+
+def docs_link_degree(sf_dir: str, npart: int | None = None) -> rd.Dataset:
+    """Per document: distinct-neighbor out-degree, in-degree, and
+    reciprocal degree (neighbors linked BOTH ways) over the doc+ref
+    edge set — the crawl-graph structure profile (reciprocity
+    separates the mutual prev/next chain from the one-way citation
+    edges into the 13 /ref/ hubs). Every document gets a row; docs
+    with no surviving edges report zeros.
+
+    Scale shape: two keyed exchanges, both of partially-aggregated
+    rows. Exchange 1 keys edge occurrences by the canonical
+    (lo, hi) = (min, max) endpoint pair, so one block holds every
+    occurrence of a pair — per-block dedup IS global dedup and
+    direction pairing is local. The block emits per-doc partial
+    (out, in, reciprocal) counts — map-side combined, so exchange 2
+    (keyed by doc_id, closed by a zero row per document) moves at
+    most npart+1 rows per doc no matter how hot the /ref/ hubs get.
+    Partitioning assumption: one pair-partition's occurrences fit a
+    worker's heap (pair multiplicity is bounded by links/page)."""
+    import pandas as pd
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    _PARTIAL = {
+        "doc_id": "int64",
+        "out_degree": "int64",
+        "in_degree": "int64",
+        "reciprocal_degree": "int64",
+    }
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in _PARTIAL.items()}
+        )
+
+    def add_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("src", "dst", "lo", "hi")
+                }
+            )
+        s = df["src"].to_numpy(dtype="int64")
+        d = df["dst"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": d,
+                "lo": np.minimum(s, d),
+                "hi": np.maximum(s, d),
+            }
+        )
+
+    def pair_resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty()
+        e = df.drop_duplicates(["src", "dst"])
+        out_p = e.groupby("src").size()
+        in_p = e.groupby("dst").size()
+        fwd = e["src"].to_numpy() == e["lo"].to_numpy()
+        dirs = pd.DataFrame(
+            {
+                "lo": e["lo"].to_numpy(dtype="int64"),
+                "hi": e["hi"].to_numpy(dtype="int64"),
+                "f": fwd,
+                "b": ~fwd,
+            }
+        )
+        g = dirs.groupby(["lo", "hi"], as_index=False)[["f", "b"]].any()
+        rec = g[g["f"] & g["b"]]
+        rec_docs = np.concatenate(
+            [rec["lo"].to_numpy(dtype="int64"), rec["hi"].to_numpy(dtype="int64")]
+        )
+        z = np.zeros  # typed zero column helper
+        parts = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "doc_id": out_p.index.to_numpy(dtype="int64"),
+                        "out_degree": out_p.to_numpy(dtype="int64"),
+                        "in_degree": z(len(out_p), dtype="int64"),
+                        "reciprocal_degree": z(len(out_p), dtype="int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "doc_id": in_p.index.to_numpy(dtype="int64"),
+                        "out_degree": z(len(in_p), dtype="int64"),
+                        "in_degree": in_p.to_numpy(dtype="int64"),
+                        "reciprocal_degree": z(len(in_p), dtype="int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "doc_id": rec_docs,
+                        "out_degree": z(len(rec_docs), dtype="int64"),
+                        "in_degree": z(len(rec_docs), dtype="int64"),
+                        "reciprocal_degree": np.ones(
+                            len(rec_docs), dtype="int64"
+                        ),
+                    }
+                ),
+            ]
+        )
+        return parts.groupby("doc_id", as_index=False)[
+            ["out_degree", "in_degree", "reciprocal_degree"]
+        ].sum()
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty()
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "out_degree": np.zeros(n, dtype="int64"),
+                "in_degree": np.zeros(n, dtype="int64"),
+                "reciprocal_degree": np.zeros(n, dtype="int64"),
+            }
+        )
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty()
+        return df.groupby("doc_id", as_index=False)[
+            ["out_degree", "in_degree", "reciprocal_degree"]
+        ].sum()
+
+    keyed = _doc_ref_edges(sf_dir).map_batches(
+        add_pair, batch_format="pandas"
+    )
+    enable_hash_shuffle(keyed)
+    partials = keyed.repartition(npart, keys=["lo", "hi"]).map_batches(
+        pair_resolve, batch_format="pandas", batch_size=None
+    )
+    zeros = read_documents(sf_dir, ["doc_id"]).map_batches(
+        zero_rows, batch_format="pandas"
+    )
+    unioned = partials.union(zeros)
+    enable_hash_shuffle(unioned)
+    out = unioned.repartition(npart, keys=["doc_id"]).map_batches(
+        final_sum, batch_format="pandas", batch_size=None
+    )
+    # the plan executes under the FINAL consumer's context (the
+    # union gotcha) — patch the returned dataset too
+    enable_hash_shuffle(out)
+    return out
+
+
+def link_degree_sql() -> str:
+    """Oracle for docs_link_degree: identical edge construction
+    (doc+ref alternation, bound, distinct, no self-loops), degrees via
+    GROUP BY, reciprocity via the (src,dst)x(dst,src) self-join,
+    LEFT JOINed onto documents so zero-edge docs report zeros."""
+    return (
+        _PAGES_CTE
+        + ", m AS (SELECT doc_id, unnest(regexp_extract_all(h, "
+        + f"'{HTML_LINK_RE}')) AS tag FROM pages)"
+        + ", l AS (SELECT doc_id AS src, "
+        + f"regexp_extract(tag, '{HTML_LINK_RE}', 1) AS href FROM m)"
+        + ", e0 AS (SELECT src, TRY_CAST(regexp_extract(href, "
+        + f"'{_ANY_DOC_HREF_SQL}', 1) AS BIGINT) AS dst FROM l "
+        + f"WHERE regexp_matches(href, '{_ANY_DOC_HREF_SQL}'))"
+        + ", edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <= "
+        + "(SELECT max(doc_id) FROM documents) AND dst <> src)"
+        + ", od AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS c "
+        + "FROM edges GROUP BY src)"
+        + ", idg AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS c "
+        + "FROM edges GROUP BY dst)"
+        + ", rc AS (SELECT a.src AS doc_id, CAST(count(*) AS BIGINT) AS c "
+        + "FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src "
+        + "GROUP BY a.src)"
+        + " SELECT d.doc_id, COALESCE(od.c, 0) AS out_degree, "
+        + "COALESCE(idg.c, 0) AS in_degree, "
+        + "COALESCE(rc.c, 0) AS reciprocal_degree "
+        + "FROM documents d LEFT JOIN od USING (doc_id) "
+        + "LEFT JOIN idg USING (doc_id) LEFT JOIN rc USING (doc_id)"
+    )
+
+
+def docs_link_anchor_profile(
+    sf_dir: str, k: int = 5, npart: int | None = None
+) -> rd.Dataset:
+    """Per link TARGET: incoming-link count and the top-k anchor
+    texts in (anchor, src) order, '|'-joined — the anchor-text
+    profile a web corpus attaches to each page as a relevance /
+    labeling signal. Counts are over edge OCCURRENCES (each link
+    contributes its anchor); the /ref/ hubs make the in-side hot.
+
+    Scale shape: per-batch combiner emits per-target (partial count +
+    at most k candidate anchors), so the keyed exchange moves
+    O(npart * (k+1)) rows per target even for the N/13-hot hubs;
+    top-k by a total order is distributive (min-k of min-k's), so the
+    per-block finish is exact. Anchors are template-ASCII, so pandas
+    codepoint order == DuckDB binary collation in the oracle."""
+    import pandas as pd
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    def _empty_partial() -> pa.Table:
+        # typed Arrow empty — a zero-row object-dtype pandas column
+        # breaks Ray's block size estimator (the CLAUDE.md trap)
+        return pa.table(
+            {
+                "dst": pa.array([], type=pa.int64()),
+                "src": pa.array([], type=pa.int64()),
+                "anchor": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_partial()
+        top = df.sort_values(["dst", "anchor", "src"]).groupby("dst").head(k)
+        cnt = df.groupby("dst", as_index=False).size()
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "dst": top["dst"].to_numpy(dtype="int64"),
+                        "src": top["src"].to_numpy(dtype="int64"),
+                        "anchor": top["anchor"].to_numpy(),
+                        "cnt": np.zeros(len(top), dtype="int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "dst": cnt["dst"].to_numpy(dtype="int64"),
+                        "src": np.full(len(cnt), -1, dtype="int64"),
+                        "anchor": np.full(len(cnt), "", dtype=object),
+                        "cnt": cnt["size"].to_numpy(dtype="int64"),
+                    }
+                ),
+            ]
+        ).reset_index(drop=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "in_degree": pa.array([], type=pa.int64()),
+                    "top_anchors": pa.array([], type=pa.string()),
+                }
+            )
+        cnts = df[df["src"] < 0].groupby("dst", as_index=False)["cnt"].sum()
+        cand = df[df["src"] >= 0].sort_values(["dst", "anchor", "src"])
+        topk = cand.groupby("dst").head(k)
+        agg = topk.groupby("dst", as_index=False)["anchor"].agg("|".join)
+        m = cnts.merge(agg, on="dst", how="inner")
+        return pd.DataFrame(
+            {
+                "doc_id": m["dst"].to_numpy(dtype="int64"),
+                "in_degree": m["cnt"].to_numpy(dtype="int64"),
+                "top_anchors": m["anchor"].to_numpy(),
+            }
+        )
+
+    partials = _doc_ref_edges(sf_dir, with_anchor=True).map_batches(
+        combine, batch_format="pandas"
+    )
+    enable_hash_shuffle(partials)
+    out = partials.repartition(npart, keys=["dst"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def link_anchor_profile_sql(k: int = 5) -> str:
+    """Oracle for docs_link_anchor_profile: same edge construction
+    with anchors, row_number window for the top-k, string_agg in
+    (anchor, src) order."""
+    return (
+        _PAGES_CTE
+        + ", m AS (SELECT doc_id, unnest(regexp_extract_all(h, "
+        + f"'{HTML_LINK_RE}')) AS tag FROM pages)"
+        + ", l AS (SELECT doc_id AS src, "
+        + f"regexp_extract(tag, '{HTML_LINK_RE}', 1) AS href, "
+        + f"regexp_extract(tag, '{HTML_LINK_RE}', 2) AS anchor FROM m)"
+        + ", e0 AS (SELECT src, TRY_CAST(regexp_extract(href, "
+        + f"'{_ANY_DOC_HREF_SQL}', 1) AS BIGINT) AS dst, anchor FROM l "
+        + f"WHERE regexp_matches(href, '{_ANY_DOC_HREF_SQL}'))"
+        + ", e2 AS (SELECT * FROM e0 WHERE dst <= "
+        + "(SELECT max(doc_id) FROM documents) AND dst <> src)"
+        + ", rn AS (SELECT dst, src, anchor, row_number() OVER "
+        + "(PARTITION BY dst ORDER BY anchor, src) AS r FROM e2)"
+        + ", t AS (SELECT dst, string_agg(anchor, '|' ORDER BY anchor, src) "
+        + f"AS top_anchors FROM rn WHERE r <= {k} GROUP BY dst)"
+        + ", c AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree "
+        + "FROM e2 GROUP BY dst)"
+        + " SELECT c.dst AS doc_id, c.in_degree, t.top_anchors "
+        + "FROM c JOIN t USING (dst)"
+    )
+
+
+# --------------------------------------------------------------------
 # Composed web-extraction data-prep chain
 # --------------------------------------------------------------------
 

@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pdf_multipage_text": extraction.docs_pdf_multipage_text,
         "docs_html_table_extract": extraction.docs_html_table_extract,
         "docs_table_value_rollup": extraction.docs_table_value_rollup,
+        # link-graph structure analytics over the doc+ref edge set
+        "docs_link_degree": extraction.docs_link_degree,
+        "docs_link_anchor_profile": extraction.docs_link_anchor_profile,
         # iterative graph analytics over the extracted link graph
         # (exact: integer recurrence mirrored in an unrolled-CTE oracle)
         "docs_link_pagerank": extraction.docs_link_pagerank,
@@ -442,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pdf_multipage_text": extraction.pdf_multipage_text_sql(),
         "docs_html_table_extract": extraction.html_table_extract_sql(),
         "docs_table_value_rollup": extraction.table_value_rollup_sql(),
+        "docs_link_degree": extraction.link_degree_sql(),
+        "docs_link_anchor_profile": extraction.link_anchor_profile_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),
         "web_extract_prep": extraction.web_extract_prep_sql(_STOP_LIST),
         "web_extract_incremental": extraction.web_extract_incremental_sql(),

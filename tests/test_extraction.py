@@ -663,3 +663,72 @@ def test_pagerank_checkpoint_rejects_wrong_corpus(ray_session, tmp_path):
     docs_link_pagerank("/root/testdata/sf0.001", iters=1, checkpoint_dir=ck).to_pandas()
     with _pytest.raises(ValueError, match="refusing to resume"):
         docs_link_pagerank("/root/testdata/sf0.1", iters=2, checkpoint_dir=ck)
+
+
+# ---------------------------------------------------------------------------
+# link-graph degree / anchor analytics (needs Ray)
+
+
+def test_link_degree_structure(ray_session):
+    """Chain edges are mutual, /ref/ hub edges are one-way: every
+    mid-chain doc has reciprocal_degree == 2 (prev+next), the two
+    chain ends 1, and hub in-degree dwarfs the chain's 2."""
+    from ocrs_ray.ops.extraction import docs_link_degree
+
+    out = (
+        docs_link_degree("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(out)
+    assert out.doc_id.tolist() == list(range(n))  # every doc has a row
+    mid = out.iloc[1:-1]
+    assert (mid.reciprocal_degree == 2).all()
+    assert out.iloc[0].reciprocal_degree == 1
+    assert out.iloc[-1].reciprocal_degree == 1
+    # hubs: docs 1..12 collect a /ref/ edge from every 13th doc
+    # (doc 0's /ref/0 self-loop is dropped, so its in-degree is lower)
+    hub = out[(out.doc_id >= 1) & (out.doc_id <= 12)]
+    assert (hub.in_degree > 2 + n // 26).all()
+    rest = out[out.doc_id > 12]
+    assert (rest.in_degree <= 2).all()
+
+
+def test_link_degree_npart_invariant(ray_session):
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import docs_link_degree
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        docs_link_degree(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for npart in (2, 16):
+        alt = (
+            docs_link_degree(sf, npart=npart)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(alt, base)
+
+
+def test_link_anchor_profile_topk_and_counts(ray_session):
+    """top_anchors is the k smallest (anchor, src) pairs '|'-joined;
+    in_degree counts ALL occurrences (not just the k kept). k=2 on a
+    hub forces the combiner's truncation path."""
+    from ocrs_ray.ops.extraction import docs_link_anchor_profile
+
+    out = (
+        docs_link_anchor_profile("/root/testdata/sf0.001", k=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 5 (hub): anchors sort as "Next doc" < "Prev doc" < "[5]"...
+    assert out.loc[5, "top_anchors"] == "Next doc|Prev doc"
+    assert out.loc[5, "in_degree"] > 2  # ...but the count keeps them all
+    # non-hub doc: exactly the two chain anchors
+    assert out.loc[20, "top_anchors"] == "Next doc|Prev doc"
+    assert out.loc[20, "in_degree"] == 2
