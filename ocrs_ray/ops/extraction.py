@@ -1118,6 +1118,270 @@ def html_table_extract_sql() -> str:
 
 
 # --------------------------------------------------------------------
+# URL canonicalization (crawl-frontier raw URL stream)
+# --------------------------------------------------------------------
+
+#: Three dirty-URL variants every doc's page carries — each exercises
+#: a different normalization rule: v0 a single dot-segment + fragment,
+#: v1 an uppercase scheme/host + duplicate slashes + trailing slash
+#: (13 canonical groups), v2 utm_* tracking params around a real one
+#: (91 canonical groups). Rendered by the shared template machinery,
+#: so Arrow and SQL synthesize byte-identical raw URLs.
+_URL_VARIANTS = (
+    ("/doc/", ("id",), "/../", ("id_next",), "/index.html#sec", ("id_mod7",)),
+    ("HTTP://EX.com//p", ("id_mod13",), "//q/",),
+    (
+        "/ref/",
+        ("id_mod13",),
+        "?utm_source=feed&utm_medium=",
+        ("source",),
+        "&ref=",
+        ("id_mod7",),
+    ),
+)
+
+#: Ordered normalization steps (applied top to bottom; each is
+#: (pattern, replacement, is_regex)). ONE list, two renderings —
+#: `normalize_urls` (RE2 global replace) and `normalize_urls_sql`
+#: (DuckDB regexp_replace 'g') — so parity holds by construction.
+#: Constraints the synthesis guarantees (guarded loudly in tests):
+#: at most ONE dot-segment per URL (step 3 is a single pass), and the
+#: only scheme/host is the literal `HTTP://EX.com` (step 5 is a
+#: literal lowercase — RE2 replacements can't case-fold).
+URL_NORM_STEPS = (
+    (r"#.*$", "", True),  # strip fragment
+    (r"utm_[a-z]+=[^&]*&?", "", True),  # strip tracking params
+    (r"[?&]$", "", True),  # tidy a dangling separator
+    (r"/[^/]+/\.\./", "/", True),  # resolve the single dot-segment
+    (r"([^:/])/{2,}", r"\1/", True),  # collapse duplicate slashes
+    ("HTTP://EX.com", "http://ex.com", False),  # case-fold the host
+    (r"(.)/$", r"\1", True),  # strip the trailing slash (non-root)
+)
+
+
+def normalize_urls(arr: pa.Array) -> pa.Array:
+    """URL canonicalization as ordered RE2 kernels over a string
+    array (see URL_NORM_STEPS)."""
+    import pyarrow.compute as pc
+
+    x = arr
+    for pat, rep, is_re in URL_NORM_STEPS:
+        if is_re:
+            x = pc.replace_substring_regex(x, pat, rep)
+        else:
+            x = pc.replace_substring(x, pat, rep)
+    return x
+
+
+def normalize_urls_sql(expr: str) -> str:
+    """The SAME ordered step list as nested DuckDB calls."""
+    x = expr
+    for pat, rep, is_re in URL_NORM_STEPS:
+        if is_re:
+            x = f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+        else:
+            x = f"replace({x}, '{pat}', '{rep}')"
+    return x
+
+
+def docs_url_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonicalize the crawl frontier's raw URL stream: 3 dirty URLs
+    per doc (fragment + dot-segment, shouting host + slash runs,
+    utm-tracked query) -> (doc_id, url_idx, href_raw, href_norm).
+    The canonical form is what dedup / frontier scheduling keys on.
+
+    Scale shape: stateless vectorized map, 3 output rows per input
+    row, no shuffle."""
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        _render_url_variants, batch_format="pyarrow"
+    )
+
+
+def _render_url_variants(batch: pa.Table) -> pa.Table:
+    """(doc_id, url_idx, href_raw, href_norm) — the 3 dirty variants
+    rendered + canonicalized for one document batch."""
+    import pyarrow.compute as pc
+
+    # loud corpus guard: a '&', '#' or '?' inside `source` would
+    # change what the utm/fragment rules strip (parity would still
+    # hold — both engines run the same steps — but the canonical
+    # groups would silently shift meaning)
+    if batch.num_rows and pc.any(
+        pc.match_substring_regex(batch.column("source"), r"[&#?]")
+    ).as_py():
+        raise ValueError(
+            "documents.source contains URL-delimiter characters; "
+            "the synthesized URL variants assume it is URL-safe"
+        )
+    n = batch.num_rows
+    parts = [
+        pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url_idx": pa.array(np.full(n, i, dtype=np.int64)),
+                "href_raw": _render_template_arrow(batch, tpl),
+            }
+        )
+        for i, tpl in enumerate(_URL_VARIANTS)
+    ]
+    t = pa.concat_tables(parts)
+    return t.append_column("href_norm", normalize_urls(t.column("href_raw")))
+
+
+def url_normalize_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({i} AS BIGINT) AS url_idx, "
+        f"{_template_sql(tpl)} AS href_raw FROM documents"
+        for i, tpl in enumerate(_URL_VARIANTS)
+    )
+    return (
+        f"WITH urls AS ({arms}) SELECT doc_id, url_idx, href_raw, "
+        + normalize_urls_sql("href_raw")
+        + " AS href_norm FROM urls"
+    )
+
+
+def docs_url_canonical_groups(
+    sf_dir: str, npart: int | None = None
+) -> rd.Dataset:
+    """Group the normalized URL stream by canonical form: per
+    href_norm, the reference count and the first (min) citing doc —
+    the frontier-dedup view (v1/v2 collapse N raw URLs onto 13 / 91
+    canonical targets; v0 stays per-doc).
+
+    Scale shape: per-batch combiner (count+min are algebraic) caps
+    hot canonical keys at one row per batch, then one keyed exchange
+    and a per-block finish."""
+    import pandas as pd
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "href_norm": pa.array([], type=pa.string()),
+                "n_refs": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> "object":
+        if df.empty:
+            return _empty()
+        g = df.groupby("href_norm", as_index=False).agg(
+            n_refs=("doc_id", "size"), first_doc=("doc_id", "min")
+        )
+        return pd.DataFrame(
+            {
+                "href_norm": g["href_norm"].to_numpy(),
+                "n_refs": g["n_refs"].to_numpy(dtype="int64"),
+                "first_doc": g["first_doc"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> "object":
+        if df.empty:
+            return _empty()
+        g = df.groupby("href_norm", as_index=False).agg(
+            n_refs=("n_refs", "sum"), first_doc=("first_doc", "min")
+        )
+        return pd.DataFrame(
+            {
+                "href_norm": g["href_norm"].to_numpy(),
+                "n_refs": g["n_refs"].to_numpy(dtype="int64"),
+                "first_doc": g["first_doc"].to_numpy(dtype="int64"),
+            }
+        )
+
+    partials = docs_url_normalize(sf_dir).map_batches(
+        combine, batch_format="pandas"
+    )
+    enable_hash_shuffle(partials)
+    out = partials.repartition(npart, keys=["href_norm"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def url_canonical_groups_sql() -> str:
+    return (
+        "SELECT href_norm, CAST(count(*) AS BIGINT) AS n_refs, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc FROM ("
+        + url_normalize_sql()
+        + ") GROUP BY href_norm"
+    )
+
+
+def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
+    """Incremental crawl-frontier diff: canonical URL groups whose
+    target was NEVER referenced by the already-crawled first half of
+    the corpus (doc_id < (max_id+1)//2) — the "only fetch what's
+    genuinely new" gate in front of a recrawl. The hub targets (v1/v2
+    variants) are all seen early, so survivors are essentially the
+    second half's per-doc v0 pages.
+
+    Scale shape: the crawled side is a predicate-pushdown read
+    (doc_id row-group pruning) -> stateless normalize -> per-batch
+    unique; the diff is Ray's native left_anti hash join on
+    href_norm. Both sides are dense per partition (every block emits
+    rows), which is the documented safe regime for Dataset.join."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
+    cut = (max_id + 1) // 2
+
+    groups = docs_url_canonical_groups(sf_dir, npart=npart)
+
+    def seen_urls(batch: pa.Table) -> pa.Table:
+        # per-batch unique: the join only needs key presence, so
+        # don't ship 3 rows/doc into the shuffle
+        return pa.table(
+            {"href_norm": pc.unique(batch.column("href_norm"))}
+        )
+
+    crawled = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=_DOC_COLS,
+        filter=pads.field("doc_id") < cut,
+    )
+    seen = (
+        crawled.map_batches(
+            _render_url_variants, batch_format="pyarrow"
+        ).map_batches(seen_urls, batch_format="pyarrow")
+    )
+    enable_hash_shuffle(groups)
+    enable_hash_shuffle(seen)
+    out = groups.join(
+        seen,
+        join_type="left_anti",
+        num_partitions=npart,
+        on=("href_norm",),
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def frontier_new_urls_sql() -> str:
+    return (
+        "SELECT * FROM ("
+        + url_canonical_groups_sql()
+        + ") WHERE href_norm NOT IN (SELECT href_norm FROM ("
+        + url_normalize_sql()
+        + ") WHERE doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents))"
+    )
+
+
+# --------------------------------------------------------------------
 # Oracle SQL builders (HTML family)
 # --------------------------------------------------------------------
 
@@ -1844,6 +2108,118 @@ def _doc_ref_edges(sf_dir: str, with_anchor: bool = False) -> rd.Dataset:
     return links.map_batches(parse, batch_format="pyarrow")
 
 
+def _degree_empty() -> "object":
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            c: pd.Series([], dtype="int64")
+            for c in ("doc_id", "out_degree", "in_degree", "reciprocal_degree")
+        }
+    )
+
+
+def _degree_add_pair(df) -> "object":
+    """Annotate edge occurrences with the canonical endpoint pair
+    (lo, hi) = (min, max) — the exchange key that co-locates both
+    directions of an undirected pair in one block."""
+    import pandas as pd
+
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("src", "dst", "lo", "hi")}
+        )
+    s = df["src"].to_numpy(dtype="int64")
+    d = df["dst"].to_numpy(dtype="int64")
+    return pd.DataFrame(
+        {"src": s, "dst": d, "lo": np.minimum(s, d), "hi": np.maximum(s, d)}
+    )
+
+
+def _degree_pair_resolve(df) -> "object":
+    """Per pair-keyed block: global dedup of (src, dst) occurrences
+    (all rows of a pair are local), direction pairing for reciprocity,
+    then a map-side combine to per-doc partial counts. Exact under any
+    partition of PAIRS across blocks — pinned by a property test."""
+    import pandas as pd
+
+    if df.empty:
+        return _degree_empty()
+    e = df.drop_duplicates(["src", "dst"])
+    out_p = e.groupby("src").size()
+    in_p = e.groupby("dst").size()
+    fwd = e["src"].to_numpy() == e["lo"].to_numpy()
+    dirs = pd.DataFrame(
+        {
+            "lo": e["lo"].to_numpy(dtype="int64"),
+            "hi": e["hi"].to_numpy(dtype="int64"),
+            "f": fwd,
+            "b": ~fwd,
+        }
+    )
+    g = dirs.groupby(["lo", "hi"], as_index=False)[["f", "b"]].any()
+    rec = g[g["f"] & g["b"]]
+    rec_docs = np.concatenate(
+        [rec["lo"].to_numpy(dtype="int64"), rec["hi"].to_numpy(dtype="int64")]
+    )
+    z = np.zeros  # typed zero column helper
+    parts = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "doc_id": out_p.index.to_numpy(dtype="int64"),
+                    "out_degree": out_p.to_numpy(dtype="int64"),
+                    "in_degree": z(len(out_p), dtype="int64"),
+                    "reciprocal_degree": z(len(out_p), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "doc_id": in_p.index.to_numpy(dtype="int64"),
+                    "out_degree": z(len(in_p), dtype="int64"),
+                    "in_degree": in_p.to_numpy(dtype="int64"),
+                    "reciprocal_degree": z(len(in_p), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "doc_id": rec_docs,
+                    "out_degree": z(len(rec_docs), dtype="int64"),
+                    "in_degree": z(len(rec_docs), dtype="int64"),
+                    "reciprocal_degree": np.ones(len(rec_docs), dtype="int64"),
+                }
+            ),
+        ]
+    )
+    return parts.groupby("doc_id", as_index=False)[
+        ["out_degree", "in_degree", "reciprocal_degree"]
+    ].sum()
+
+
+def _degree_zero_rows(df) -> "object":
+    import pandas as pd
+
+    if df.empty:
+        return _degree_empty()
+    n = len(df)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "out_degree": np.zeros(n, dtype="int64"),
+            "in_degree": np.zeros(n, dtype="int64"),
+            "reciprocal_degree": np.zeros(n, dtype="int64"),
+        }
+    )
+
+
+def _degree_final_sum(df) -> "object":
+    if df.empty:
+        return _degree_empty()
+    return df.groupby("doc_id", as_index=False)[
+        ["out_degree", "in_degree", "reciprocal_degree"]
+    ].sum()
+
+
 def docs_link_degree(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     """Per document: distinct-neighbor out-degree, in-degree, and
     reciprocal degree (neighbors linked BOTH ways) over the doc+ref
@@ -1862,133 +2238,25 @@ def docs_link_degree(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     most npart+1 rows per doc no matter how hot the /ref/ hubs get.
     Partitioning assumption: one pair-partition's occurrences fit a
     worker's heap (pair multiplicity is bounded by links/page)."""
-    import pandas as pd
-
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     if npart is None:
         npart = max(2, min(16, cluster_ncpu()))
 
-    _PARTIAL = {
-        "doc_id": "int64",
-        "out_degree": "int64",
-        "in_degree": "int64",
-        "reciprocal_degree": "int64",
-    }
-
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=t) for c, t in _PARTIAL.items()}
-        )
-
-    def add_pair(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    c: pd.Series([], dtype="int64")
-                    for c in ("src", "dst", "lo", "hi")
-                }
-            )
-        s = df["src"].to_numpy(dtype="int64")
-        d = df["dst"].to_numpy(dtype="int64")
-        return pd.DataFrame(
-            {
-                "src": s,
-                "dst": d,
-                "lo": np.minimum(s, d),
-                "hi": np.maximum(s, d),
-            }
-        )
-
-    def pair_resolve(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _empty()
-        e = df.drop_duplicates(["src", "dst"])
-        out_p = e.groupby("src").size()
-        in_p = e.groupby("dst").size()
-        fwd = e["src"].to_numpy() == e["lo"].to_numpy()
-        dirs = pd.DataFrame(
-            {
-                "lo": e["lo"].to_numpy(dtype="int64"),
-                "hi": e["hi"].to_numpy(dtype="int64"),
-                "f": fwd,
-                "b": ~fwd,
-            }
-        )
-        g = dirs.groupby(["lo", "hi"], as_index=False)[["f", "b"]].any()
-        rec = g[g["f"] & g["b"]]
-        rec_docs = np.concatenate(
-            [rec["lo"].to_numpy(dtype="int64"), rec["hi"].to_numpy(dtype="int64")]
-        )
-        z = np.zeros  # typed zero column helper
-        parts = pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        "doc_id": out_p.index.to_numpy(dtype="int64"),
-                        "out_degree": out_p.to_numpy(dtype="int64"),
-                        "in_degree": z(len(out_p), dtype="int64"),
-                        "reciprocal_degree": z(len(out_p), dtype="int64"),
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "doc_id": in_p.index.to_numpy(dtype="int64"),
-                        "out_degree": z(len(in_p), dtype="int64"),
-                        "in_degree": in_p.to_numpy(dtype="int64"),
-                        "reciprocal_degree": z(len(in_p), dtype="int64"),
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "doc_id": rec_docs,
-                        "out_degree": z(len(rec_docs), dtype="int64"),
-                        "in_degree": z(len(rec_docs), dtype="int64"),
-                        "reciprocal_degree": np.ones(
-                            len(rec_docs), dtype="int64"
-                        ),
-                    }
-                ),
-            ]
-        )
-        return parts.groupby("doc_id", as_index=False)[
-            ["out_degree", "in_degree", "reciprocal_degree"]
-        ].sum()
-
-    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _empty()
-        n = len(df)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
-                "out_degree": np.zeros(n, dtype="int64"),
-                "in_degree": np.zeros(n, dtype="int64"),
-                "reciprocal_degree": np.zeros(n, dtype="int64"),
-            }
-        )
-
-    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _empty()
-        return df.groupby("doc_id", as_index=False)[
-            ["out_degree", "in_degree", "reciprocal_degree"]
-        ].sum()
-
     keyed = _doc_ref_edges(sf_dir).map_batches(
-        add_pair, batch_format="pandas"
+        _degree_add_pair, batch_format="pandas"
     )
     enable_hash_shuffle(keyed)
     partials = keyed.repartition(npart, keys=["lo", "hi"]).map_batches(
-        pair_resolve, batch_format="pandas", batch_size=None
+        _degree_pair_resolve, batch_format="pandas", batch_size=None
     )
     zeros = read_documents(sf_dir, ["doc_id"]).map_batches(
-        zero_rows, batch_format="pandas"
+        _degree_zero_rows, batch_format="pandas"
     )
     unioned = partials.union(zeros)
     enable_hash_shuffle(unioned)
     out = unioned.repartition(npart, keys=["doc_id"]).map_batches(
-        final_sum, batch_format="pandas", batch_size=None
+        _degree_final_sum, batch_format="pandas", batch_size=None
     )
     # the plan executes under the FINAL consumer's context (the
     # union gotcha) — patch the returned dataset too
@@ -2042,14 +2310,33 @@ def docs_link_anchor_profile(
     top-k by a total order is distributive (min-k of min-k's), so the
     per-block finish is exact. Anchors are template-ASCII, so pandas
     codepoint order == DuckDB binary collation in the oracle."""
-    import pandas as pd
-
     from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
 
     if npart is None:
         npart = max(2, min(16, cluster_ncpu()))
 
-    def _empty_partial() -> pa.Table:
+    partials = _doc_ref_edges(sf_dir, with_anchor=True).map_batches(
+        _anchor_combine, fn_kwargs={"k": k}, batch_format="pandas"
+    )
+    enable_hash_shuffle(partials)
+    out = partials.repartition(npart, keys=["dst"]).map_batches(
+        _anchor_finish,
+        fn_kwargs={"k": k},
+        batch_format="pandas",
+        batch_size=None,
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def _anchor_combine(df, k: int) -> "object":
+    """Per input batch: per-target partial count row (src = -1
+    sentinel) plus the k smallest (anchor, src) candidate rows.
+    Exact under any batch split — min-k is distributive and counts
+    are sums; pinned by a property test."""
+    import pandas as pd
+
+    if df.empty:
         # typed Arrow empty — a zero-row object-dtype pandas column
         # breaks Ray's block size estimator (the CLAUDE.md trap)
         return pa.table(
@@ -2060,64 +2347,55 @@ def docs_link_anchor_profile(
                 "cnt": pa.array([], type=pa.int64()),
             }
         )
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _empty_partial()
-        top = df.sort_values(["dst", "anchor", "src"]).groupby("dst").head(k)
-        cnt = df.groupby("dst", as_index=False).size()
-        return pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        "dst": top["dst"].to_numpy(dtype="int64"),
-                        "src": top["src"].to_numpy(dtype="int64"),
-                        "anchor": top["anchor"].to_numpy(),
-                        "cnt": np.zeros(len(top), dtype="int64"),
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "dst": cnt["dst"].to_numpy(dtype="int64"),
-                        "src": np.full(len(cnt), -1, dtype="int64"),
-                        "anchor": np.full(len(cnt), "", dtype=object),
-                        "cnt": cnt["size"].to_numpy(dtype="int64"),
-                    }
-                ),
-            ]
-        ).reset_index(drop=True)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pa.table(
+    top = df.sort_values(["dst", "anchor", "src"]).groupby("dst").head(k)
+    cnt = df.groupby("dst", as_index=False).size()
+    return pd.concat(
+        [
+            pd.DataFrame(
                 {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "in_degree": pa.array([], type=pa.int64()),
-                    "top_anchors": pa.array([], type=pa.string()),
+                    "dst": top["dst"].to_numpy(dtype="int64"),
+                    "src": top["src"].to_numpy(dtype="int64"),
+                    "anchor": top["anchor"].to_numpy(),
+                    "cnt": np.zeros(len(top), dtype="int64"),
                 }
-            )
-        cnts = df[df["src"] < 0].groupby("dst", as_index=False)["cnt"].sum()
-        cand = df[df["src"] >= 0].sort_values(["dst", "anchor", "src"])
-        topk = cand.groupby("dst").head(k)
-        agg = topk.groupby("dst", as_index=False)["anchor"].agg("|".join)
-        m = cnts.merge(agg, on="dst", how="inner")
-        return pd.DataFrame(
+            ),
+            pd.DataFrame(
+                {
+                    "dst": cnt["dst"].to_numpy(dtype="int64"),
+                    "src": np.full(len(cnt), -1, dtype="int64"),
+                    "anchor": np.full(len(cnt), "", dtype=object),
+                    "cnt": cnt["size"].to_numpy(dtype="int64"),
+                }
+            ),
+        ]
+    ).reset_index(drop=True)
+
+
+def _anchor_finish(df, k: int) -> "object":
+    """Per dst-keyed block: sum the count partials, merge the
+    candidate top-k's and keep the global k, '|'-join."""
+    import pandas as pd
+
+    if df.empty:
+        return pa.table(
             {
-                "doc_id": m["dst"].to_numpy(dtype="int64"),
-                "in_degree": m["cnt"].to_numpy(dtype="int64"),
-                "top_anchors": m["anchor"].to_numpy(),
+                "doc_id": pa.array([], type=pa.int64()),
+                "in_degree": pa.array([], type=pa.int64()),
+                "top_anchors": pa.array([], type=pa.string()),
             }
         )
-
-    partials = _doc_ref_edges(sf_dir, with_anchor=True).map_batches(
-        combine, batch_format="pandas"
+    cnts = df[df["src"] < 0].groupby("dst", as_index=False)["cnt"].sum()
+    cand = df[df["src"] >= 0].sort_values(["dst", "anchor", "src"])
+    topk = cand.groupby("dst").head(k)
+    agg = topk.groupby("dst", as_index=False)["anchor"].agg("|".join)
+    m = cnts.merge(agg, on="dst", how="inner")
+    return pd.DataFrame(
+        {
+            "doc_id": m["dst"].to_numpy(dtype="int64"),
+            "in_degree": m["cnt"].to_numpy(dtype="int64"),
+            "top_anchors": m["anchor"].to_numpy(),
+        }
     )
-    enable_hash_shuffle(partials)
-    out = partials.repartition(npart, keys=["dst"]).map_batches(
-        finish, batch_format="pandas", batch_size=None
-    )
-    enable_hash_shuffle(out)
-    return out
 
 
 def link_anchor_profile_sql(k: int = 5) -> str:

@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-graph structure analytics over the doc+ref edge set
         "docs_link_degree": extraction.docs_link_degree,
         "docs_link_anchor_profile": extraction.docs_link_anchor_profile,
+        # crawl-frontier URL canonicalization
+        "docs_url_normalize": extraction.docs_url_normalize,
+        "docs_url_canonical_groups": extraction.docs_url_canonical_groups,
+        "docs_frontier_new_urls": extraction.frontier_new_urls,
         # iterative graph analytics over the extracted link graph
         # (exact: integer recurrence mirrored in an unrolled-CTE oracle)
         "docs_link_pagerank": extraction.docs_link_pagerank,
@@ -447,6 +451,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_table_value_rollup": extraction.table_value_rollup_sql(),
         "docs_link_degree": extraction.link_degree_sql(),
         "docs_link_anchor_profile": extraction.link_anchor_profile_sql(),
+        "docs_url_normalize": extraction.url_normalize_sql(),
+        "docs_url_canonical_groups": extraction.url_canonical_groups_sql(),
+        "docs_frontier_new_urls": extraction.frontier_new_urls_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),
         "web_extract_prep": extraction.web_extract_prep_sql(_STOP_LIST),
         "web_extract_incremental": extraction.web_extract_incremental_sql(),

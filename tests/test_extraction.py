@@ -732,3 +732,119 @@ def test_link_anchor_profile_topk_and_counts(ray_session):
     # non-hub doc: exactly the two chain anchors
     assert out.loc[20, "top_anchors"] == "Next doc|Prev doc"
     assert out.loc[20, "in_degree"] == 2
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier raw URL stream)
+
+
+def test_url_norm_steps_kernel_parity():
+    """The ordered step list renders identically through RE2 kernels
+    and DuckDB regexp_replace — checked on hand-picked dirty URLs
+    covering every rule (fragment, utm, dot-segment, slash runs,
+    shouting host, trailing slash)."""
+    import duckdb
+
+    raws = [
+        "/doc/7/../8/index.html#sec3",
+        "HTTP://EX.com//p4//q/",
+        "/ref/9?utm_source=feed&utm_medium=s1&ref=2",
+        "/plain/path",
+        "/only-utm?utm_a=x",
+        "/frag#a#b",
+    ]
+    got = ex.normalize_urls(pa.array(raws)).to_pylist()
+    con = duckdb.connect()
+    expr = ex.normalize_urls_sql("u")
+    exp = [
+        con.execute(f"SELECT {expr} FROM (VALUES (?)) t(u)", [r]).fetchone()[0]
+        for r in raws
+    ]
+    assert got == exp
+    assert got[0] == "/doc/8/index.html"
+    assert got[1] == "http://ex.com/p4/q"
+    assert got[2] == "/ref/9?ref=2"
+    assert got[3] == "/plain/path"
+    assert got[4] == "/only-utm"
+    assert got[5] == "/frag"
+
+
+def test_url_normalize_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import docs_url_normalize, url_normalize_sql
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        docs_url_normalize(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "url_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = (
+        con.execute(url_normalize_sql())
+        .df()
+        .sort_values(["doc_id", "url_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_url_canonical_groups_structure(ray_session):
+    """v0 URLs stay per-doc, v1 collapses onto 13 canonical targets,
+    v2 onto <= 91 — the frontier-dedup win the op exists for."""
+    from ocrs_ray.ops.extraction import docs_url_canonical_groups
+
+    out = docs_url_canonical_groups("/root/testdata/sf0.001").to_pandas()
+    n_docs = int(out.n_refs.sum()) // 3
+    v1 = out[out.href_norm.str.startswith("http://ex.com/")]
+    assert len(v1) == 13
+    assert int(v1.n_refs.sum()) == n_docs
+    v2 = out[out.href_norm.str.startswith("/ref/")]
+    assert len(v2) <= 91
+    assert int(v2.n_refs.sum()) == n_docs
+    v0 = out[out.href_norm.str.startswith("/doc/")]
+    assert (v0.n_refs == 1).all() and len(v0) == n_docs
+
+
+def test_frontier_new_urls_matches_oracle(ray_session):
+    """The anti-join diff equals the SQL NOT IN oracle, and every
+    survivor is a per-doc v0 page — the v1/v2 hub targets are all
+    seen by the crawled half, so nothing shared survives."""
+    import duckdb
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import (
+        frontier_new_urls,
+        frontier_new_urls_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        frontier_new_urls(sf)
+        .to_pandas()
+        .sort_values("href_norm")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = (
+        con.execute(frontier_new_urls_sql())
+        .df()
+        .sort_values("href_norm")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[exp.columns], exp, check_dtype=False
+    )
+    assert len(out) > 0
+    assert out.href_norm.str.startswith("/doc/").all()

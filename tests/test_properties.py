@@ -481,3 +481,138 @@ def test_band_join_exactly_once(values, eps):
             if abs(int(v[i]) - int(v[j])) <= eps:
                 expect.add((min(i, j), max(i, j), abs(int(v[i]) - int(v[j]))))
     assert set(got_pairs) == expect
+
+
+# ---------------------------------------------------------------------------
+# Link-degree / anchor-profile combiners (extraction.py) — exchange
+# independence: composing the per-block kernels over ANY partition of
+# the rows (respecting each kernel's co-location contract) must equal
+# the single-shot brute force.
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    return n, edges
+
+
+@given(edge_lists())
+@settings(max_examples=60, deadline=None)
+def test_degree_combiners_match_bruteforce(case):
+    import pandas as pd
+
+    from ocrs_ray.ops import extraction as ex
+
+    n_docs, edges = case
+    df = pd.DataFrame(
+        {
+            "src": pd.Series([e[0] for e in edges], dtype="int64"),
+            "dst": pd.Series([e[1] for e in edges], dtype="int64"),
+        }
+    )
+    paired = ex._degree_add_pair(df)
+    # partition by pair (the exchange contract), grouped arbitrarily
+    # into 3 buckets by a hash of the pair
+    blocks = [
+        ex._degree_pair_resolve(
+            paired[(paired["lo"] * 31 + paired["hi"]) % 3 == b]
+            if not paired.empty
+            else paired
+        )
+        for b in range(3)
+    ]
+    zeros = ex._degree_zero_rows(
+        pd.DataFrame({"doc_id": pd.Series(range(n_docs), dtype="int64")})
+    )
+    out = (
+        ex._degree_final_sum(pd.concat(blocks + [zeros]))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force over distinct edges
+    dedup = {(s, d) for s, d in edges}
+    exp_rows = []
+    for doc in range(n_docs):
+        outd = len({d for s, d in dedup if s == doc})
+        ind = len({s for s, d in dedup if d == doc})
+        rec = len(
+            {d for s, d in dedup if s == doc and (d, s) in dedup}
+        )
+        exp_rows.append((doc, outd, ind, rec))
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "out_degree", "in_degree", "reciprocal_degree"]
+    ).astype("int64")
+    # docs outside 0..n_docs-1 can appear in `out` when edges name
+    # them; restrict to the zero-row-covered id space like the op does
+    out = out[out["doc_id"] < n_docs].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+@st.composite
+def anchor_lists(draw):
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),  # dst
+                st.integers(min_value=0, max_value=9),  # src
+                st.text(
+                    alphabet="abcdXYZ []|", min_size=0, max_size=6
+                ),  # anchor (ASCII incl. the join char — order only)
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    k = draw(st.integers(min_value=1, max_value=4))
+    nsplit = draw(st.integers(min_value=1, max_value=4))
+    return rows, k, nsplit
+
+
+@given(anchor_lists())
+@settings(max_examples=60, deadline=None)
+def test_anchor_combiners_match_bruteforce(case):
+    import pandas as pd
+
+    from ocrs_ray.ops import extraction as ex
+
+    rows, k, nsplit = case
+    df = pd.DataFrame(
+        {
+            "src": pd.Series([r[1] for r in rows], dtype="int64"),
+            "dst": pd.Series([r[0] for r in rows], dtype="int64"),
+            "anchor": [r[2] for r in rows],
+        }
+    )
+    # arbitrary batch split (combiner has no co-location contract)
+    partials = [
+        ex._anchor_combine(df.iloc[i::nsplit].reset_index(drop=True), k=k)
+        for i in range(nsplit)
+    ]
+    partials = [p for p in partials if hasattr(p, "empty") and not p.empty]
+    out = (
+        ex._anchor_finish(pd.concat(partials).reset_index(drop=True), k=k)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for dst in sorted({r[0] for r in rows}):
+        grp = sorted(
+            ((r[2], r[1]) for r in rows if r[0] == dst)
+        )
+        exp_rows.append(
+            (dst, len(grp), "|".join(a for a, _ in grp[:k]))
+        )
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "in_degree", "top_anchors"])
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    exp["in_degree"] = exp["in_degree"].astype("int64")
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
