@@ -535,6 +535,141 @@ def docs_html_main_content(sf_dir: str) -> rd.Dataset:
     )
 
 
+#: Boilerpipe-style two-feature block rule (Kohlschutter 2010 uses
+#: link density + text length as the dominant pair): a block is
+#: boilerplate when link-dense, `short` when link-light but under the
+#: length floor, else `content`. ONE constant pair, two renderings.
+BOILER_DENSITY_MAX_PPM = 400_000
+BOILER_SHORT_MIN_CHARS = 200
+
+
+def docs_block_boilerplate_classify(sf_dir: str) -> rd.Dataset:
+    """Per-block boilerplate classification, long format: (doc_id,
+    block_idx, tag, text_chars, link_density_ppm, label) with label in
+    {boilerplate, short, content} by the two-feature rule above —
+    nav/ad are always link-dense, the footer sits at ~430-444k ppm
+    (source-length dependent), and the content block splits
+    content/short on the document's own text length.
+
+    Scale shape: stateless Arrow map, 4 output rows per doc, no
+    shuffle."""
+    import pyarrow.compute as pc
+
+    def classify(batch: pa.Table) -> pa.Table:
+        pages = _synth_html_arrow(batch)
+        n = len(batch)
+        chunks = []
+        for idx, tag, _flat, text_chars, _lc, density in (
+            _block_stats_arrays(pages)
+        ):
+            label = pc.if_else(
+                pc.greater_equal(density, BOILER_DENSITY_MAX_PPM),
+                pa.scalar("boilerplate"),
+                pc.if_else(
+                    pc.less(text_chars, BOILER_SHORT_MIN_CHARS),
+                    pa.scalar("short"),
+                    pa.scalar("content"),
+                ),
+            )
+            chunks.append(
+                pa.table(
+                    {
+                        "doc_id": batch.column("doc_id"),
+                        "block_idx": pa.array([idx] * n, type=pa.int64()),
+                        "tag": pa.array([tag] * n, type=pa.string()),
+                        "text_chars": text_chars,
+                        "link_density_ppm": density,
+                        "label": label,
+                    }
+                )
+            )
+        return pa.concat_tables(chunks)
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
+def block_boilerplate_classify_sql() -> str:
+    return (
+        _block_stats_cte() + " SELECT doc_id, block_idx, tag, text_chars, "
+        "CAST(link_density_ppm AS BIGINT) AS link_density_ppm, "
+        f"CASE WHEN link_density_ppm >= {BOILER_DENSITY_MAX_PPM} "
+        "THEN 'boilerplate' "
+        f"WHEN text_chars < {BOILER_SHORT_MIN_CHARS} THEN 'short' "
+        "ELSE 'content' END AS label FROM blocks"
+    )
+
+
+def docs_boilerplate_filtered_text(sf_dir: str) -> rd.Dataset:
+    """Boilerplate FILTER (vs main-content's single-winner PICK): the
+    document's extracted text is the block-order concatenation of
+    every block the two-feature rule labels `content` — a doc whose
+    content block is short yields the empty string (kept_blocks 0),
+    the honest multi-block-filter semantics. Output: (doc_id,
+    kept_blocks, extracted_text, n_chars).
+
+    Scale shape: stateless Arrow map (a fill-null concat chain does
+    the variable-subset join vectorized), one output row per doc, no
+    shuffle."""
+    import pyarrow.compute as pc
+
+    def filt(batch: pa.Table) -> pa.Table:
+        pages = _synth_html_arrow(batch)
+        pieces, kept = [], None
+        for _idx, _tag, flat, text_chars, _lc, density in (
+            _block_stats_arrays(pages)
+        ):
+            keep = pc.and_(
+                pc.less(density, BOILER_DENSITY_MAX_PPM),
+                pc.greater_equal(text_chars, BOILER_SHORT_MIN_CHARS),
+            )
+            pieces.append(pc.if_else(keep, flat, pa.scalar(None, pa.string())))
+            k = pc.cast(keep, pa.int64())
+            kept = k if kept is None else pc.add(kept, k)
+        # NOT binary_join_element_wise(null_handling="skip"): on this
+        # pyarrow an all-null row is DROPPED from the output (length
+        # shrinks), not emitted as "" — misaligns the batch. Explicit
+        # conditional-separator concat instead.
+        text = pc.fill_null(pieces[0], "")
+        for p in pieces[1:]:
+            sep = pc.if_else(
+                pc.and_(pc.not_equal(text, ""), pc.is_valid(p)),
+                pa.scalar(" "),
+                pa.scalar(""),
+            )
+            text = pc.binary_join_element_wise(
+                text, sep, pc.fill_null(p, ""), ""
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kept_blocks": kept,
+                "extracted_text": text,
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+def boilerplate_filtered_text_sql() -> str:
+    agg = "coalesce(string_agg(l.flat_text, ' ' ORDER BY l.block_idx), '')"
+    return (
+        _block_stats_cte()
+        + ", kept AS (SELECT doc_id, block_idx, flat_text FROM blocks "
+        f"WHERE link_density_ppm < {BOILER_DENSITY_MAX_PPM} "
+        f"AND text_chars >= {BOILER_SHORT_MIN_CHARS}) "
+        "SELECT d.doc_id, CAST(count(l.doc_id) AS BIGINT) AS kept_blocks, "
+        f"{agg} AS extracted_text, "
+        f"CAST(length({agg}) AS BIGINT) AS n_chars "
+        "FROM documents d LEFT JOIN kept l ON d.doc_id = l.doc_id "
+        "GROUP BY d.doc_id"
+    )
+
+
 # --------------------------------------------------------------------
 # PDF content-stream / layout parse
 # --------------------------------------------------------------------

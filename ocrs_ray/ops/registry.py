@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_normalize": extraction.docs_url_normalize,
         "docs_url_canonical_groups": extraction.docs_url_canonical_groups,
         "docs_frontier_new_urls": extraction.frontier_new_urls,
+        # boilerpipe-style two-feature block filter (vs main-content's pick)
+        "docs_block_boilerplate_classify": extraction.docs_block_boilerplate_classify,
+        "docs_boilerplate_filtered_text": extraction.docs_boilerplate_filtered_text,
         # iterative graph analytics over the extracted link graph
         # (exact: integer recurrence mirrored in an unrolled-CTE oracle)
         "docs_link_pagerank": extraction.docs_link_pagerank,
@@ -454,6 +457,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_url_normalize": extraction.url_normalize_sql(),
         "docs_url_canonical_groups": extraction.url_canonical_groups_sql(),
         "docs_frontier_new_urls": extraction.frontier_new_urls_sql(),
+        "docs_block_boilerplate_classify": extraction.block_boilerplate_classify_sql(),
+        "docs_boilerplate_filtered_text": extraction.boilerplate_filtered_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),
         "web_extract_prep": extraction.web_extract_prep_sql(_STOP_LIST),
         "web_extract_incremental": extraction.web_extract_incremental_sql(),

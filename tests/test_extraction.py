@@ -813,6 +813,49 @@ def test_url_canonical_groups_structure(ray_session):
     assert (v0.n_refs == 1).all() and len(v0) == n_docs
 
 
+def test_boilerplate_classify_labels(ray_session):
+    """nav/ad are always link-dense boilerplate; the content block
+    splits content/short on the doc's own text length — all three
+    labels occur at sf0.001 (threshold non-degeneracy guard)."""
+    from ocrs_ray.ops.extraction import docs_block_boilerplate_classify
+
+    out = docs_block_boilerplate_classify("/root/testdata/sf0.001").to_pandas()
+    assert set(out[out.tag.isin(["nav", "ad"])].label) == {"boilerplate"}
+    content = out[out.tag == "content"]
+    assert {"content", "short"} <= set(content.label)
+    assert (
+        content.label.eq("short") == (content.text_chars < 200)
+    ).all()
+
+
+def test_boilerplate_filtered_text_vs_main_content(ray_session):
+    """FILTER vs PICK: where the content block passes both gates the
+    filtered text equals the main-content winner's text; where it is
+    short the filter honestly emits '' while the pick still returns a
+    winner."""
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import (
+        docs_boilerplate_filtered_text,
+        docs_html_main_content,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    filt = docs_boilerplate_filtered_text(sf).to_pandas().set_index("doc_id")
+    pick = docs_html_main_content(sf).to_pandas().set_index("doc_id")
+    kept = filt[filt.kept_blocks == 1]
+    assert len(kept) > 0
+    pd.testing.assert_series_equal(
+        kept.extracted_text,
+        pick.loc[kept.index, "main_text"],
+        check_names=False,
+    )
+    empty = filt[filt.kept_blocks == 0]
+    assert len(empty) > 0
+    assert (empty.extracted_text == "").all()
+    assert (empty.n_chars == 0).all()
+
+
 def test_frontier_new_urls_matches_oracle(ray_session):
     """The anti-join diff equals the SQL NOT IN oracle, and every
     survivor is a per-doc v0 page — the v1/v2 hub targets are all
