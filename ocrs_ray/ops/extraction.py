@@ -1102,6 +1102,126 @@ def pdf_multipage_text_sql() -> str:
     )
 
 
+def _pdf_hyphen_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
+    """The zigzag layout with LINE-BREAK HYPHENS: when a fixed-width
+    chunk boundary splits a word (non-space on both sides), the chunk
+    is emitted with a trailing '-' — the hyphenated-linebreak artifact
+    every real PDF text extractor must undo. Corpus texts contain no
+    literal '-' (guarded loudly below), so every trailing hyphen is a
+    break artifact and the dehyphenated text round-trips exactly."""
+    if "-" in text:
+        raise ValueError(
+            "text contains a literal '-' — the synthetic hyphenated "
+            "layout could not distinguish it from a line-break hyphen "
+            "and the round-trip oracle would silently diverge"
+        )
+    runs = _pdf_runs_for_text(text)
+    out = []
+    for i, x, y, chunk in runs:
+        straddle = (
+            (i + 1) * PDF_CHUNK < len(text)
+            and text[(i + 1) * PDF_CHUNK - 1] != " "
+            and text[(i + 1) * PDF_CHUNK] != " "
+        )
+        out.append((i, x, y, chunk + "-" if straddle else chunk))
+    return out
+
+
+def _pdf_hyphen_stream_for_text(text: str) -> str:
+    runs = sorted(_pdf_hyphen_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
+    return " ".join(
+        f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
+    )
+
+
+def docs_pdf_dehyphenated_text(sf_dir: str) -> rd.Dataset:
+    """PDF text extraction with DEHYPHENATION: parse the shuffled
+    hyphenated content stream, sort runs into reading order, and undo
+    line-break hyphens by the standard heuristic — a run-final '-'
+    whose successor starts with a non-space character is a break
+    artifact (drop it, join directly); any other junction concatenates
+    as-is. Output (doc_id, n_runs, n_hyphens, page_text); page_text
+    round-trips to the source text exactly.
+
+    Scale shape: stateless map, one output row per doc, no shuffle;
+    the per-doc run loop is bounded (<= 15 runs at corpus lengths).
+    """
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = _parse_pdf_batch(batch, streamer=_pdf_hyphen_stream_for_text)
+        by_doc: dict[int, list] = {}
+        for rec in rows:
+            by_doc.setdefault(rec[0], []).append(rec)
+        ids = batch.column("doc_id").to_pylist()
+        n_runs, n_hyph, texts = [], [], []
+        for d in ids:
+            recs = sorted(by_doc.get(d, []), key=lambda r: (-r[2], r[1]))
+            parts, h = [], 0
+            for k, (_d, _x, _y, rt) in enumerate(recs):
+                nxt = recs[k + 1][3] if k + 1 < len(recs) else None
+                if rt.endswith("-") and nxt and not nxt.startswith(" "):
+                    parts.append(rt[:-1])
+                    h += 1
+                else:
+                    parts.append(rt)
+            n_runs.append(len(recs))
+            n_hyph.append(h)
+            texts.append("".join(parts))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_runs": pa.array(n_runs, type=pa.int64()),
+                "n_hyphens": pa.array(n_hyph, type=pa.int64()),
+                "page_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def pdf_dehyphenated_text_sql() -> str:
+    """Same synth (hyphens via the straddle rule), same parse, same
+    lead()-based dehyphenation heuristic — one rule, two renderings."""
+    c = PDF_CHUNK
+    return (
+        "WITH ch AS (SELECT doc_id, text, unnest(range(0, CAST(ceil("
+        f"length(text) / {c}.0) AS BIGINT))) AS i FROM documents), "
+        "r AS (SELECT doc_id, i, 72 + (i % 2) * 240 AS x, "
+        "720 - (i // 2) * 14 AS y, "
+        f"substr(text, CAST(1 + i * {c} AS INTEGER), {c}) || "
+        f"CASE WHEN (i + 1) * {c} < length(text) "
+        f"AND substr(text, CAST((i + 1) * {c} AS INTEGER), 1) != ' ' "
+        f"AND substr(text, CAST((i + 1) * {c} + 1 AS INTEGER), 1) != ' ' "
+        "THEN '-' ELSE '' END AS chunk FROM ch), "
+        "stream AS (SELECT doc_id, string_agg('BT 1 0 0 1 ' || x || ' ' "
+        "|| y || ' Tm (' || chunk || ') Tj ET', ' ' ORDER BY i % 3, i) "
+        "AS s FROM r GROUP BY doc_id), "
+        "m AS (SELECT doc_id, unnest(regexp_extract_all(s, "
+        f"'{PDF_RUN_RE}')) AS run FROM stream), "
+        "parsed AS (SELECT doc_id, "
+        f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 1) AS BIGINT) AS x, "
+        f"CAST(regexp_extract(run, '{PDF_RUN_RE}', 2) AS BIGINT) AS y, "
+        f"regexp_extract(run, '{PDF_RUN_RE}', 3) AS run_text FROM m), "
+        "seq AS (SELECT doc_id, run_text, row_number() OVER w AS rn, "
+        "lead(run_text) OVER w AS nxt FROM parsed "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY y DESC, x ASC)), "
+        "fixed AS (SELECT doc_id, rn, CASE WHEN run_text LIKE '%-' "
+        "AND nxt IS NOT NULL AND substr(nxt, 1, 1) != ' ' "
+        "THEN substr(run_text, 1, length(run_text) - 1) "
+        "ELSE run_text END AS t, CASE WHEN run_text LIKE '%-' "
+        "AND nxt IS NOT NULL AND substr(nxt, 1, 1) != ' ' "
+        "THEN 1 ELSE 0 END AS h FROM seq) "
+        "SELECT d.doc_id, CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs, "
+        "CAST(coalesce(p.n_hyphens, 0) AS BIGINT) AS n_hyphens, "
+        "coalesce(p.page_text, '') AS page_text FROM documents d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS n_runs, sum(h) AS n_hyphens, "
+        "string_agg(t, '' ORDER BY rn) AS page_text FROM fixed "
+        "GROUP BY doc_id) p ON d.doc_id = p.doc_id"
+    )
+
+
 # --------------------------------------------------------------------
 # HTML table extraction (ragged per-doc structure)
 # --------------------------------------------------------------------

@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pdf_page_text": extraction.docs_pdf_page_text,
         "docs_pdf_column_text": extraction.docs_pdf_column_text,
         "docs_pdf_multipage_text": extraction.docs_pdf_multipage_text,
+        "docs_pdf_dehyphenated_text": extraction.docs_pdf_dehyphenated_text,
         "docs_html_table_extract": extraction.docs_html_table_extract,
         "docs_table_value_rollup": extraction.docs_table_value_rollup,
         # link-graph structure analytics over the doc+ref edge set
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pdf_page_text": extraction.pdf_page_text_sql(),
         "docs_pdf_column_text": extraction.pdf_column_text_sql(),
         "docs_pdf_multipage_text": extraction.pdf_multipage_text_sql(),
+        "docs_pdf_dehyphenated_text": extraction.pdf_dehyphenated_text_sql(),
         "docs_html_table_extract": extraction.html_table_extract_sql(),
         "docs_table_value_rollup": extraction.table_value_rollup_sql(),
         "docs_link_degree": extraction.link_degree_sql(),

@@ -813,6 +813,45 @@ def test_url_canonical_groups_structure(ray_session):
     assert (v0.n_refs == 1).all() and len(v0) == n_docs
 
 
+def test_pdf_hyphen_runs_kernel():
+    """Straddle rule: a hyphen appears exactly where a 40-char chunk
+    boundary splits a word; a boundary on either side of a space gets
+    none. A literal '-' in the text raises loudly."""
+    import pytest
+
+    w = ex.PDF_CHUNK
+    # boundary splits 'xy': chunk 0 ends 'x', chunk 1 starts 'y'
+    t = "a" * (w - 1) + "xy plus tail"
+    runs = ex._pdf_hyphen_runs_for_text(t)
+    assert runs[0][3].endswith("x-")
+    # boundary right after a space: no hyphen
+    t2 = "b" * (w - 1) + " next chunk here"
+    assert not ex._pdf_hyphen_runs_for_text(t2)[0][3].endswith("-")
+    # boundary right before a space: no hyphen
+    t3 = "c" * w + " starts with space"
+    assert not ex._pdf_hyphen_runs_for_text(t3)[0][3].endswith("-")
+    with pytest.raises(ValueError, match="literal '-'"):
+        ex._pdf_hyphen_runs_for_text("has a - dash")
+
+
+def test_pdf_dehyphenated_roundtrip(ray_session):
+    """Dehyphenation undoes every break hyphen: page_text equals the
+    source text byte-for-byte, and at least one doc actually carried
+    hyphens (non-degeneracy)."""
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import docs_pdf_dehyphenated_text
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_pdf_dehyphenated_text(sf).to_pandas().set_index("doc_id")
+    src = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    assert int(out.n_hyphens.sum()) > 0
+    joined = out.join(src)
+    assert (joined.page_text == joined.text).all()
+
+
 def test_boilerplate_classify_labels(ray_session):
     """nav/ad are always link-dense boilerplate; the content block
     splits content/short on the doc's own text length — all three
