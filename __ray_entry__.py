@@ -466,16 +466,17 @@ _GATE_ORDER = [
     "text_quality",
     "docs_html_nested_main_content",
     "docs_html_table_extract",
+    "docs_boilerplate_filtered_text",
     "docs_pdf_column_text",
+    "docs_pdf_dehyphenated_text",
+    "docs_frontier_new_urls",
     "docs_link_pagerank",
     "docs_table_value_rollup",
     "lm_bigram_score",
-    "tfidf_top_terms",
     "docs_gopher_quality_filter",
     "docs_global_length_rank",
     "docs_jsonl_roundtrip",
     "dedup_exact",
-    "dedup_survivors",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
     "dedup_clusters",
@@ -484,7 +485,6 @@ _GATE_ORDER = [
     "ann_topk_bruteforce",
     "embedding_label_centroid",
     "fuzzy_name_pairs",
-    "events_sessionize",
     "events_asof_join",
     "events_range_join",
     "events_funnel",
