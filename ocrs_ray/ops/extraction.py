@@ -1637,6 +1637,160 @@ def frontier_new_urls_sql() -> str:
 
 
 # --------------------------------------------------------------------
+# Robots-policy crawl filtering (per-source deterministic rules)
+# --------------------------------------------------------------------
+
+#: Each source site publishes ONE disallow rule, derived from its
+#: numeric suffix k = int(source[3:]): k%3==0 disallows '/ref/',
+#: k%3==1 disallows '/doc/', k%3==2 allows everything. Relative URLs
+#: resolve against the citing doc's own site, so the doc's source's
+#: rule applies; the absolute http://ex.com target is external and
+#: ex.com disallows nothing. Both disallow prefixes are 5 chars, so
+#: the per-row prefix test is one fixed-width slice compare — fully
+#: vectorized with a PER-ROW rule (pc.starts_with only takes a scalar
+#: pattern).
+ROBOTS_RULE_LEN = 5
+
+
+def _robots_rule(src_k, pc):
+    """k -> the source's disallow prefix ('' = allow all), as an
+    Arrow CASE chain over int k."""
+    m = pc.subtract(src_k, pc.multiply(pc.divide(src_k, 3), 3))
+    return pc.if_else(
+        pc.equal(m, 0),
+        pa.scalar("/ref/"),
+        pc.if_else(pc.equal(m, 1), pa.scalar("/doc/"), pa.scalar("")),
+    )
+
+
+def _robots_label_batch(batch: pa.Table) -> pa.Table:
+    """Shared labeling kernel: the rendered+normalized URL stream with
+    the citing source, its rule, and the allow verdict — (doc_id,
+    url_idx, href_norm, source, rule, allowed)."""
+    import pyarrow.compute as pc
+
+    t = _render_url_variants(batch)
+    # variants are concatenated per template, each in batch order
+    src = pa.chunked_array([batch.column("source").combine_chunks()] * 3)
+    k = pc.cast(pc.utf8_slice_codeunits(src, 3, 99), pa.int64())
+    rule = _robots_rule(k, pc)
+    prefix = pc.utf8_slice_codeunits(
+        t.column("href_norm"), 0, ROBOTS_RULE_LEN
+    )
+    disallowed = pc.and_(pc.not_equal(rule, ""), pc.equal(prefix, rule))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "url_idx": t.column("url_idx"),
+            "href_norm": t.column("href_norm"),
+            "source": src,
+            "rule": rule,
+            "allowed": pc.invert(disallowed),
+        }
+    )
+
+
+def docs_robots_policy_filter(sf_dir: str) -> rd.Dataset:
+    """Apply each source site's robots disallow rule to its pages'
+    normalized URL stream: (doc_id, url_idx, href_norm, rule,
+    allowed) — the crawl-scheduler gate between URL canonicalization
+    and the fetch frontier.
+
+    Scale shape: stateless vectorized map (render + normalize + one
+    slice-compare), 3 output rows per doc, no shuffle."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return _robots_label_batch(batch).drop_columns(["source"])
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+_ROBOTS_SQL_CORE = (
+    "WITH n AS ("
+    "{normalize}), "
+    "j AS (SELECT n.doc_id, n.url_idx, n.href_norm, d.source FROM n "
+    "JOIN documents d ON n.doc_id = d.doc_id), "
+    "pol AS (SELECT doc_id, url_idx, href_norm, "
+    "CASE CAST(substr(source, 4) AS BIGINT) % 3 "
+    "WHEN 0 THEN '/ref/' WHEN 1 THEN '/doc/' ELSE '' END AS rule, "
+    "source FROM j), "
+    "lab AS (SELECT doc_id, url_idx, href_norm, rule, source, "
+    "NOT (rule != '' AND substr(href_norm, 1, 5) = rule) AS allowed "
+    "FROM pol)"
+)
+
+
+def robots_policy_filter_sql() -> str:
+    return (
+        _ROBOTS_SQL_CORE.format(normalize=url_normalize_sql())
+        + " SELECT doc_id, url_idx, href_norm, rule, allowed FROM lab"
+    )
+
+
+def source_crawl_budget(sf_dir: str) -> rd.Dataset:
+    """Per-source crawl budget after robots filtering: (source,
+    n_urls, n_allowed, n_disallowed) — the scheduler's per-site
+    work-queue sizing table.
+
+    Scale shape: per-batch combine to one row per (batch, source),
+    then the bounded-key tree-sum (sources are a site vocabulary —
+    bounded even at corpus scale); no hash shuffle."""
+    import pandas as pd
+
+    from .relational import tree_sum
+
+    def combine(df: pd.DataFrame) -> "object":
+        if df.empty:
+            # typed empty — never a zero-row object column (the block
+            # size estimator gotcha)
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_urls": pa.array([], type=pa.int64()),
+                    "n_allowed": pa.array([], type=pa.int64()),
+                }
+            )
+        g = df.groupby("source", as_index=False).agg(
+            n_urls=("allowed", "size"), n_allowed=("allowed", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "n_urls": g["n_urls"].to_numpy(dtype="int64"),
+                "n_allowed": g["n_allowed"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def label(batch: pa.Table) -> pa.Table:
+        return _robots_label_batch(batch).select(["source", "allowed"])
+
+    rows = read_documents(sf_dir, _DOC_COLS).map_batches(
+        label, batch_format="pyarrow"
+    ).map_batches(combine, batch_format="pandas")
+    totals = tree_sum(rows, ["source"], ["n_urls", "n_allowed"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_disallowed"] = df["n_urls"] - df["n_allowed"]
+        return df
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
+def source_crawl_budget_sql() -> str:
+    return (
+        _ROBOTS_SQL_CORE.format(normalize=url_normalize_sql())
+        + " SELECT source, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_allowed, "
+        "CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_disallowed FROM lab GROUP BY source"
+    )
+
+
+# --------------------------------------------------------------------
 # Oracle SQL builders (HTML family)
 # --------------------------------------------------------------------
 

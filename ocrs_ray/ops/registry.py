@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_normalize": extraction.docs_url_normalize,
         "docs_url_canonical_groups": extraction.docs_url_canonical_groups,
         "docs_frontier_new_urls": extraction.frontier_new_urls,
+        # robots-policy crawl gate + per-site budget
+        "docs_robots_policy_filter": extraction.docs_robots_policy_filter,
+        "source_crawl_budget": extraction.source_crawl_budget,
         # boilerpipe-style two-feature block filter (vs main-content's pick)
         "docs_block_boilerplate_classify": extraction.docs_block_boilerplate_classify,
         "docs_boilerplate_filtered_text": extraction.docs_boilerplate_filtered_text,
@@ -459,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_url_normalize": extraction.url_normalize_sql(),
         "docs_url_canonical_groups": extraction.url_canonical_groups_sql(),
         "docs_frontier_new_urls": extraction.frontier_new_urls_sql(),
+        "docs_robots_policy_filter": extraction.robots_policy_filter_sql(),
+        "source_crawl_budget": extraction.source_crawl_budget_sql(),
         "docs_block_boilerplate_classify": extraction.block_boilerplate_classify_sql(),
         "docs_boilerplate_filtered_text": extraction.boilerplate_filtered_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),

@@ -813,6 +813,42 @@ def test_url_canonical_groups_structure(ray_session):
     assert (v0.n_refs == 1).all() and len(v0) == n_docs
 
 
+def test_robots_policy_filter_semantics(ray_session):
+    """k%3==0 sources lose their /ref/ URLs, k%3==1 lose /doc/,
+    k%3==2 keep everything; the absolute ex.com URL is always
+    allowed."""
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import docs_robots_policy_filter
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_robots_policy_filter(sf).to_pandas()
+    src = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    )
+    j = out.merge(src, on="doc_id")
+    k = j.source.str[3:].astype(int)
+    assert (j[j.href_norm.str.startswith("http://ex.com/")].allowed).all()
+    ref = j[j.href_norm.str.startswith("/ref/")]
+    assert (ref.allowed == (k[ref.index] % 3 != 0)).all()
+    doc = j[j.href_norm.str.startswith("/doc/")]
+    assert (doc.allowed == (k[doc.index] % 3 != 1)).all()
+    assert not out.allowed.all() and out.allowed.any()
+
+
+def test_source_crawl_budget_totals(ray_session):
+    """Budget rows sum to 3 URLs/doc, and n_allowed+n_disallowed
+    partitions them; k%3==2 sources have zero disallowed."""
+    from ocrs_ray.ops.extraction import source_crawl_budget
+
+    out = source_crawl_budget("/root/testdata/sf0.001").to_pandas()
+    assert (out.n_urls == out.n_allowed + out.n_disallowed).all()
+    assert int(out.n_urls.sum()) == 3 * 500
+    k = out.source.str[3:].astype(int)
+    assert (out[k % 3 == 2].n_disallowed == 0).all()
+    assert (out[k % 3 != 2].n_disallowed > 0).all()
+
+
 def test_pdf_hyphen_runs_kernel():
     """Straddle rule: a hyphen appears exactly where a 40-char chunk
     boundary splits a word; a boundary on either side of a space gets
