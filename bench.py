@@ -137,6 +137,7 @@ MIN_OF_2_OPS = frozenset(
         "dedup_clusters",
         "events_value_outliers",
         "events_value_mad",
+        "events_value_band_join",
         "events_user_ntile",
         "source_distinct_shingles",
         "bm25_topk",
