@@ -1496,6 +1496,66 @@ def url_normalize_sql() -> str:
     )
 
 
+def _urlgroup_empty() -> pa.Table:
+    return pa.table(
+        {
+            "href_norm": pa.array([], type=pa.string()),
+            "n_refs": pa.array([], type=pa.int64()),
+            "first_doc": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _urlgroup_combine(df) -> "object":
+    if df.empty:
+        return _urlgroup_empty()
+    import pandas as pd
+
+    g = df.groupby("href_norm", as_index=False).agg(
+        n_refs=("doc_id", "size"), first_doc=("doc_id", "min")
+    )
+    return pd.DataFrame(
+        {
+            "href_norm": g["href_norm"].to_numpy(),
+            "n_refs": g["n_refs"].to_numpy(dtype="int64"),
+            "first_doc": g["first_doc"].to_numpy(dtype="int64"),
+        }
+    )
+
+
+def _urlgroup_finish(df) -> "object":
+    if df.empty:
+        return _urlgroup_empty()
+    import pandas as pd
+
+    g = df.groupby("href_norm", as_index=False).agg(
+        n_refs=("n_refs", "sum"), first_doc=("first_doc", "min")
+    )
+    return pd.DataFrame(
+        {
+            "href_norm": g["href_norm"].to_numpy(),
+            "n_refs": g["n_refs"].to_numpy(dtype="int64"),
+            "first_doc": g["first_doc"].to_numpy(dtype="int64"),
+        }
+    )
+
+
+def _canonical_groups_over(urls: rd.Dataset, npart: int) -> rd.Dataset:
+    """(doc_id, href_norm, ...) stream -> per-href_norm (n_refs,
+    first_doc): per-batch algebraic combine caps hot canonical keys
+    at one row per batch, then one keyed exchange + per-block
+    finish."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    partials = urls.map_batches(_urlgroup_combine, batch_format="pandas")
+    enable_hash_shuffle(partials)
+    out = partials.repartition(npart, keys=["href_norm"]).map_batches(
+        _urlgroup_finish, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
 def docs_url_canonical_groups(
     sf_dir: str, npart: int | None = None
 ) -> rd.Dataset:
@@ -1504,62 +1564,12 @@ def docs_url_canonical_groups(
     the frontier-dedup view (v1/v2 collapse N raw URLs onto 13 / 91
     canonical targets; v0 stays per-doc).
 
-    Scale shape: per-batch combiner (count+min are algebraic) caps
-    hot canonical keys at one row per batch, then one keyed exchange
-    and a per-block finish."""
-    import pandas as pd
-
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    Scale shape: see `_canonical_groups_over`."""
+    from ocrs_ray.pipeline import cluster_ncpu
 
     if npart is None:
         npart = max(2, min(16, cluster_ncpu()))
-
-    def _empty() -> pa.Table:
-        return pa.table(
-            {
-                "href_norm": pa.array([], type=pa.string()),
-                "n_refs": pa.array([], type=pa.int64()),
-                "first_doc": pa.array([], type=pa.int64()),
-            }
-        )
-
-    def combine(df: pd.DataFrame) -> "object":
-        if df.empty:
-            return _empty()
-        g = df.groupby("href_norm", as_index=False).agg(
-            n_refs=("doc_id", "size"), first_doc=("doc_id", "min")
-        )
-        return pd.DataFrame(
-            {
-                "href_norm": g["href_norm"].to_numpy(),
-                "n_refs": g["n_refs"].to_numpy(dtype="int64"),
-                "first_doc": g["first_doc"].to_numpy(dtype="int64"),
-            }
-        )
-
-    def finish(df: pd.DataFrame) -> "object":
-        if df.empty:
-            return _empty()
-        g = df.groupby("href_norm", as_index=False).agg(
-            n_refs=("n_refs", "sum"), first_doc=("first_doc", "min")
-        )
-        return pd.DataFrame(
-            {
-                "href_norm": g["href_norm"].to_numpy(),
-                "n_refs": g["n_refs"].to_numpy(dtype="int64"),
-                "first_doc": g["first_doc"].to_numpy(dtype="int64"),
-            }
-        )
-
-    partials = docs_url_normalize(sf_dir).map_batches(
-        combine, batch_format="pandas"
-    )
-    enable_hash_shuffle(partials)
-    out = partials.repartition(npart, keys=["href_norm"]).map_batches(
-        finish, batch_format="pandas", batch_size=None
-    )
-    enable_hash_shuffle(out)
-    return out
+    return _canonical_groups_over(docs_url_normalize(sf_dir), npart)
 
 
 def url_canonical_groups_sql() -> str:
@@ -1777,6 +1787,79 @@ def source_crawl_budget(sf_dir: str) -> rd.Dataset:
         return df
 
     return totals.map_batches(finish, batch_format="pandas")
+
+
+def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
+    """The composed crawl-scheduling chain as ONE lazy streaming
+    Dataset (the crawl analog of `pretrain_data_prep`): render +
+    canonicalize the URL stream, apply each source's robots rule,
+    canonical-group the allowed URLs, and anti-join away everything
+    the crawled first half already referenced (and was allowed to
+    fetch). Output (href_norm, n_refs, first_doc) — the fetch queue.
+
+    Scale shape: two exchanges total — one keyed repartition of
+    per-batch-combined group partials, one left_anti hash join; the
+    robots gate runs BEFORE both, so disallowed URLs never enter a
+    shuffle. Both join sides are dense per partition (safe regime).
+    """
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+
+    if npart is None:
+        npart = max(2, min(16, cluster_ncpu()))
+
+    def allowed_urls(batch: pa.Table) -> pa.Table:
+        t = _robots_label_batch(batch)
+        return t.filter(t.column("allowed")).select(["doc_id", "href_norm"])
+
+    max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
+    cut = (max_id + 1) // 2
+
+    groups = _canonical_groups_over(
+        read_documents(sf_dir, _DOC_COLS).map_batches(
+            allowed_urls, batch_format="pyarrow"
+        ),
+        npart,
+    )
+
+    def seen_urls(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"href_norm": pc.unique(batch.column("href_norm"))}
+        )
+
+    crawled = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=_DOC_COLS,
+        filter=pads.field("doc_id") < cut,
+    )
+    seen = crawled.map_batches(
+        allowed_urls, batch_format="pyarrow"
+    ).map_batches(seen_urls, batch_format="pyarrow")
+    enable_hash_shuffle(groups)
+    enable_hash_shuffle(seen)
+    out = groups.join(
+        seen,
+        join_type="left_anti",
+        num_partitions=npart,
+        on=("href_norm",),
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def crawl_schedule_prep_sql() -> str:
+    return (
+        _ROBOTS_SQL_CORE.format(normalize=url_normalize_sql())
+        + " SELECT href_norm, CAST(count(*) AS BIGINT) AS n_refs, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc FROM lab "
+        "WHERE allowed AND href_norm NOT IN ("
+        "SELECT href_norm FROM lab WHERE allowed AND doc_id < "
+        "(SELECT (max(doc_id) + 1) // 2 FROM documents)) "
+        "GROUP BY href_norm"
+    )
 
 
 def source_crawl_budget_sql() -> str:

@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robots-policy crawl gate + per-site budget
         "docs_robots_policy_filter": extraction.docs_robots_policy_filter,
         "source_crawl_budget": extraction.source_crawl_budget,
+        # composed crawl-scheduling chain (the crawl pretrain_data_prep)
+        "crawl_schedule_prep": extraction.crawl_schedule_prep,
         # boilerpipe-style two-feature block filter (vs main-content's pick)
         "docs_block_boilerplate_classify": extraction.docs_block_boilerplate_classify,
         "docs_boilerplate_filtered_text": extraction.docs_boilerplate_filtered_text,
@@ -464,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_frontier_new_urls": extraction.frontier_new_urls_sql(),
         "docs_robots_policy_filter": extraction.robots_policy_filter_sql(),
         "source_crawl_budget": extraction.source_crawl_budget_sql(),
+        "crawl_schedule_prep": extraction.crawl_schedule_prep_sql(),
         "docs_block_boilerplate_classify": extraction.block_boilerplate_classify_sql(),
         "docs_boilerplate_filtered_text": extraction.boilerplate_filtered_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),

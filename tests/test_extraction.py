@@ -849,6 +849,37 @@ def test_source_crawl_budget_totals(ray_session):
     assert (out[k % 3 != 2].n_disallowed > 0).all()
 
 
+def test_crawl_schedule_prep_composition(ray_session):
+    """The composed queue equals robots-filter + frontier logic done
+    by hand on the flat stream: survivors are allowed, uncrawled
+    canonical targets; every ex.com hub and every crawled-half target
+    is gone."""
+    import pandas as pd
+
+    from ocrs_ray.ops.extraction import (
+        crawl_schedule_prep,
+        docs_robots_policy_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = crawl_schedule_prep(sf).to_pandas()
+    lab = docs_robots_policy_filter(sf).to_pandas()
+    cut = (lab.doc_id.max() + 1) // 2
+    allowed = lab[lab.allowed]
+    seen = set(allowed[allowed.doc_id < cut].href_norm)
+    exp = (
+        allowed[~allowed.href_norm.isin(seen)]
+        .groupby("href_norm")
+        .agg(n_refs=("doc_id", "size"), first_doc=("doc_id", "min"))
+        .reset_index()
+    )
+    got = out.sort_values("href_norm").reset_index(drop=True)
+    exp = exp.sort_values("href_norm").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    assert len(got) > 0
+    assert not got.href_norm.str.startswith("http://ex.com/").any()
+
+
 def test_pdf_hyphen_runs_kernel():
     """Straddle rule: a hyphen appears exactly where a 40-char chunk
     boundary splits a word; a boundary on either side of a space gets
