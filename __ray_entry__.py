@@ -470,6 +470,7 @@ _GATE_ORDER = [
     "docs_pdf_column_text",
     "docs_pdf_dehyphenated_text",
     "docs_frontier_new_urls",
+    "crawl_schedule_prep",
     "docs_link_pagerank",
     "docs_table_value_rollup",
     "lm_bigram_score",
@@ -486,7 +487,6 @@ _GATE_ORDER = [
     "embedding_label_centroid",
     "fuzzy_name_pairs",
     "events_asof_join",
-    "events_range_join",
     "events_funnel",
     "events_global_cumsum",
     "events_user_type_sequence",
