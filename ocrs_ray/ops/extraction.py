@@ -1299,6 +1299,98 @@ def docs_html_table_extract(sf_dir: str) -> rd.Dataset:
     )
 
 
+#: Heading match: (level digit, body). RE2 has no backreferences, so
+#: the close tag matches any of h1-h3 — fine on well-formed markup
+#: (the synthesis guarantees it; a mismatched close would pair wrong
+#: levels and the oracle would catch the divergence value-exactly).
+HTML_HEADING_RE = r"<h([123])>([^<]*)</h[123]>"
+
+
+def _outline_page_template(n_sections: int) -> tuple:
+    """Sectioned page variant with `n_sections` h2 sections (1..3);
+    the 3-section variant also nests an <h3> inside its last section
+    — level variety for the outline parse."""
+    parts: tuple = ("<html><body><h1>Doc ", ("id",), "</h1>")
+    bodies: tuple = (
+        ("<p>", ("text",), "</p>"),
+        ("<p>Appendix ", ("id_mod7",), "</p>"),
+        ("<p>Notes ", ("id_mod13",), "</p>"),
+    )
+    for j in range(n_sections):
+        parts = parts + ("<h2>Part " + str(j + 1) + " of ", ("source",), "</h2>")
+        parts = parts + bodies[j]
+        if n_sections == 3 and j == 2:
+            parts = parts + ("<h3>Sub ", ("id_mod7",), "</h3>")
+    return parts + ("<footer>", ("source",), "</footer></body></html>")
+
+
+def docs_html_outline(sf_dir: str) -> rd.Dataset:
+    """Document-outline extraction: parse every h1/h2/h3 of the
+    sectioned page (doc_id % 3 + 1 sections, the 3-section variant
+    nesting an h3) into document-order rows — (doc_id, heading_idx,
+    level, heading). The table-of-contents structure layout-aware
+    chunkers and section-level dedup key on.
+
+    Scale shape: stateless map explode, 2-5 rows per doc; the
+    per-match loop is the docs_html_links shape."""
+    import pyarrow.compute as pc
+
+    templates = [_outline_page_template(n) for n in (1, 2, 3)]
+    h_re = re.compile(HTML_HEADING_RE, re.ASCII)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rendered = [
+            _render_template_arrow(batch, t).to_numpy(zero_copy_only=False)
+            for t in templates
+        ]
+        mod = pc.subtract(
+            batch.column("doc_id"),
+            pc.multiply(pc.divide(batch.column("doc_id"), 3), 3),
+        ).to_numpy()
+        pages = np.select(
+            [mod == 0, mod == 1], rendered[:2], default=rendered[2]
+        )
+        ids, idxs, levels, texts = [], [], [], []
+        for d, page in zip(batch.column("doc_id").to_pylist(), pages):
+            for j, (lvl, body) in enumerate(h_re.findall(page)):
+                ids.append(d)
+                idxs.append(j)
+                levels.append(int(lvl))
+                texts.append(body)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "heading_idx": pa.array(idxs, type=pa.int64()),
+                "level": pa.array(levels, type=pa.int64()),
+                "heading": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, _DOC_COLS).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+def html_outline_sql() -> str:
+    """Oracle for docs_html_outline: render the SAME three sectioned
+    variants selected by doc_id % 3, re-parse every heading with the
+    shared pattern, ordinal heading_idx."""
+    cases = " ".join(
+        f"WHEN {n - 1} THEN {_template_sql(_outline_page_template(n))}"
+        for n in (1, 2, 3)
+    )
+    return (
+        f"WITH pages AS (SELECT doc_id, CASE doc_id % 3 {cases} END AS h "
+        "FROM documents), "
+        "hs AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS heading_idx, "
+        "unnest(l) AS hd FROM (SELECT doc_id, "
+        f"regexp_extract_all(h, '{HTML_HEADING_RE}') AS l FROM pages)) "
+        "SELECT doc_id, CAST(heading_idx AS BIGINT) AS heading_idx, "
+        f"CAST(regexp_extract(hd, '{HTML_HEADING_RE}', 1) AS BIGINT) AS level, "
+        f"regexp_extract(hd, '{HTML_HEADING_RE}', 2) AS heading FROM hs"
+    )
+
+
 def docs_table_value_rollup(sf_dir: str) -> rd.Dataset:
     """Typed aggregation over the EXTRACTED tables: per row_label, the
     bigint sum of the (numeric) row_value cells and the row count —

@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_crawl_budget": extraction.source_crawl_budget,
         # composed crawl-scheduling chain (the crawl pretrain_data_prep)
         "crawl_schedule_prep": extraction.crawl_schedule_prep,
+        # document-outline (h1/h2/h3) extraction over sectioned pages
+        "docs_html_outline": extraction.docs_html_outline,
         # boilerpipe-style two-feature block filter (vs main-content's pick)
         "docs_block_boilerplate_classify": extraction.docs_block_boilerplate_classify,
         "docs_boilerplate_filtered_text": extraction.docs_boilerplate_filtered_text,
@@ -467,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_robots_policy_filter": extraction.robots_policy_filter_sql(),
         "source_crawl_budget": extraction.source_crawl_budget_sql(),
         "crawl_schedule_prep": extraction.crawl_schedule_prep_sql(),
+        "docs_html_outline": extraction.html_outline_sql(),
         "docs_block_boilerplate_classify": extraction.block_boilerplate_classify_sql(),
         "docs_boilerplate_filtered_text": extraction.boilerplate_filtered_text_sql(),
         "docs_link_pagerank": extraction.link_pagerank_sql(),

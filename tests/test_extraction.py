@@ -849,6 +849,22 @@ def test_source_crawl_budget_totals(ray_session):
     assert (out[k % 3 != 2].n_disallowed > 0).all()
 
 
+def test_html_outline_structure(ray_session):
+    """Per-doc outline: one h1 first, doc_id%3+1 h2 sections in
+    order, and exactly the 3-section docs carry a trailing h3."""
+    from ocrs_ray.ops.extraction import docs_html_outline
+
+    out = docs_html_outline("/root/testdata/sf0.001").to_pandas()
+    g = out.sort_values(["doc_id", "heading_idx"]).groupby("doc_id")
+    for d, rows in g:
+        levels = rows.level.tolist()
+        n_sec = d % 3 + 1
+        exp = [1] + [2] * n_sec + ([3] if n_sec == 3 else [])
+        assert levels == exp, (d, levels)
+        assert rows.heading.iloc[0] == f"Doc {d}"
+        assert rows.heading.iloc[1].startswith("Part 1 of ")
+
+
 def test_crawl_schedule_prep_composition(ray_session):
     """The composed queue equals robots-filter + frontier logic done
     by hand on the flat stream: survivors are allowed, uncrawled
