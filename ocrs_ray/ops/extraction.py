@@ -1772,6 +1772,16 @@ def _robots_label_batch(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     t = _render_url_variants(batch)
+    # loud corpus guard: the rule derivation assumes 'src<digits>'
+    # sources — an unexpected shape must raise here, not as an opaque
+    # cast error inside a worker
+    if batch.num_rows and not pc.all(
+        pc.match_substring_regex(batch.column("source"), r"^src[0-9]+$")
+    ).as_py():
+        raise ValueError(
+            "documents.source does not match 'src<digits>'; the robots "
+            "rule derivation (numeric suffix % 3) would be undefined"
+        )
     # variants are concatenated per template, each in batch order
     src = pa.chunked_array([batch.column("source").combine_chunks()] * 3)
     k = pc.cast(pc.utf8_slice_codeunits(src, 3, 99), pa.int64())
