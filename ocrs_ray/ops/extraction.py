@@ -179,29 +179,39 @@ def _guard_markup_safe(text: pa.Array) -> None:
 
 def _render_template_arrow(batch: pa.Table, template: tuple) -> pa.Array:
     """Render a page template for each row via one vectorized
-    binary_join_element_wise — zero Python per row."""
+    binary_join_element_wise — zero Python per row. Only the fields
+    the template actually names are computed (and only their columns
+    need to be present in `batch`), so ops whose templates skip
+    `text` can prune it at the read — the biggest column by far."""
     import pyarrow.compute as pc
 
     ids = batch.column("doc_id")
-    text = pc.cast(batch.column("text"), pa.string())
-    _guard_markup_safe(text)
 
     def _mod(x, m):
         # doc_id >= 0, so truncating divide gives exact modulo.
         return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
 
+    def _text():
+        t = pc.cast(batch.column("text"), pa.string())
+        _guard_markup_safe(t)
+        return t
+
+    makers = {
+        "id": lambda: pc.cast(ids, pa.string()),
+        "id_prev": lambda: pc.cast(pc.subtract(ids, 1), pa.string()),
+        "id_next": lambda: pc.cast(pc.add(ids, 1), pa.string()),
+        "id_mod7": lambda: pc.cast(_mod(ids, 7), pa.string()),
+        "id_mod13": lambda: pc.cast(_mod(ids, 13), pa.string()),
+        "id_r1": lambda: pc.cast(_mod(ids, 97), pa.string()),
+        "id_r2": lambda: pc.cast(_mod(pc.multiply(ids, 2), 97), pa.string()),
+        "id_r3": lambda: pc.cast(_mod(pc.multiply(ids, 3), 97), pa.string()),
+        "lang": lambda: pc.cast(batch.column("lang"), pa.string()),
+        "source": lambda: pc.cast(batch.column("source"), pa.string()),
+        "text": _text,
+    }
     fields = {
-        "id": pc.cast(ids, pa.string()),
-        "id_prev": pc.cast(pc.subtract(ids, 1), pa.string()),
-        "id_next": pc.cast(pc.add(ids, 1), pa.string()),
-        "id_mod7": pc.cast(_mod(ids, 7), pa.string()),
-        "id_mod13": pc.cast(_mod(ids, 13), pa.string()),
-        "id_r1": pc.cast(_mod(ids, 97), pa.string()),
-        "id_r2": pc.cast(_mod(pc.multiply(ids, 2), 97), pa.string()),
-        "id_r3": pc.cast(_mod(pc.multiply(ids, 3), 97), pa.string()),
-        "lang": pc.cast(batch.column("lang"), pa.string()),
-        "source": pc.cast(batch.column("source"), pa.string()),
-        "text": text,
+        name: makers[name]()
+        for name in {p[0] for p in template if isinstance(p, tuple)}
     }
     pieces = [
         fields[p[0]] if isinstance(p, tuple) else p for p in template
@@ -216,6 +226,9 @@ def _synth_html_arrow(batch: pa.Table) -> pa.Array:
 
 
 _DOC_COLS = ["doc_id", "text", "lang", "source"]
+#: The URL/robots/table templates interpolate only doc_id-derived
+#: fields and `source` — prune `text`/`lang` at the read.
+_URL_COLS = ["doc_id", "source"]
 
 # --------------------------------------------------------------------
 # Extraction kernels (generic — they see only the markup string)
@@ -1294,7 +1307,7 @@ def docs_html_table_extract(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return read_documents(sf_dir, _DOC_COLS).map_batches(
+    return read_documents(sf_dir, _URL_COLS).map_batches(
         extract, batch_format="pyarrow"
     )
 
@@ -1366,7 +1379,7 @@ def docs_html_outline(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return read_documents(sf_dir, _DOC_COLS).map_batches(
+    return read_documents(sf_dir, ["doc_id", "source", "text"]).map_batches(
         extract, batch_format="pyarrow"
     )
 
@@ -1539,7 +1552,7 @@ def docs_url_normalize(sf_dir: str) -> rd.Dataset:
 
     Scale shape: stateless vectorized map, 3 output rows per input
     row, no shuffle."""
-    return read_documents(sf_dir, _DOC_COLS).map_batches(
+    return read_documents(sf_dir, _URL_COLS).map_batches(
         _render_url_variants, batch_format="pyarrow"
     )
 
@@ -1708,7 +1721,7 @@ def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
 
     crawled = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
-        columns=_DOC_COLS,
+        columns=_URL_COLS,
         filter=pads.field("doc_id") < cut,
     )
     seen = (
@@ -1814,7 +1827,7 @@ def docs_robots_policy_filter(sf_dir: str) -> rd.Dataset:
     def filt(batch: pa.Table) -> pa.Table:
         return _robots_label_batch(batch).drop_columns(["source"])
 
-    return read_documents(sf_dir, _DOC_COLS).map_batches(
+    return read_documents(sf_dir, _URL_COLS).map_batches(
         filt, batch_format="pyarrow"
     )
 
@@ -1878,7 +1891,7 @@ def source_crawl_budget(sf_dir: str) -> rd.Dataset:
     def label(batch: pa.Table) -> pa.Table:
         return _robots_label_batch(batch).select(["source", "allowed"])
 
-    rows = read_documents(sf_dir, _DOC_COLS).map_batches(
+    rows = read_documents(sf_dir, _URL_COLS).map_batches(
         label, batch_format="pyarrow"
     ).map_batches(combine, batch_format="pandas")
     totals = tree_sum(rows, ["source"], ["n_urls", "n_allowed"])
@@ -1919,7 +1932,7 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     cut = (max_id + 1) // 2
 
     groups = _canonical_groups_over(
-        read_documents(sf_dir, _DOC_COLS).map_batches(
+        read_documents(sf_dir, _URL_COLS).map_batches(
             allowed_urls, batch_format="pyarrow"
         ),
         npart,
@@ -1934,7 +1947,7 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
 
     crawled = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
-        columns=_DOC_COLS,
+        columns=_URL_COLS,
         filter=pads.field("doc_id") < cut,
     )
     seen = crawled.map_batches(
