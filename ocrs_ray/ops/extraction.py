@@ -723,14 +723,19 @@ def _pdf_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
     return runs
 
 
-def _pdf_stream_for_text(text: str) -> str:
-    """Serialize the runs in SHUFFLED order (i%3, i) — content streams
+def _serialize_runs(runs: list[tuple[int, int, int, str]]) -> str:
+    """Serialize runs in SHUFFLED order (i%3, i) — content streams
     carry no reading-order guarantee, so the parser must reconstruct
-    it geometrically."""
-    runs = sorted(_pdf_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
+    it geometrically. ONE copy of the run-grammar literal, kept in
+    sync with PDF_RUN_RE and the SQL stream CTEs."""
+    runs = sorted(runs, key=lambda r: (r[0] % 3, r[0]))
     return " ".join(
         f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
     )
+
+
+def _pdf_stream_for_text(text: str) -> str:
+    return _serialize_runs(_pdf_runs_for_text(text))
 
 
 _PDF_SYNTH_SQL = (
@@ -907,13 +912,9 @@ def _pdf_column_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
 
 
 def _pdf_column_stream_for_text(text: str) -> str:
-    """Serialize the column-layout runs in the same SHUFFLED (i%3, i)
-    order as `_pdf_stream_for_text` — the parser sees no ordering
-    hint from the stream."""
-    runs = sorted(_pdf_column_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
-    return " ".join(
-        f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
-    )
+    """Column-layout runs through the same shuffled serializer — the
+    parser sees no ordering hint from the stream."""
+    return _serialize_runs(_pdf_column_runs_for_text(text))
 
 
 _PDF_COL_SYNTH_SQL = (
@@ -1021,16 +1022,9 @@ def _pdf_multipage_stream_for_text(text: str) -> str:
     for i in range(n):
         chunk = text[i * PDF_CHUNK : (i + 1) * PDF_CHUNK]
         pages.setdefault(i // rpp, []).append((i, 72, 720 - (i % rpp) * 14, chunk))
-    out = []
-    for pg in sorted(pages):
-        runs = sorted(pages[pg], key=lambda r: (r[0] % 3, r[0]))
-        out.append(
-            " ".join(
-                f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET"
-                for _i, x, y, chunk in runs
-            )
-        )
-    return PDF_PAGE_SEP.join(out)
+    return PDF_PAGE_SEP.join(
+        _serialize_runs(pages[pg]) for pg in sorted(pages)
+    )
 
 
 def docs_pdf_multipage_text(sf_dir: str) -> rd.Dataset:
@@ -1141,10 +1135,7 @@ def _pdf_hyphen_runs_for_text(text: str) -> list[tuple[int, int, int, str]]:
 
 
 def _pdf_hyphen_stream_for_text(text: str) -> str:
-    runs = sorted(_pdf_hyphen_runs_for_text(text), key=lambda r: (r[0] % 3, r[0]))
-    return " ".join(
-        f"BT 1 0 0 1 {x} {y} Tm ({chunk}) Tj ET" for _i, x, y, chunk in runs
-    )
+    return _serialize_runs(_pdf_hyphen_runs_for_text(text))
 
 
 def docs_pdf_dehyphenated_text(sf_dir: str) -> rd.Dataset:
@@ -1352,24 +1343,29 @@ def docs_html_outline(sf_dir: str) -> rd.Dataset:
     h_re = re.compile(HTML_HEADING_RE, re.ASCII)
 
     def extract(batch: pa.Table) -> pa.Table:
-        rendered = [
-            _render_template_arrow(batch, t).to_numpy(zero_copy_only=False)
-            for t in templates
-        ]
+        # render each doc_id%3 subset with ITS template only — the
+        # outline templates embed `text`, so rendering all three
+        # variants for every row (the cheap table-extract pattern)
+        # would triple the dominant string-concat cost here
         mod = pc.subtract(
             batch.column("doc_id"),
             pc.multiply(pc.divide(batch.column("doc_id"), 3), 3),
         ).to_numpy()
-        pages = np.select(
-            [mod == 0, mod == 1], rendered[:2], default=rendered[2]
-        )
         ids, idxs, levels, texts = [], [], [], []
-        for d, page in zip(batch.column("doc_id").to_pylist(), pages):
-            for j, (lvl, body) in enumerate(h_re.findall(page)):
-                ids.append(d)
-                idxs.append(j)
-                levels.append(int(lvl))
-                texts.append(body)
+        for v, tpl in enumerate(templates):
+            mask = mod == v
+            if not mask.any():
+                continue
+            sub = batch.filter(pa.array(mask))
+            pages = _render_template_arrow(sub, tpl).to_numpy(
+                zero_copy_only=False
+            )
+            for d, page in zip(sub.column("doc_id").to_pylist(), pages):
+                for j, (lvl, body) in enumerate(h_re.findall(page)):
+                    ids.append(d)
+                    idxs.append(j)
+                    levels.append(int(lvl))
+                    texts.append(body)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -1611,13 +1607,15 @@ def _urlgroup_empty() -> pa.Table:
     )
 
 
-def _urlgroup_combine(df) -> "object":
+def _urlgroup_agg(df, n_refs_spec, first_doc_spec) -> "object":
+    """Shared groupby('href_norm') assembly for the combine and
+    finish phases — only the aggregation specs differ."""
     if df.empty:
         return _urlgroup_empty()
     import pandas as pd
 
     g = df.groupby("href_norm", as_index=False).agg(
-        n_refs=("doc_id", "size"), first_doc=("doc_id", "min")
+        n_refs=n_refs_spec, first_doc=first_doc_spec
     )
     return pd.DataFrame(
         {
@@ -1626,23 +1624,14 @@ def _urlgroup_combine(df) -> "object":
             "first_doc": g["first_doc"].to_numpy(dtype="int64"),
         }
     )
+
+
+def _urlgroup_combine(df) -> "object":
+    return _urlgroup_agg(df, ("doc_id", "size"), ("doc_id", "min"))
 
 
 def _urlgroup_finish(df) -> "object":
-    if df.empty:
-        return _urlgroup_empty()
-    import pandas as pd
-
-    g = df.groupby("href_norm", as_index=False).agg(
-        n_refs=("n_refs", "sum"), first_doc=("first_doc", "min")
-    )
-    return pd.DataFrame(
-        {
-            "href_norm": g["href_norm"].to_numpy(),
-            "n_refs": g["n_refs"].to_numpy(dtype="int64"),
-            "first_doc": g["first_doc"].to_numpy(dtype="int64"),
-        }
-    )
+    return _urlgroup_agg(df, ("n_refs", "sum"), ("first_doc", "min"))
 
 
 def _canonical_groups_over(urls: rd.Dataset, npart: int) -> rd.Dataset:
@@ -1699,18 +1688,32 @@ def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     unique; the diff is Ray's native left_anti hash join on
     href_norm. Both sides are dense per partition (every block emits
     rows), which is the documented safe regime for Dataset.join."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import cluster_ncpu
 
     if npart is None:
         npart = max(2, min(16, cluster_ncpu()))
+    groups = docs_url_canonical_groups(sf_dir, npart=npart)
+    return _anti_join_uncrawled(groups, sf_dir, npart, _render_url_variants)
+
+
+def _anti_join_uncrawled(
+    groups: rd.Dataset, sf_dir: str, npart: int, url_batch_fn
+) -> rd.Dataset:
+    """Anti-join canonical URL groups against the URL set of the
+    already-crawled first half (doc_id < (max_id+1)//2): pushdown
+    read -> `url_batch_fn` (render + normalize, optionally
+    robots-filtered) -> per-batch unique -> native left_anti. ONE
+    copy of the recipe — the cut rule, the pushdown read, and the
+    hash-shuffle choreography encoding the Ray 2.49 join-safety
+    reasoning stay in sync across frontier_new_urls and
+    crawl_schedule_prep."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ocrs_ray.pipeline import enable_hash_shuffle
 
     max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
     cut = (max_id + 1) // 2
-
-    groups = docs_url_canonical_groups(sf_dir, npart=npart)
 
     def seen_urls(batch: pa.Table) -> pa.Table:
         # per-batch unique: the join only needs key presence, so
@@ -1724,11 +1727,9 @@ def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
         columns=_URL_COLS,
         filter=pads.field("doc_id") < cut,
     )
-    seen = (
-        crawled.map_batches(
-            _render_url_variants, batch_format="pyarrow"
-        ).map_batches(seen_urls, batch_format="pyarrow")
-    )
+    seen = crawled.map_batches(
+        url_batch_fn, batch_format="pyarrow"
+    ).map_batches(seen_urls, batch_format="pyarrow")
     enable_hash_shuffle(groups)
     enable_hash_shuffle(seen)
     out = groups.join(
@@ -1842,7 +1843,8 @@ _ROBOTS_SQL_CORE = (
     "WHEN 0 THEN '/ref/' WHEN 1 THEN '/doc/' ELSE '' END AS rule, "
     "source FROM j), "
     "lab AS (SELECT doc_id, url_idx, href_norm, rule, source, "
-    "NOT (rule != '' AND substr(href_norm, 1, 5) = rule) AS allowed "
+    "NOT (rule != '' AND "
+    f"substr(href_norm, 1, {ROBOTS_RULE_LEN}) = rule) AS allowed "
     "FROM pol)"
 )
 
@@ -1917,9 +1919,7 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     robots gate runs BEFORE both, so disallowed URLs never enter a
     shuffle. Both join sides are dense per partition (safe regime).
     """
-    import pyarrow.dataset as pads
-
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import cluster_ncpu
 
     if npart is None:
         npart = max(2, min(16, cluster_ncpu()))
@@ -1928,41 +1928,13 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
         t = _robots_label_batch(batch)
         return t.filter(t.column("allowed")).select(["doc_id", "href_norm"])
 
-    max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
-    cut = (max_id + 1) // 2
-
     groups = _canonical_groups_over(
         read_documents(sf_dir, _URL_COLS).map_batches(
             allowed_urls, batch_format="pyarrow"
         ),
         npart,
     )
-
-    def seen_urls(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {"href_norm": pc.unique(batch.column("href_norm"))}
-        )
-
-    crawled = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=_URL_COLS,
-        filter=pads.field("doc_id") < cut,
-    )
-    seen = crawled.map_batches(
-        allowed_urls, batch_format="pyarrow"
-    ).map_batches(seen_urls, batch_format="pyarrow")
-    enable_hash_shuffle(groups)
-    enable_hash_shuffle(seen)
-    out = groups.join(
-        seen,
-        join_type="left_anti",
-        num_partitions=npart,
-        on=("href_norm",),
-    )
-    enable_hash_shuffle(out)
-    return out
+    return _anti_join_uncrawled(groups, sf_dir, npart, allowed_urls)
 
 
 def crawl_schedule_prep_sql() -> str:

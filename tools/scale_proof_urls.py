@@ -78,14 +78,17 @@ def main() -> None:
         ("frontier_new_urls", frontier_new_urls),
         ("source_crawl_budget", source_crawl_budget),
     ):
-        rss0 = _rss_mb()
         t0 = time.time()
         n_rows = fn(sf_dir).count()
         out[name] = {
             "rows": n_rows,
             "wall_sec": round(time.time() - t0, 2),
-            "driver_rss_mb_before": round(rss0, 1),
-            "driver_rss_mb_after": round(_rss_mb(), 1),
+            # ru_maxrss is the PROCESS-LIFETIME high-water mark (it
+            # never decreases) — report the cumulative peak after each
+            # op, not a misleading per-op before/after delta. A flat
+            # sequence across ops and across N is the flat-driver
+            # evidence.
+            "driver_peak_rss_mb": round(_rss_mb(), 1),
         }
     ray.shutdown()
     import json
