@@ -616,3 +616,76 @@ def test_anchor_combiners_match_bruteforce(case):
     exp["doc_id"] = exp["doc_id"].astype("int64")
     exp["in_degree"] = exp["in_degree"].astype("int64")
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence + structural invariants over the
+# rendered variant domain (arbitrary doc_id / srcN source)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=0, max_value=99_999),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_normalize_idempotent_and_clean(doc_id, src_k):
+    import pyarrow as pa
+
+    from ocrs_ray.ops import extraction as ex
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([doc_id], type=pa.int64()),
+            "source": pa.array([f"src{src_k}"]),
+        }
+    )
+    t = ex._render_url_variants(batch)
+    norm = t.column("href_norm").to_pylist()
+    # idempotent on the rendered domain (<= 1 dot-segment per URL by
+    # construction — the single-pass resolve step's documented bound)
+    again = ex.normalize_urls(pa.array(norm)).to_pylist()
+    assert again == norm
+    for u in norm:
+        assert "#" not in u
+        assert "utm_" not in u
+        assert "/../" not in u
+        body = u.split("://", 1)[-1]
+        assert "//" not in body
+        assert u == "/" or not u.endswith("/")
+        assert not u.endswith(("?", "&"))
+
+
+# ---------------------------------------------------------------------------
+# PDF dehyphenation: independent reference round-trips any corpus-like
+# text through the hyphenated stream
+
+
+@given(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz ",
+        min_size=1,
+        max_size=500,
+    )
+)
+@settings(max_examples=200, deadline=None)
+@example("a" * 39 + "xy")  # straddle exactly at the chunk boundary
+@example("b" * 40 + " c")  # boundary after a full chunk, next is space
+def test_pdf_dehyphenation_roundtrip(text):
+    import re as _re
+
+    from ocrs_ray.ops import extraction as ex
+
+    stream = ex._pdf_hyphen_stream_for_text(text)
+    runs = [
+        (int(x), int(y), rt)
+        for x, y, rt in _re.findall(ex.PDF_RUN_RE, stream)
+    ]
+    runs.sort(key=lambda r: (-r[1], r[0]))
+    parts = []
+    for k, (_x, _y, rt) in enumerate(runs):
+        nxt = runs[k + 1][2] if k + 1 < len(runs) else None
+        if rt.endswith("-") and nxt and not nxt.startswith(" "):
+            parts.append(rt[:-1])
+        else:
+            parts.append(rt)
+    assert "".join(parts) == text
