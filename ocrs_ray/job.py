@@ -88,10 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         # Size the actor pool from the MEASURED cluster. ncpu-2 alone
         # deadlocks at 32 CPUs (30 actors + 8 shuffle aggregators + the
         # read task exceed the budget); cap at 3/4 of the cluster like
-        # bench.py so aggregators and the read always fit.
+        # bench.py so aggregators and the read always fit. Floor is 1,
+        # NOT 2: at ncpu <= 3 a second actor is itself the deadlock
+        # (nothing left for the read task).
         ncpu = cluster_ncpu(default=4)
         cfg = OcrPipelineConfig(
-            ocr_concurrency=max(2, min(ncpu - 2, int(ncpu * 0.75))),
+            ocr_concurrency=max(1, min(ncpu - 2, int(ncpu * 0.75))),
             reassemble_partitions=max(4, min(2 * ncpu, 64)),
         )
         t0 = time.time()

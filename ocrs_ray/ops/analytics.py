@@ -269,7 +269,7 @@ def lm_quality_score(
     (broadcast_limit_bytes=0 forces the cogroup). Tokens unseen in
     pass 1 cannot occur in pass 2 (same corpus, same tokenizer).
     """
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     totals = _tree_sum(
         _read_docs(sf_dir, ["text"]).map_batches(
@@ -345,7 +345,7 @@ def lm_quality_score(
     ).map_batches(
         lambda df: df.rename(columns={"term": "token"}), batch_format="pandas"
     )
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     out = _doc_score_cogroup(doc_terms, scores, ["token"], npart)
     return out.map_batches(
         lambda df: df.rename(
@@ -406,7 +406,11 @@ def lm_bigram_score(
     (broadcast_limit_bytes=0 forces the cogroup). Bigrams unseen in
     pass 1 cannot occur in pass 2 (same corpus, same tokenizer).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     totals = tree_sum(
         _read_docs(sf_dir, ["text"]).map_batches(
@@ -460,7 +464,7 @@ def lm_bigram_score(
     # repartition (the prefix count c(w1) needs all of w1's bigram rows
     # co-located, and the keyed hash repartition guarantees exactly
     # that); the score table never leaves the object store.
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def cond_logp(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -638,7 +642,11 @@ def tfidf_top_terms(
     co-locates each document for the same rank kernel. Both paths are
     exact and test-pinned equal (broadcast_limit_bytes=0 forces the
     cogroup)."""
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     df_ds = document_frequency(sf_dir).materialize()
 
@@ -664,7 +672,7 @@ def tfidf_top_terms(
 
     # Distributed path: attach df via a term-keyed tagged-union cogroup,
     # then rank inside a doc_id-keyed repartition.
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def tag_tf(batch: pd.DataFrame):
         tf = _doc_term_tf(batch)
@@ -827,9 +835,13 @@ def events_global_cumsum(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     partition budget — one bucket must fit a worker block. Values ride
     as round-half-away micro-units, bit-exact vs the SQL window.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     max_id = int(_read_events(sf_dir, ["event_id"]).max("event_id"))
     width = max(1, (max_id + n_buckets) // n_buckets)
 
@@ -1393,10 +1405,14 @@ def _relabel_cogroup(
     the Ray 2.49 sparse-side join crash (CLAUDE.md): the star side is
     exactly the sparse shape — few dup-component rows over many blocks.
     Node ids must be non-negative (doc_id/vec_id are)."""
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
 
     def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1666,11 +1682,15 @@ def neardup_best_survivors(
         )
 
     # Distributed path: nothing dup-count-sized on the driver.
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     from .sketch import build_bloom
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     # Size the Bloom from the MEASURED star cardinality (~10 bits/key
     # -> ~1% fp at k=5); a fixed size saturates at exactly the scale
@@ -1952,9 +1972,13 @@ def docs_global_length_rank(sf_dir: str) -> rd.Dataset:
     this one orders by the VALUE. With real-valued scores the same
     shape works over histogram buckets with a per-bucket local sort.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch["n_chars"].value_counts().sort_index()
@@ -2250,9 +2274,13 @@ def source_distinct_shingles(
     tree-sum over the bounded source key space. Emits
     (source, n_distinct_shingles).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = partitions or max(2, min(16, cluster_ncpu()))
+    npart = partitions or default_npart()
     # Oversalt: B = 8 x partitions. Bucket values hash to partitions,
     # so B == npart leaves some partitions with 2 buckets and some
     # with 0 (measured 2x row imbalance); 8x buckets per partition
@@ -2401,10 +2429,14 @@ def events_user_top_type(sf_dir: str) -> rd.Dataset:
     blocks never grow with a user's raw event count (contrast
     `events_user_type_sequence`).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.groupby(["user_id", "event_type"], as_index=False).size()

@@ -49,10 +49,14 @@ def pretrain_data_prep(
     3-key rollup tree-reduces. The full document text crosses the wire
     once (inside the dedup shuffle) and nothing is ever materialized.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def gate_and_key(batch: pd.DataFrame) -> pd.DataFrame:
         sig = gopher_signals(batch["text"])

@@ -87,9 +87,13 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
             {"text_md5": g.column("text_md5"), "doc_id": g.column("doc_id_min")}
         )
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pyarrow"
     )
@@ -110,10 +114,14 @@ def dedup_survivors(sf_dir: str) -> rd.Dataset:
     no build-side dedupe shuffle (cf. `orders_with_returns`,
     relational.py).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     winners = dedup_exact(sf_dir).map_batches(
         lambda df: df[["doc_id"]], batch_format="pandas"
     )
@@ -191,7 +199,7 @@ def eval_decontaminate(
                 }
             )
 
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     return docs.map_batches(
         Probe, fn_constructor_args=(ref,), batch_format="pandas",
@@ -544,10 +552,14 @@ def ngram_jaccard_pairs(
         _prefix_rows, fn_kwargs={"k": k, "threshold": threshold}, batch_format="pandas"
     )
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle(prefix)
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     # A pair can surface once per shared prefix token: dedup locally per
     # block (free), then globally — the global pair dedup is an
     # all-to-all over bare id pairs (16 B/row), far cheaper than letting
@@ -622,10 +634,14 @@ def minhash_lsh_pairs(
         _band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle(bands)
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     # A pair can surface once per matching band: dedup locally per
     # block (free), then globally over bare id pairs, BEFORE the text
     # join — each surviving pair ships texts and verifies exactly once.
@@ -692,9 +708,13 @@ def repeated_substring_pairs(
     both the Ray and oracle sides (HAVING count(distinct doc) <= cap),
     keeping the op exact for the capped semantics.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def grams(batch: pa.Table) -> pa.Table:
         ids, poss, gs = [], [], []
@@ -824,9 +844,13 @@ def dup_gram_doc_fraction(sf_dir: str, n: int = 5) -> rd.Dataset:
     """
     import re as _re
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     tok = _re.compile(TOKEN_CLASS_RE)
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -1024,9 +1048,13 @@ def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
     second table/scan; here it derives from A so the oracle is closed
     over the same parquet.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def side_a(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1126,11 +1154,15 @@ def snapshot_new_texts(
     measured corpus count (~10 bits/key -> ~1% fp at k=5). Builder is
     EAGER (Bloom builds run when called — see CLAUDE.md timing note).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     from .sketch import build_bloom
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     n_docs = max(1, read_documents(sf_dir, ["doc_id"]).count())
     n_bits = 1 << min(
         30, max(20, int(np.ceil(np.log2(bloom_bits_per_key * n_docs))))
@@ -1332,10 +1364,14 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     same md5-derived fingerprints), unlike typical LSH ops whose
     recall is < 1.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -1438,10 +1474,14 @@ def embedding_neardup_pairs(
     shuffle volume is B x N x dim) — and full-cluster parallelism.
     `embedding_neardup_pairs_lsh` is the sub-quadratic approximate path.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     B = n_blocks or max(2, min(8, cluster_ncpu() // 2))
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def replicate(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -1545,9 +1585,13 @@ def embedding_neardup_pairs_lsh(
     Recall vs the exact op is pinned in tests (rows-only for the
     driver: recall < 1 by design).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -1695,7 +1739,7 @@ def streaming_dedup_filter(sf_dir: str, n_shards: int = 4) -> rd.Dataset:
                 keep[idxs] = won
             return batch.loc[keep]
 
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         Claim,
@@ -1768,10 +1812,14 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
     At a 1e6-entry dictionary the variant shuffle is ~1e8 short rows —
     heavy but linear in the dictionary, vs 5e11 for all-pairs.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         names = pd.unique(batch["p_name"])
@@ -1851,9 +1899,13 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
             {"norm_md5": g.column("norm_md5"), "doc_id": g.column("doc_id_min")}
         )
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pyarrow"
     )

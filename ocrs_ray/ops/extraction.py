@@ -1016,6 +1016,14 @@ def _pdf_multipage_stream_for_text(text: str) -> str:
             "grammar cannot escape them; refusing to synthesize a "
             "silently-corrupt content stream"
         )
+    if PDF_PAGE_SEP in text:
+        # both engines would split the stream mid-chunk (parity holds
+        # but the exact-round-trip invariant silently breaks) — guard
+        # loudly like the parentheses / hyphen cases
+        raise ValueError(
+            f"text contains the page separator {PDF_PAGE_SEP!r} — the "
+            "multi-page round-trip invariant would silently break"
+        )
     n = (len(text) + PDF_CHUNK - 1) // PDF_CHUNK
     rpp = PDF_ROWS_PER_PAGE
     pages: dict[int, list] = {}
@@ -1659,10 +1667,10 @@ def docs_url_canonical_groups(
     canonical targets; v0 stays per-doc).
 
     Scale shape: see `_canonical_groups_over`."""
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
     return _canonical_groups_over(docs_url_normalize(sf_dir), npart)
 
 
@@ -1688,10 +1696,10 @@ def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     unique; the diff is Ray's native left_anti hash join on
     href_norm. Both sides are dense per partition (every block emits
     rows), which is the documented safe regime for Dataset.join."""
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
     groups = docs_url_canonical_groups(sf_dir, npart=npart)
     return _anti_join_uncrawled(groups, sf_dir, npart, _render_url_variants)
 
@@ -1919,10 +1927,10 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     robots gate runs BEFORE both, so disallowed URLs never enter a
     shuffle. Both join sides are dense per partition (safe regime).
     """
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
 
     def allowed_urls(batch: pa.Table) -> pa.Table:
         t = _robots_label_batch(batch)
@@ -2299,14 +2307,18 @@ def docs_link_pagerank(
     import pandas as pd
     import ray
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     # default bucket count suits the test scales; at real scale pass
     # `npart` sized so one bucket's edges fit a worker's heap (the
     # documented partitioning assumption) — any value works, including
     # npart >> nodes (empty buckets ride the sentinel path).
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
 
     def _contrib_empty() -> pa.Table:
         return pa.table(
@@ -2339,11 +2351,15 @@ def docs_link_pagerank(
         return [int(p) for p in np.unique(pb)]
 
     def _refs_by_pb(mat) -> dict:
+        # pb -> LIST of block refs: a keyed repartition emits one
+        # block per partition, but a map_batches AFTER it (edges_deg)
+        # re-splits at target_max_block_size — a single-ref dict would
+        # silently drop all but the last block of an oversized bucket.
         refs = mat.to_arrow_refs()
         by_pb: dict = {}
         for pbs, ref in zip(ray.get([_pbs_of.remote(r) for r in refs]), refs):
             for p in pbs:
-                by_pb[p] = ref
+                by_pb.setdefault(p, []).append(ref)
         return by_pb
 
     start_iter = 0
@@ -2368,9 +2384,19 @@ def docs_link_pagerank(
                     f"{saved.get('n_nodes')}-node corpus, input has "
                     f"{n_nodes} nodes — refusing to resume"
                 )
+            if saved.get("npart") != npart:
+                # checkpoints persist pb = siphash(node) % npart; a
+                # resume with a different npart would look up edge /
+                # node buckets by stale pb and SILENTLY drop
+                # contributions — refuse loudly instead
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was written with "
+                    f"npart={saved.get('npart')}, resume requested "
+                    f"npart={npart} — pass the same npart to resume"
+                )
         else:
             with open(manifest, "w") as f:
-                json.dump({"n_nodes": n_nodes}, f)
+                json.dump({"n_nodes": n_nodes, "npart": npart}, f)
         done = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(checkpoint_dir)
@@ -2503,7 +2529,12 @@ def docs_link_pagerank(
         if df.empty:
             return _contrib_empty()
         pbs = np.unique(df["pb"].to_numpy())
-        refs = {edge_by_pb[int(p)] for p in pbs if int(p) in edge_by_pb}
+        refs = {
+            r
+            for p in pbs
+            if int(p) in edge_by_pb
+            for r in edge_by_pb[int(p)]
+        }
         if not refs:
             return _contrib_empty()
         e = _fetch_block_frame(refs)
@@ -2542,7 +2573,12 @@ def docs_link_pagerank(
         if df.empty:
             return _rank_empty()
         pbs = np.unique(df["pb"].to_numpy())
-        refs = {node_by_pb[int(p)] for p in pbs if int(p) in node_by_pb}
+        refs = {
+            r
+            for p in pbs
+            if int(p) in node_by_pb
+            for r in node_by_pb[int(p)]
+        }
         if not refs:
             return _rank_empty()
         nf = _fetch_block_frame(refs)
@@ -2817,10 +2853,14 @@ def docs_link_degree(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     most npart+1 rows per doc no matter how hot the /ref/ hubs get.
     Partitioning assumption: one pair-partition's occurrences fit a
     worker's heap (pair multiplicity is bounded by links/page)."""
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
 
     keyed = _doc_ref_edges(sf_dir).map_batches(
         _degree_add_pair, batch_format="pandas"
@@ -2889,10 +2929,14 @@ def docs_link_anchor_profile(
     top-k by a total order is distributive (min-k of min-k's), so the
     per-block finish is exact. Anchors are template-ASCII, so pandas
     codepoint order == DuckDB binary collation in the oracle."""
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     if npart is None:
-        npart = max(2, min(16, cluster_ncpu()))
+        npart = default_npart()
 
     partials = _doc_ref_edges(sf_dir, with_anchor=True).map_batches(
         _anchor_combine, fn_kwargs={"k": k}, batch_format="pandas"

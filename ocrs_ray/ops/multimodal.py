@@ -183,7 +183,14 @@ class MediaWebpTranscoder:
                 img = img[:, :, None]
             blob = encode_webp_lossy(img, q_index=self.q_index)
             back = decode_webp(blob)
-            src = img if img.shape[2] == 3 else np.repeat(img[:, :, :1], 3, 2)
+            if img.shape[2] == 1:
+                # greyscale: fidelity reference is the luma replicated
+                src = np.repeat(img, 3, 2)
+            else:
+                # RGB, or RGBA with alpha dropped by the lossy encode
+                # (PSNR compares the colour planes only — replicating
+                # the red channel here would score a bogus number)
+                src = img[:, :, :3]
             mse = float(
                 np.mean(
                     (back.astype(np.float64) - src.astype(np.float64)) ** 2
@@ -361,10 +368,14 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
     """
     import pandas as pd
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -486,11 +497,15 @@ def media_ahash_survivors(
 
     import ray
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     from .analytics import cc_star_map, connected_components
 
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     pairs = media_ahash_neardup(media_path, max_hamming=max_hamming)
 
     def _empty_r() -> pa.Table:

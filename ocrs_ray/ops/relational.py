@@ -465,13 +465,17 @@ def q3_top_orders(
 
     import ray
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     # Patch the context BEFORE creating any dataset: the join's
     # aggregator pool must be sized to the cluster or it starves the
     # read/map tasks on small clusters (see enable_hash_shuffle).
     enable_hash_shuffle()
-    join_partitions = max(2, min(16, cluster_ncpu()))
+    join_partitions = default_npart()
 
     cutoff_ts = pd.Timestamp(cutoff)
     cust = pq.read_table(
@@ -575,12 +579,16 @@ def customer_order_counts(
     referential integrity (TPC-H guarantees it); with orphan keys the
     matched counts would need a hash semi-join against customer first.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     # Context is snapshotted at dataset creation: the keyed repartition
     # needs the hash-shuffle strategy set BEFORE read_parquet.
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     n_customers = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).count()
@@ -638,10 +646,14 @@ def orders_with_returns(
     shuffled volume). The per-priority count is a bounded key space
     (5 priorities) and tree-reduces shuffle-free.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     start_ts, end_ts = pd.Timestamp(start), pd.Timestamp(end)
 
     def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
@@ -702,10 +714,14 @@ def late_shipment_orders(
     """
     import pyarrow.dataset as pads
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     start_ts, end_ts = pd.Timestamp(start), pd.Timestamp(end)
     late = pd.Timedelta(days=late_days)
 
@@ -767,10 +783,14 @@ def part_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
     int64 — so no float-associativity drift vs the SQL oracle, and the
     final scalar tree-reduces (single bounded key).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -950,10 +970,14 @@ def inactive_customers_anti_join(
     dedupe trims shuffle volume (anti-join semantics don't need a
     global dedupe). Output is identical to the broadcast variant.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     since_ts = pd.Timestamp(since)
 
     def recent_keys(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1500,10 +1524,14 @@ def q5_local_supplier_revenue(
 
     import ray
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    join_partitions = max(2, min(16, cluster_ncpu()))
+    join_partitions = default_npart()
     t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
 
     reg = pq.read_table(f"{sf_dir}/region.parquet")
@@ -1649,10 +1677,14 @@ def q18_large_orders(sf_dir: str, threshold: int = 250) -> rd.Dataset:
     rows. Quantities are integral in the data, so sum_qty is an exact
     int64 on both sides.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -1766,10 +1798,14 @@ def part_min_price_supplier(sf_dir: str) -> rd.Dataset:
     attachment is a native hash join, not a broadcast. Prices are exact
     at 2 decimals in the data, so micro-units are exact int64.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def argmin_local(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -1889,10 +1925,14 @@ def segment_top_spender(sf_dir: str) -> rd.Dataset:
     with no orders can never win a segment (spend > 0), so the inner
     join is semantically exact.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def spend_partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -1971,10 +2011,14 @@ def event_type_user_overlap(
     into the four (has_a, has_b) buckets, which tree-reduce shuffle-free
     (bounded key space). The shuffle ships flag rows, never events.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def flag_partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -2104,10 +2148,14 @@ def supplier_acctbal_rank(sf_dir: str) -> rd.Dataset:
     the integer cents — float balances would make tie detection
     engine-dependent).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2318,10 +2366,14 @@ def user_click_purchase_full_outer(sf_dir: str) -> rd.Dataset:
     """
     import pyarrow.dataset as pads
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def side(event_type: str, out_col: str) -> rd.Dataset:
         def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2385,10 +2437,14 @@ def supplier_acctbal_dense_rank(sf_dir: str) -> rd.Dataset:
     repartition, vectorized per-block pandas `rank(method="dense")`
     over integer cents.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2599,10 +2655,14 @@ def events_value_band_join(
     """
     import pyarrow.dataset as pads
 
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
     eps_micro = int(round(eps * MICRO))
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
@@ -2643,10 +2703,14 @@ def supplier_abc_classification(
     participate in the total; the cumulative total is per-nation, so
     no global sort exists anywhere.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
         cents = round_half_away(
@@ -2725,10 +2789,14 @@ def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
     MERGE takes when the change table arrives as its own dataset and
     unions in.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
-    npart = max(2, min(16, cluster_ncpu()))
+    npart = default_npart()
 
     def emit(b: pd.DataFrame) -> pd.DataFrame:
         okey = b["o_orderkey"].to_numpy()
@@ -2814,7 +2882,11 @@ def events_weighted_median(sf_dir: str) -> rd.Dataset:
     integers (micro values, bigint weights) — the >= half test is
     2*cum >= total with no division.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
     enable_hash_shuffle()
     npart = max(2, min(8, cluster_ncpu()))

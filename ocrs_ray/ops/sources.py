@@ -438,9 +438,13 @@ def compact_partitioned_corpus(
     the writer emits one file per (block, key) — file count is then
     `partitions`-bounded rather than writer-fragmentation-bounded.
     """
-    from ocrs_ray.pipeline import cluster_ncpu, enable_hash_shuffle
+    from ocrs_ray.pipeline import (
+        cluster_ncpu,
+        default_npart,
+        enable_hash_shuffle,
+    )
 
-    npart = partitions or max(2, min(16, cluster_ncpu()))
+    npart = partitions or default_npart()
     # file_extensions lets a caller compact a layout whose root also
     # holds non-parquet state (e.g. a job manifest.jsonl next to the
     # part=N/ dirs); hive partition columns (`key`) are inferred.

@@ -79,16 +79,16 @@ def _ts(s: str):
 
 
 def _npart() -> int:
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
-    return max(2, min(16, cluster_ncpu()))
+    return default_npart()
 
 
 def _pool(cap: int) -> int:
     """Actor-pool max sized from the cluster, leaving >= 2 CPUs free
     for the read task + shuffle aggregators (CLAUDE.md deadlock
     class) — never a hardcoded count."""
-    from ocrs_ray.pipeline import cluster_ncpu
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
 
     return max(1, min(cap, cluster_ncpu() - 2))
 

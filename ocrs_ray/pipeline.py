@@ -614,6 +614,15 @@ def cluster_ncpu(default: int = 8) -> int:
     return default
 
 
+def default_npart() -> int:
+    """Default keyed-exchange partition count: scale with the cluster
+    but cap at 16 — a larger hash exchange at a small test session
+    starves the shuffle aggregators ("Limited available CPU resources
+    for hash shuffle") and the query crawls. ONE copy of the test-
+    scale rule; real deployments pass npart explicitly."""
+    return max(2, min(16, cluster_ncpu()))
+
+
 def enable_hash_shuffle(ds: rd.Dataset | None = None) -> bool:
     """Switch Ray Data to the hash-shuffle strategy (needed for
     key-based repartition; also the right all-to-all strategy for the
