@@ -203,23 +203,19 @@ def _ocr_text_quality(sf_dir: str):
     scored with the same char/token accounting the documents-table
     text ops use — extraction output flowing straight into
     training-data analysis with no intermediate materialization."""
-    import re
-
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     docs = _ocr_doc_text(sf_dir)
-    ws = re.compile(r"\S+")
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t.column("doc_text").to_pylist()
+        texts = t.column("doc_text")
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "n_chars": pa.array(
-                    [len(x) for x in texts], type=pa.int64()
-                ),
-                "n_ws_tokens": pa.array(
-                    [len(ws.findall(x)) for x in texts], type=pa.int64()
+                "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(texts, r"\S+"), pa.int64()
                 ),
             }
         )
@@ -402,8 +398,6 @@ def _ocr_line_images(sf_dir: str):
 def _video_frames(sf_dir: str):
     """Frame sampling fan-out (deterministic fake decode; see
     ocrs_ray/ops/multimodal.py docstring)."""
-    import pyarrow as pa
-
     from ocrs_ray.ops.multimodal import video_frame_sample
 
     ds = video_frame_sample(_corpus_for(sf_dir)["media"])

@@ -643,7 +643,6 @@ def tfidf_top_terms(
     exact and test-pinned equal (broadcast_limit_bytes=0 forces the
     cogroup)."""
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -836,7 +835,6 @@ def events_global_cumsum(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     as round-half-away micro-units, bit-exact vs the SQL window.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1406,7 +1404,6 @@ def _relabel_cogroup(
     exactly the sparse shape — few dup-component rows over many blocks.
     Node ids must be non-negative (doc_id/vec_id are)."""
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1683,7 +1680,6 @@ def neardup_best_survivors(
 
     # Distributed path: nothing dup-count-sized on the driver.
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1973,7 +1969,6 @@ def docs_global_length_rank(sf_dir: str) -> rd.Dataset:
     shape works over histogram buckets with a per-bucket local sort.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2275,7 +2270,6 @@ def source_distinct_shingles(
     (source, n_distinct_shingles).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2430,7 +2424,6 @@ def events_user_top_type(sf_dir: str) -> rd.Dataset:
     `events_user_type_sequence`).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

@@ -50,7 +50,6 @@ def pretrain_data_prep(
     once (inside the dedup shuffle) and nothing is ever materialized.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

@@ -88,7 +88,6 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         )
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -115,7 +114,6 @@ def dedup_survivors(sf_dir: str) -> rd.Dataset:
     relational.py).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -199,7 +197,7 @@ def eval_decontaminate(
                 }
             )
 
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import cluster_ncpu
 
     return docs.map_batches(
         Probe, fn_constructor_args=(ref,), batch_format="pandas",
@@ -553,7 +551,6 @@ def ngram_jaccard_pairs(
     )
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -635,7 +632,6 @@ def minhash_lsh_pairs(
     )
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -709,7 +705,6 @@ def repeated_substring_pairs(
     keeping the op exact for the capped semantics.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -845,7 +840,6 @@ def dup_gram_doc_fraction(sf_dir: str, n: int = 5) -> rd.Dataset:
     import re as _re
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1049,7 +1043,6 @@ def docs_snapshot_diff(sf_dir: str) -> rd.Dataset:
     over the same parquet.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1155,7 +1148,6 @@ def snapshot_new_texts(
     EAGER (Bloom builds run when called — see CLAUDE.md timing note).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1365,7 +1357,6 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     recall is < 1.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1586,7 +1577,6 @@ def embedding_neardup_pairs_lsh(
     driver: recall < 1 by design).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1739,7 +1729,7 @@ def streaming_dedup_filter(sf_dir: str, n_shards: int = 4) -> rd.Dataset:
                 keep[idxs] = won
             return batch.loc[keep]
 
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import cluster_ncpu
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         Claim,
@@ -1813,7 +1803,6 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
     heavy but linear in the dictionary, vs 5e11 for all-pairs.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1900,7 +1889,6 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
         )
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

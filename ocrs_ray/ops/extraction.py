@@ -1667,7 +1667,7 @@ def docs_url_canonical_groups(
     canonical targets; v0 stays per-doc).
 
     Scale shape: see `_canonical_groups_over`."""
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import default_npart
 
     if npart is None:
         npart = default_npart()
@@ -1696,7 +1696,7 @@ def frontier_new_urls(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     unique; the diff is Ray's native left_anti hash join on
     href_norm. Both sides are dense per partition (every block emits
     rows), which is the documented safe regime for Dataset.join."""
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import default_npart
 
     if npart is None:
         npart = default_npart()
@@ -1714,13 +1714,23 @@ def _anti_join_uncrawled(
     copy of the recipe — the cut rule, the pushdown read, and the
     hash-shuffle choreography encoding the Ray 2.49 join-safety
     reasoning stay in sync across frontier_new_urls and
-    crawl_schedule_prep."""
+    crawl_schedule_prep.
+
+    NOTE: the `max("doc_id")` below is an EAGER stage that runs when
+    the builder is CALLED (one pushdown single-column scan) — when
+    timing, call the builder once and reuse the handle (see the
+    CLAUDE.md eager-stage convention)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from ocrs_ray.pipeline import enable_hash_shuffle
 
     max_id = read_documents(sf_dir, ["doc_id"]).max("doc_id")
+    if max_id is None:
+        raise ValueError(
+            f"documents table at {sf_dir} is empty — the crawled/"
+            "uncrawled doc_id cut is undefined on an empty corpus"
+        )
     cut = (max_id + 1) // 2
 
     def seen_urls(batch: pa.Table) -> pa.Table:
@@ -1927,7 +1937,7 @@ def crawl_schedule_prep(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     robots gate runs BEFORE both, so disallowed URLs never enter a
     shuffle. Both join sides are dense per partition (safe regime).
     """
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import default_npart
 
     if npart is None:
         npart = default_npart()
@@ -2308,7 +2318,6 @@ def docs_link_pagerank(
     import ray
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2383,6 +2392,18 @@ def docs_link_pagerank(
                     f"checkpoint at {checkpoint_dir} is for a "
                     f"{saved.get('n_nodes')}-node corpus, input has "
                     f"{n_nodes} nodes — refusing to resume"
+                )
+            if "npart" not in saved:
+                # manifests written before the npart guard carry no
+                # key — the partitioning they used is unknowable, so
+                # the resume cannot be verified; say that, not
+                # "written with npart=None"
+                raise ValueError(
+                    f"checkpoint manifest at {checkpoint_dir} predates "
+                    "the npart guard and cannot be verified against "
+                    f"the requested npart={npart} — delete the "
+                    "checkpoint directory (or add the correct "
+                    '"npart" to manifest.json) to proceed'
                 )
             if saved.get("npart") != npart:
                 # checkpoints persist pb = siphash(node) % npart; a
@@ -2854,7 +2875,6 @@ def docs_link_degree(sf_dir: str, npart: int | None = None) -> rd.Dataset:
     Partitioning assumption: one pair-partition's occurrences fit a
     worker's heap (pair multiplicity is bounded by links/page)."""
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2930,7 +2950,6 @@ def docs_link_anchor_profile(
     per-block finish is exact. Anchors are template-ASCII, so pandas
     codepoint order == DuckDB binary collation in the oracle."""
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

@@ -369,7 +369,6 @@ def media_ahash_neardup(media_path: str, max_hamming: int = 2) -> rd.Dataset:
     import pandas as pd
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -498,7 +497,6 @@ def media_ahash_survivors(
     import ray
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

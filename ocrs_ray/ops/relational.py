@@ -466,7 +466,6 @@ def q3_top_orders(
     import ray
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -580,7 +579,6 @@ def customer_order_counts(
     matched counts would need a hash semi-join against customer first.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -647,7 +645,6 @@ def orders_with_returns(
     (5 priorities) and tree-reduces shuffle-free.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -715,7 +712,6 @@ def late_shipment_orders(
     import pyarrow.dataset as pads
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -784,7 +780,6 @@ def part_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
     final scalar tree-reduces (single bounded key).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -971,7 +966,6 @@ def inactive_customers_anti_join(
     global dedupe). Output is identical to the broadcast variant.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1525,7 +1519,6 @@ def q5_local_supplier_revenue(
     import ray
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1678,7 +1671,6 @@ def q18_large_orders(sf_dir: str, threshold: int = 250) -> rd.Dataset:
     int64 on both sides.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1799,7 +1791,6 @@ def part_min_price_supplier(sf_dir: str) -> rd.Dataset:
     at 2 decimals in the data, so micro-units are exact int64.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -1926,7 +1917,6 @@ def segment_top_spender(sf_dir: str) -> rd.Dataset:
     join is semantically exact.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2012,7 +2002,6 @@ def event_type_user_overlap(
     (bounded key space). The shuffle ships flag rows, never events.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2149,7 +2138,6 @@ def supplier_acctbal_rank(sf_dir: str) -> rd.Dataset:
     engine-dependent).
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2367,7 +2355,6 @@ def user_click_purchase_full_outer(sf_dir: str) -> rd.Dataset:
     import pyarrow.dataset as pads
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2438,7 +2425,6 @@ def supplier_acctbal_dense_rank(sf_dir: str) -> rd.Dataset:
     over integer cents.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2656,7 +2642,6 @@ def events_value_band_join(
     import pyarrow.dataset as pads
 
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2704,7 +2689,6 @@ def supplier_abc_classification(
     no global sort exists anywhere.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2790,7 +2774,6 @@ def orders_merge_upsert(sf_dir: str) -> rd.Dataset:
     unions in.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )
@@ -2884,7 +2867,6 @@ def events_weighted_median(sf_dir: str) -> rd.Dataset:
     """
     from ocrs_ray.pipeline import (
         cluster_ncpu,
-        default_npart,
         enable_hash_shuffle,
     )
 

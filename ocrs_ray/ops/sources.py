@@ -439,7 +439,6 @@ def compact_partitioned_corpus(
     `partitions`-bounded rather than writer-fragmentation-bounded.
     """
     from ocrs_ray.pipeline import (
-        cluster_ncpu,
         default_npart,
         enable_hash_shuffle,
     )

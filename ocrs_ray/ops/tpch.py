@@ -79,7 +79,7 @@ def _ts(s: str):
 
 
 def _npart() -> int:
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import default_npart
 
     return default_npart()
 
@@ -88,7 +88,7 @@ def _pool(cap: int) -> int:
     """Actor-pool max sized from the cluster, leaving >= 2 CPUs free
     for the read task + shuffle aggregators (CLAUDE.md deadlock
     class) — never a hardcoded count."""
-    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+    from ocrs_ray.pipeline import cluster_ncpu
 
     return max(1, min(cap, cluster_ncpu() - 2))
 

@@ -665,6 +665,57 @@ def test_pagerank_checkpoint_rejects_wrong_corpus(ray_session, tmp_path):
         docs_link_pagerank("/root/testdata/sf0.1", iters=2, checkpoint_dir=ck)
 
 
+def test_pagerank_checkpoint_legacy_manifest_message(ray_session, tmp_path):
+    """A manifest written before the npart guard (no 'npart' key) must
+    fail with the explicit 'predates the npart guard' message, not a
+    confusing npart=None mismatch (ADVICE r04)."""
+    import json
+
+    import pytest as _pytest
+
+    from ocrs_ray.ops.extraction import docs_link_pagerank
+
+    ck = str(tmp_path / "pr_ck3")
+    docs_link_pagerank(
+        "/root/testdata/sf0.001", iters=1, checkpoint_dir=ck
+    ).to_pandas()
+    mf = f"{ck}/manifest.json"
+    with open(mf) as f:
+        saved = json.load(f)
+    del saved["npart"]
+    with open(mf, "w") as f:
+        json.dump(saved, f)
+    with _pytest.raises(ValueError, match="predates the npart guard"):
+        docs_link_pagerank(
+            "/root/testdata/sf0.001", iters=2, checkpoint_dir=ck
+        )
+
+
+def test_anti_join_uncrawled_empty_corpus_message(ray_session, tmp_path):
+    """frontier_new_urls on an empty documents table must raise the
+    explicit empty-corpus error, not TypeError from None + 1
+    (ADVICE r04)."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ocrs_ray.ops.extraction import frontier_new_urls
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        frontier_new_urls(str(tmp_path))
+
+
 # ---------------------------------------------------------------------------
 # link-graph degree / anchor analytics (needs Ray)
 
