@@ -238,8 +238,9 @@ class MinHasher:
     beyond recall noise (covered by the banding margin).
     """
 
-    def __init__(self, cfg: MinHashConfig):
+    def __init__(self, cfg: MinHashConfig, with_text_hash: bool = False):
         self.cfg = cfg
+        self.with_text_hash = with_text_hash
         rng = np.random.default_rng(cfg.seed)
         self.a = (
             rng.integers(1, _MERSENNE, size=cfg.num_perm, dtype=np.int64)
@@ -266,14 +267,17 @@ class MinHasher:
             sh = _stable_hash_u64(_shingles(t, self.cfg.shingle_size))
             sigs.append(self.signature(np.unique(sh)))
         sig_arr = np.stack(sigs) if sigs else np.zeros((0, self.cfg.num_perm), np.uint64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "signature": pa.array(
-                    [s.astype(np.int64) for s in sig_arr], type=pa.list_(pa.int64())
-                ),
-            }
-        )
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "signature": pa.array(
+                [s.astype(np.int64) for s in sig_arr], type=pa.list_(pa.int64())
+            ),
+        }
+        if self.with_text_hash:
+            h0, h1 = _md5_pair(texts)
+            cols["th0"] = pa.array(h0, type=pa.int64())
+            cols["th1"] = pa.array(h1, type=pa.int64())
+        return pa.table(cols)
 
 
 def minhash_signatures(sf_dir: str, cfg: MinHashConfig | None = None) -> rd.Dataset:
@@ -291,14 +295,17 @@ def _band_rows(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
     it only needs to identify EQUAL chunks; a collision merely adds a
     candidate pair that the exact-Jaccard verifier discards.
     """
+    has_th = "th0" in batch.column_names
     if batch.num_rows == 0:
-        return pa.table(
-            {
-                "band_id": pa.array([], type=pa.int32()),
-                "band_hash": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-            }
-        )
+        cols = {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+        if has_th:
+            cols["th0"] = pa.array([], type=pa.int64())
+            cols["th1"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
     sigs = np.asarray(batch.column("signature").to_pylist(), dtype=np.int64)
     doc = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
     n = len(doc)
@@ -308,15 +315,21 @@ def _band_rows(batch: pa.Table, cfg: MinHashConfig) -> pa.Table:
     with np.errstate(over="ignore"):
         for r in range(rows_per_band):
             h = (h ^ cube[:, :, r]) * np.uint64(1099511628211)
-    return pa.table(
-        {
-            "band_id": pa.array(
-                np.tile(np.arange(cfg.bands, dtype=np.int32), n), type=pa.int32()
-            ),
-            "band_hash": pa.array(h.view(np.int64).ravel(), type=pa.int64()),
-            "doc_id": pa.array(np.repeat(doc, cfg.bands), type=pa.int64()),
-        }
-    )
+    cols = {
+        "band_id": pa.array(
+            np.tile(np.arange(cfg.bands, dtype=np.int32), n), type=pa.int32()
+        ),
+        "band_hash": pa.array(h.view(np.int64).ravel(), type=pa.int64()),
+        "doc_id": pa.array(np.repeat(doc, cfg.bands), type=pa.int64()),
+    }
+    if has_th:
+        cols["th0"] = pa.array(
+            np.repeat(batch.column("th0").to_numpy(), cfg.bands), type=pa.int64()
+        )
+        cols["th1"] = pa.array(
+            np.repeat(batch.column("th1").to_numpy(), cfg.bands), type=pa.int64()
+        )
+    return pa.table(cols)
 
 
 def _jaccard(a: set, b: set) -> float:
@@ -442,16 +455,40 @@ _EMPTY_PAIRS = {
 }
 
 
-def _pairs_in_key_groups(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+def _pairs_in_key_groups(
+    batch: pd.DataFrame,
+    key_cols: list[str],
+    collapse_cols: list[str] | None = None,
+) -> pd.DataFrame:
     """All (doc_a, doc_b) pairs within each key group of this block.
 
     The preceding hash repartition on the key co-locates each group;
     pairs are generated per run of the sorted block (vectorized
     triangle indices), not per-group Ray tasks.
+
+    `collapse_cols` (the exact-text hash) is the hot-bucket guard:
+    rows sharing the collapse key within a bucket are exact-duplicate
+    texts, so they are collapsed to ONE representative (the min
+    doc_id) before pair enumeration — a boilerplate page with 10^5
+    exact copies contributes 1 row per bucket instead of 10^10
+    candidate pairs. The local min IS the global representative:
+    identical texts emit identical prefix tokens / band hashes, so
+    every bucket a copy lands in contains the whole group. Callers
+    expand representative pairs back to member pairs after
+    verification (`_expand_rep_pairs` + `_intra_dup_pairs`), keeping
+    the op exact.
     """
     if batch.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
-    b = batch.sort_values([*key_cols, "doc_id"], kind="stable")
+    sort_cols = [*key_cols, *(collapse_cols or []), "doc_id"]
+    b = batch.sort_values(sort_cols, kind="stable")
+    if collapse_cols:
+        ck = b[key_cols[0]].astype(str)
+        for c in [*key_cols[1:], *collapse_cols]:
+            ck = ck + "|" + b[c].astype(str)
+        ck = ck.to_numpy()
+        first = np.concatenate([[True], ck[1:] != ck[:-1]])
+        b = b.iloc[first]
     key = b[key_cols[0]].astype(str)
     for c in key_cols[1:]:
         key = key + "|" + b[c].astype(str)
@@ -494,8 +531,272 @@ def _dedup_small(ds: rd.Dataset, cols: list[str], partitions: int = 8) -> rd.Dat
     )
 
 
-def _prefix_rows(batch: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
-    """Emit each doc's prefix-filter shingles as (token, doc_id) rows.
+def _md5_pair(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit exact-text key as two int64 columns (md5 digest halves).
+
+    64 bits would risk birthday collisions at crawl scale (billions of
+    docs); a collision here would silently merge two DIFFERENT texts
+    into one exact-dup group and emit wrong pairs, so the full digest
+    is carried."""
+    n = len(texts)
+    h0 = np.empty(n, dtype=np.int64)
+    h1 = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        h0[i] = int.from_bytes(d[:8], "big", signed=True)
+        h1[i] = int.from_bytes(d[8:], "big", signed=True)
+    return h0, h1
+
+
+_EMPTY_MEMBERSHIP = {
+    "rep_id": pd.Series([], dtype="int64"),
+    "doc_id": pd.Series([], dtype="int64"),
+}
+
+
+def _exact_dup_membership(docs: rd.Dataset, npart: int) -> rd.Dataset:
+    """(rep_id, doc_id) membership of every exact-duplicate text group
+    of size >= 2, rep_id = global min doc_id (the rep itself included).
+
+    One keyed exchange of 24 B (th0, th1, doc_id) rows — the same
+    shuffle class as `dedup_exact`; texts never move. NOTE: the
+    returned dataset is MATERIALIZED (callers measure its size for the
+    broadcast-vs-cogroup expansion choice), so this builder runs its
+    pipeline when CALLED — eager-stage convention applies."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h0, h1 = _md5_pair(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "th0": pa.array(h0, type=pa.int64()),
+                "th1": pa.array(h1, type=pa.int64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY_MEMBERSHIP)
+        g = df.groupby(["th0", "th1"])["doc_id"]
+        rep = g.transform("min").to_numpy()
+        size = g.transform("size").to_numpy()
+        keep = size >= 2
+        return pd.DataFrame(
+            {
+                "rep_id": rep[keep],
+                "doc_id": df["doc_id"].to_numpy()[keep],
+            }
+        )
+
+    rows = docs.map_batches(key_rows, batch_format="pyarrow")
+    enable_hash_shuffle(rows)
+    out = rows.repartition(npart, keys=["th0", "th1"]).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+    enable_hash_shuffle(out)
+    return out.materialize()
+
+
+def _intra_dup_pairs(membership: rd.Dataset, extra: dict | None = None) -> rd.Dataset:
+    """All (doc_a, doc_b) pairs inside each exact-dup group. Groups are
+    co-located by construction (membership blocks come out of the
+    text-hash repartition), so this is a per-block triangle expansion.
+    `extra` adds constant output columns (e.g. jaccard=1.0 — identical
+    texts have Jaccard exactly 1, including the empty-shingle case)."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        cols = dict(_EMPTY_PAIRS)
+        for name, val in (extra or {}).items():
+            cols[name] = pd.Series([], dtype=np.asarray([val]).dtype)
+        if df.empty:
+            return pd.DataFrame(cols)
+        out = _pairs_in_key_groups(
+            df.rename(columns={"rep_id": "grp"}), ["grp"]
+        )
+        for name, val in (extra or {}).items():
+            out[name] = val
+        return out if len(out) else pd.DataFrame(cols)
+
+    return membership.map_batches(expand, batch_format="pandas", batch_size=None)
+
+
+def _expand_rep_pairs(
+    pairs: rd.Dataset,
+    membership: rd.Dataset,
+    npart: int,
+    broadcast_limit_bytes: int,
+    extra_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Expand verified representative pairs to all member pairs:
+    (ra, rb) -> {(min(a,b), max(a,b)) : a in G(ra), b in G(rb)};
+    a rep absent from `membership` is a singleton group. Extra columns
+    (e.g. the verified jaccard) replicate unchanged — identical texts
+    per side mean the value is exact for every expanded pair.
+
+    Measured-size strategy: `membership` holds only docs belonging to
+    size>=2 exact-dup groups, and each such doc appears in at least one
+    OUTPUT pair of this very op, so the broadcast side is never larger
+    than the op's own result — under `broadcast_limit_bytes` it ships
+    once via ray.put; above it, two tagged-union cogroup passes attach
+    each side's member list with one keyed exchange per side (pin both
+    paths equal with broadcast_limit_bytes=0)."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    def empty_out() -> pd.DataFrame:
+        cols = dict(_EMPTY_PAIRS)
+        for name in extra_cols:
+            cols[name] = pd.Series([], dtype="float64")
+        return pd.DataFrame(cols)
+
+    def order_ab(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        out = pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        )
+        for name in extra_cols:
+            out[name] = df[name].to_numpy()
+        return out
+
+    if membership.size_bytes() <= broadcast_limit_bytes:
+        groups: dict[int, list[int]] = {}
+        for blk in membership.iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            for r, d in zip(blk["rep_id"], blk["doc_id"]):
+                groups.setdefault(int(r), []).append(int(d))
+        ref = ray.put({k: np.asarray(v, dtype=np.int64) for k, v in groups.items()})
+
+        def _single(x):
+            return np.asarray([int(x)], dtype=np.int64)
+
+        class ExpandBroadcast:
+            def __init__(self, ref):
+                self.groups = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return empty_out()
+                g = self.groups
+                ma = [g.get(int(a), _single(a)) for a in df["doc_a"]]
+                mb = [g.get(int(b), _single(b)) for b in df["doc_b"]]
+                na = np.array([len(x) for x in ma])
+                nb = np.array([len(x) for x in mb])
+                reps = na * nb
+                a_out = np.concatenate(
+                    [np.repeat(x, len(y)) for x, y in zip(ma, mb)]
+                )
+                b_out = np.concatenate(
+                    [np.tile(y, len(x)) for x, y in zip(ma, mb)]
+                )
+                out = pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+                for name in extra_cols:
+                    out[name] = np.repeat(df[name].to_numpy(), reps)
+                return order_ab(out)
+
+        out = pairs.map_batches(
+            ExpandBroadcast,
+            fn_constructor_args=(ref,),
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+        enable_hash_shuffle(out)
+        return out
+
+    # Distributed path: one cogroup pass per side. Tag membership rows
+    # and pair rows, union, repartition on the side's rep key (one
+    # block per partition), then per block attach that side's member
+    # list vectorized.
+    def one_side(ds: rd.Dataset, side: str) -> rd.Dataset:
+        other = "doc_b" if side == "doc_a" else "doc_a"
+
+        def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                "k": df["rep_id"].to_numpy(),
+                "member": df["doc_id"].to_numpy(),
+                "is_m": np.ones(len(df), dtype=np.int8),
+                other: np.zeros(len(df), dtype=np.int64),
+            }
+            for name in extra_cols:
+                cols[name] = np.zeros(len(df), dtype=np.float64)
+            return pd.DataFrame(cols)
+
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                "k": df[side].to_numpy(),
+                "member": np.zeros(len(df), dtype=np.int64),
+                "is_m": np.zeros(len(df), dtype=np.int8),
+                other: df[other].to_numpy(),
+            }
+            for name in extra_cols:
+                cols[name] = df[name].to_numpy().astype(np.float64)
+            return pd.DataFrame(cols)
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                side: pd.Series([], dtype="int64"),
+                other: pd.Series([], dtype="int64"),
+            }
+            for name in extra_cols:
+                cols[name] = pd.Series([], dtype="float64")
+            if df.empty:
+                return pd.DataFrame(cols)
+            m = df[df["is_m"] == 1]
+            p = df[df["is_m"] == 0]
+            if p.empty:
+                return pd.DataFrame(cols)
+            groups: dict[int, np.ndarray] = {}
+            if len(m):
+                ms = m.sort_values("k", kind="stable")
+                kk = ms["k"].to_numpy()
+                mm = ms["member"].to_numpy()
+                cuts = np.flatnonzero(kk[1:] != kk[:-1]) + 1
+                for key, arr in zip(
+                    kk[np.concatenate([[0], cuts])],
+                    np.split(mm, cuts),
+                ):
+                    groups[int(key)] = arr
+            mem = [
+                groups.get(int(k), np.asarray([int(k)], dtype=np.int64))
+                for k in p["k"]
+            ]
+            reps = np.array([len(x) for x in mem])
+            out = pd.DataFrame(
+                {
+                    side: np.concatenate(mem),
+                    other: np.repeat(p[other].to_numpy(), reps),
+                }
+            )
+            for name in extra_cols:
+                out[name] = np.repeat(p[name].to_numpy(), reps)
+            return out
+
+        tagged_m = membership.map_batches(tag_members, batch_format="pandas")
+        tagged_p = ds.map_batches(tag_pairs, batch_format="pandas")
+        u = tagged_m.union(tagged_p)
+        enable_hash_shuffle(u)
+        return u.repartition(npart, keys=["k"]).map_batches(
+            resolve, batch_format="pandas", batch_size=None
+        )
+
+    out = one_side(one_side(pairs, "doc_a"), "doc_b").map_batches(
+        lambda df: order_ab(df) if len(df) else empty_out(),
+        batch_format="pandas",
+    )
+    enable_hash_shuffle(out)
+    return out
+
+
+def _prefix_rows(
+    batch: pd.DataFrame,
+    k: int,
+    threshold: float,
+    with_text_hash: bool = False,
+) -> pd.DataFrame:
+    """Emit each doc's prefix-filter shingles as (token, doc_id) rows,
+    optionally carrying the exact-text hash (th0, th1) for the
+    hot-bucket pre-collapse in `_pairs_in_key_groups`.
 
     Prefix filtering principle (Chaudhuri/Bayardo AllPairs): order every
     doc's shingle set by one global total order (stable hash, tie-break
@@ -506,23 +807,33 @@ def _prefix_rows(batch: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
     """
     toks: list[str] = []
     docs: list[int] = []
-    for d, t in zip(batch["doc_id"], batch["text"]):
+    h0s: list[int] = []
+    h1s: list[int] = []
+    if with_text_hash:
+        th0, th1 = _md5_pair(list(batch["text"]))
+    for i_row, (d, t) in enumerate(zip(batch["doc_id"], batch["text"])):
         sh = list(set(_shingles(t, k)))
         if not sh:
             # Empty-shingle docs are all mutual duplicates (jaccard 1.0);
             # route them through one sentinel bucket.
-            toks.append("\x00<empty>")
-            docs.append(d)
-            continue
-        order = np.lexsort(
-            (np.asarray(sh, dtype=object), _stable_hash_u64(sh))
-        )
-        n = len(sh)
-        plen = n - int(np.ceil(threshold * n)) + 1
-        for i in order[:plen]:
-            toks.append(sh[i])
-            docs.append(d)
-    return pd.DataFrame({"token": toks, "doc_id": np.asarray(docs, dtype="int64")})
+            emit = ["\x00<empty>"]
+        else:
+            order = np.lexsort(
+                (np.asarray(sh, dtype=object), _stable_hash_u64(sh))
+            )
+            n = len(sh)
+            plen = n - int(np.ceil(threshold * n)) + 1
+            emit = [sh[i] for i in order[:plen]]
+        toks.extend(emit)
+        docs.extend([d] * len(emit))
+        if with_text_hash:
+            h0s.extend([th0[i_row]] * len(emit))
+            h1s.extend([th1[i_row]] * len(emit))
+    out = {"token": toks, "doc_id": np.asarray(docs, dtype="int64")}
+    if with_text_hash:
+        out["th0"] = np.asarray(h0s, dtype="int64")
+        out["th1"] = np.asarray(h1s, dtype="int64")
+    return pd.DataFrame(out)
 
 
 def ngram_jaccard_pairs(
@@ -531,6 +842,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
     documents: rd.Dataset | None = None,
     broadcast_limit_bytes: int = 64 << 20,
+    collapse_exact: bool = True,
+    expand_broadcast_limit_bytes: int | None = None,
 ) -> rd.Dataset:
     """EXACT all-pairs n-gram Jaccard dedup at threshold, without the
     O(n^2) cross join: prefix filtering (see `_prefix_rows`) generates a
@@ -543,11 +856,27 @@ def ngram_jaccard_pairs(
     brute-force oracle bit-for-bit. Verification texts resolve through a
     Bloom-pruned distributed hash join (`_attach_pair_texts`) — no
     whole-corpus collect anywhere on the path.
+
+    `collapse_exact` (default on) is the hot-bucket guard: exact-
+    duplicate texts collapse to one representative per bucket BEFORE
+    pair enumeration, so a boilerplate page with 10^5 identical copies
+    contributes one candidate row per bucket instead of 10^10 candidate
+    pairs; verified representative pairs expand back to member pairs
+    and intra-group pairs union in afterwards — output identical to
+    collapse_exact=False (pinned by test). NOTE the output itself is
+    still quadratic in duplicate-group size (that IS the semantics);
+    at corpus scale prefer the cluster/survivor ops, which stay linear.
     """
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
 
     prefix = docs.map_batches(
-        _prefix_rows, fn_kwargs={"k": k, "threshold": threshold}, batch_format="pandas"
+        _prefix_rows,
+        fn_kwargs={
+            "k": k,
+            "threshold": threshold,
+            "with_text_hash": collapse_exact,
+        },
+        batch_format="pandas",
     )
 
     from ocrs_ray.pipeline import (
@@ -565,7 +894,10 @@ def ngram_jaccard_pairs(
     # two consumers read it (the Bloom build and the text join).
     unique_pairs = prefix.repartition(npart, keys=["token"]).map_batches(
         _pairs_in_key_groups,
-        fn_kwargs={"key_cols": ["token"]},
+        fn_kwargs={
+            "key_cols": ["token"],
+            "collapse_cols": ["th0", "th1"] if collapse_exact else None,
+        },
         batch_format="pandas",
         batch_size=None,
     ).map_batches(
@@ -605,7 +937,19 @@ def ngram_jaccard_pairs(
     with_texts = _attach_pair_texts(
         unique_pairs, docs, npart, broadcast_limit_bytes=broadcast_limit_bytes
     )
-    return with_texts.map_batches(exact_verify, batch_format="pandas")
+    verified = with_texts.map_batches(exact_verify, batch_format="pandas")
+    if not collapse_exact:
+        return verified
+    membership = _exact_dup_membership(docs, npart)
+    limit = (
+        broadcast_limit_bytes
+        if expand_broadcast_limit_bytes is None
+        else expand_broadcast_limit_bytes
+    )
+    expanded = _expand_rep_pairs(verified, membership, npart, limit)
+    out = expanded.union(_intra_dup_pairs(membership))
+    enable_hash_shuffle(out)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -613,6 +957,8 @@ def minhash_lsh_pairs(
     cfg: MinHashConfig | None = None,
     documents: rd.Dataset | None = None,
     broadcast_limit_bytes: int = 64 << 20,
+    collapse_exact: bool = True,
+    expand_broadcast_limit_bytes: int | None = None,
 ) -> rd.Dataset:
     """Verified near-duplicate pairs via MinHash+LSH banding.
 
@@ -620,12 +966,24 @@ def minhash_lsh_pairs(
     final exact-Jaccard verification resolves texts through the
     Bloom-pruned distributed hash join (`_attach_pair_texts`) — no
     whole-corpus collect anywhere on the path.
+
+    `collapse_exact` (default on) is the hot-bucket guard: exact-
+    duplicate texts share EVERY band, so without it an m-copy
+    boilerplate page floods each of its band buckets with m rows and
+    m^2/2 candidate pairs. Copies collapse to one representative per
+    bucket before pair enumeration; verified representative pairs
+    expand back to member pairs (same jaccard — identical texts) and
+    intra-group pairs (jaccard exactly 1.0) union in afterwards —
+    output identical to collapse_exact=False (pinned by test).
     """
     cfg = cfg or MinHashConfig()
     docs = documents if documents is not None else read_documents(sf_dir, ["doc_id", "text"])
 
     sigs = docs.map_batches(
-        MinHasher, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 2)
+        MinHasher,
+        fn_constructor_args=(cfg, collapse_exact),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
     )
     bands = sigs.map_batches(
         _band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
@@ -643,7 +1001,10 @@ def minhash_lsh_pairs(
     # join — each surviving pair ships texts and verifies exactly once.
     unique_pairs = bands.repartition(npart, keys=["band_hash"]).map_batches(
         _pairs_in_key_groups,
-        fn_kwargs={"key_cols": ["band_id", "band_hash"]},
+        fn_kwargs={
+            "key_cols": ["band_id", "band_hash"],
+            "collapse_cols": ["th0", "th1"] if collapse_exact else None,
+        },
         batch_format="pandas",
         batch_size=None,
     ).map_batches(
@@ -678,7 +1039,21 @@ def minhash_lsh_pairs(
     with_texts = _attach_pair_texts(
         unique_pairs, docs, npart, broadcast_limit_bytes=broadcast_limit_bytes
     )
-    return with_texts.map_batches(jaccard_verify, batch_format="pandas")
+    verified = with_texts.map_batches(jaccard_verify, batch_format="pandas")
+    if not collapse_exact:
+        return verified
+    membership = _exact_dup_membership(docs, npart)
+    limit = (
+        broadcast_limit_bytes
+        if expand_broadcast_limit_bytes is None
+        else expand_broadcast_limit_bytes
+    )
+    expanded = _expand_rep_pairs(
+        verified, membership, npart, limit, extra_cols=("jaccard",)
+    )
+    out = expanded.union(_intra_dup_pairs(membership, extra={"jaccard": 1.0}))
+    enable_hash_shuffle(out)
+    return out
 
 
 def repeated_substring_pairs(

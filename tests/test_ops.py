@@ -790,6 +790,95 @@ def test_ngram_pairs_forced_join_path_matches(ray_session):
     assert len(a) > 0
 
 
+def test_pairs_in_key_groups_hot_bucket_collapse():
+    """The hot-bucket guard (kernel level, no Ray): 10^4 exact copies
+    sharing one bucket collapse to ONE representative before pair
+    enumeration — candidate count is bounded by distinct texts, not
+    group size (was 10^8/2 pairs from this bucket)."""
+    from ocrs_ray.ops.dedup import _pairs_in_key_groups
+
+    n = 10_000
+    df = pd.DataFrame(
+        {
+            "token": ["t"] * (n + 3),
+            "doc_id": np.arange(n + 3, dtype=np.int64),
+            # docs 0..n-1 identical text; 3 distinct texts after
+            "th0": np.concatenate(
+                [np.zeros(n, dtype=np.int64), np.array([1, 2, 3])]
+            ),
+            "th1": np.zeros(n + 3, dtype=np.int64),
+        }
+    )
+    out = _pairs_in_key_groups(df, ["token"], collapse_cols=["th0", "th1"])
+    # 4 distinct texts -> C(4,2) = 6 candidates; the group rep is the
+    # min doc_id (0), which IS the global rep since every copy is
+    # present in the bucket
+    assert len(out) == 6
+    assert out["doc_a"].min() == 0
+    # without the guard the same bucket explodes quadratically
+    legacy = _pairs_in_key_groups(
+        df.head(200)[["token", "doc_id"]], ["token"]
+    )
+    assert len(legacy) == 200 * 199 // 2
+
+
+def test_collapse_exact_equality_and_hot_bucket_e2e(ray_session, tmp_path):
+    """collapse_exact=True (default) must be pair-for-pair identical to
+    the uncollapsed path on a corpus WITH a hot exact-dup group, for
+    both pair ops and both expansion strategies (broadcast and the
+    forced cogroup at broadcast_limit_bytes=0). 60 identical docs give
+    1770 intra pairs plus cross pairs to a near-dup variant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.dedup import (
+        MinHashConfig,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    near = hot + " tail"  # high-jaccard neighbor of the hot group
+    texts = [hot] * 60 + [near, "a completely different document body here"]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n, type=pa.string()),
+                "source": pa.array(["s0"] * n, type=pa.string()),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+        row_group_size=16,
+    )
+    sf = str(tmp_path)
+    key = ["doc_a", "doc_b"]
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(key).reset_index(drop=True)
+
+    for fn, kw in [
+        (ngram_jaccard_pairs, {"threshold": 0.8}),
+        (minhash_lsh_pairs, {"cfg": MinHashConfig()}),
+    ]:
+        base = norm(fn(sf, collapse_exact=False, **kw))
+        fast = norm(fn(sf, **kw))
+        # force the distributed (cogroup) EXPANSION path only — not the
+        # text-attach join, which would hit the Ray 2.49 sparse-side
+        # acero crash on a corpus this small (CLAUDE.md join note)
+        cogroup = norm(fn(sf, expand_broadcast_limit_bytes=0, **kw))
+        pd.testing.assert_frame_equal(fast, base, check_like=True)
+        pd.testing.assert_frame_equal(cogroup, base, check_like=True)
+        # the 60-copy group contributes all C(60,2) intra pairs
+        assert len(base) >= 60 * 59 // 2
+        assert not fast.duplicated(key).any()
+
+
 def test_repeated_substring_pairs_semantics(ray_session, tmp_path):
     """Occurrence-pair counting and first positions on crafted docs:
     doc 1 contains the 32-char block twice, doc 2 once, doc 3 never."""
