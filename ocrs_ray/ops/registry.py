@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_topk_pq": similarity.ann_topk_pq,
+        "ann_topk_ivfpq": similarity.ann_topk_ivfpq,
         "ann_topk_int8": similarity.ann_topk_int8,
         "embedding_label_centroid": similarity.embedding_label_centroid,
         # windowed / temporal / grouped aggregates
@@ -1175,7 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         # (rows-only; count + hash-uniqueness pinned in
         # tests/test_quarantine.py).
         # minhash_lsh_pairs,
-        # ann_topk_lsh, ann_topk_ivf, ann_topk_pq,
+        # ann_topk_lsh, ann_topk_ivf, ann_topk_pq, ann_topk_ivfpq,
         # events_distinct_users_hll,
         # events_daily_active_users_hll,
         # heavy_hitters_sketch, kmeans_embeddings, events_value_tdigest,

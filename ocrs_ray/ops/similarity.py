@@ -29,6 +29,7 @@ __all__ = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "spherical_kmeans",
     "kmeans_embeddings",
     "embedding_label_centroid",
@@ -451,7 +452,7 @@ def ann_topk_pq(
     n_queries: int = 10,
     k: int = 10,
     m_subspaces: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 256,
     train_sample: int = 4096,
     shortlist: int | None = None,
     seed: int = 17,
@@ -477,6 +478,12 @@ def ann_topk_pq(
     per-batch on the fly, which keeps the op a pure function of the
     embeddings table. No shuffle; candidates reduce through the shared
     single-block finalize.
+
+    Default n_codes=256 is the production-standard 8-bit codebook
+    (Jegou 2011 uses k*=256 throughout). Measured recall@10 vs exact at
+    sf0.001, m=8, shortlist=4k: n_codes=16 -> 0.64, 64 -> 0.78,
+    256 -> 0.95 (1.00 at shortlist=8k); the >= 0.85 bar is pinned in
+    tests/test_ops.py.
     """
     if shortlist is None:
         shortlist = 4 * k
@@ -537,6 +544,135 @@ def ann_topk_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         PqScan,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    return _finalize_topk(local, k)
+
+
+def ann_topk_ivfpq(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 12,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    train_sample: int = 4096,
+    shortlist: int | None = None,
+    seed: int = 13,
+) -> rd.Dataset:
+    """Approximate top-k via IVF + residual PQ (IVFADC, Jegou et al.
+    2011 §V) — the composed production scale path: the IVF coarse
+    quantizer bounds the scan to `nprobe` cells per query AND the PQ
+    codes bound the bytes touched per scanned vector.
+
+    Train (driver-side once, on a bounded head sample): spherical
+    k-means coarse centroids, then Euclidean k-means codebooks on the
+    RESIDUALS x - c(x) pooled across cells — residual magnitudes are
+    much smaller than vector magnitudes, so the same code budget
+    quantizes finer than plain PQ. Broadcast state is the nlist x dim
+    centroid matrix plus the m x n_codes x d/m codebook tensor (a few
+    hundred KB).
+
+    Search per batch: assign vectors to cells (vectorized argmax),
+    encode residuals, then for each query scan only its `nprobe` cells;
+    the ADC score is q . c(x) + sum_b LUT_b[code_b(x)] (exact inner
+    product against the reconstruction), a `shortlist` survives per
+    query, and the shortlist reranks with EXACT cosine — emitted
+    similarities are exact, only recall is approximate. At
+    nprobe == nlist and shortlist >= batch size it degrades to exact
+    brute force (pinned in tests, the nprobe==nlist / full-shortlist
+    analog of the IVF and PQ ops).
+
+    Measured recall@10 vs exact at sf0.001 (nlist=16, m=8, n_codes=256,
+    shortlist=4k, across seeds): nprobe=8 -> 0.74-0.80, 10 ->
+    0.84-0.88, 12 -> 0.88-0.98 — recall is gated by cell-probe misses
+    (same curve as IVF-flat), while in-cell ranking matches plain 8-bit
+    PQ. The nprobe/nlist ratio at the 500-row test scale is high
+    because true neighbors spread over many of the 16 cells; at corpus
+    scale nlist grows ~sqrt(n) and nprobe/nlist shrinks. The >= 0.85
+    bar at the nprobe=12 default is pinned in tests/test_ops.py.
+
+    Scale shape: at 100 TB the cell id (2 bytes) and codes (m bytes)
+    are precomputed columns, the table is PARTITIONED by cell id so a
+    probe reads only its cells' fragments, and the scan never touches
+    the float embeddings except for the shortlist rerank — the full
+    IVFADC read-volume story. Here assignment/encoding run per batch on
+    the fly so the op stays a pure function of the embeddings table.
+    """
+    if shortlist is None:
+        shortlist = 4 * k
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    q_unit = _unit(q_mat)
+    sample = _unit(_stream_head_sample(sf_dir, train_sample))
+    cents = spherical_kmeans(sample, min(nlist, len(sample)), seed=seed)
+    s_assign = np.argmax(sample @ cents.T, axis=1)
+    cbs = _pq_train(sample - cents[s_assign], m_subspaces, n_codes, seed)
+    # Cells each query probes: nprobe nearest centroids.
+    q_cells = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_unit, cents, cbs, q_cells, k, shortlist))
+
+    class IvfPqScan:
+        def __init__(self, ref):
+            (self.q_ids, self.q_unit, self.cents, self.cbs,
+             self.q_cells, self.k, self.shortlist) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(
+                batch.column("vec_id").to_pylist(), dtype=np.int64
+            )
+            emb = _unit(embedding_batch_matrix(batch))
+            assign = np.argmax(emb @ self.cents.T, axis=1)
+            resid = emb - self.cents[assign]
+            m, _codes, sub = self.cbs.shape
+            codes = np.empty((len(vid), m), dtype=np.int64)
+            for b in range(m):
+                x = resid[:, b * sub : (b + 1) * sub]
+                d2 = (
+                    -2.0 * (x @ self.cbs[b].T)
+                    + (self.cbs[b] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, b] = np.argmin(d2, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                member = np.isin(assign, self.q_cells[qi]) & (
+                    vid != self.q_ids[qi]
+                )
+                rows = np.flatnonzero(member)
+                if not len(rows):
+                    continue
+                qv = self.q_unit[qi]
+                approx = self.cents[assign[rows]] @ qv
+                for b in range(m):
+                    lut = self.cbs[b] @ qv[b * sub : (b + 1) * sub]
+                    approx = approx + lut[codes[rows, b]]
+                # shortlist by ADC score, tie-broken on id so the
+                # exact-degenerate path is deterministic
+                sel = np.lexsort((vid[rows], -approx))[: self.shortlist]
+                cand = rows[sel]
+                exact = emb[cand] @ qv
+                top_ids, top_sims = _local_topk_select(
+                    vid[cand], exact, self.k
+                )
+                out_q.extend([self.q_ids[qi]] * len(top_ids))
+                out_n.extend(top_ids.tolist())
+                out_s.extend(top_sims.tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        IvfPqScan,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         batch_size=2048,
