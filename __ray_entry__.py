@@ -25,6 +25,9 @@ CORPUS_BASE = "/tmp/ocrs_ray_corpus"
 #: docs per scale factor for the synthetic interleaved corpus.
 SF_DOCS = {"sf0.001": 150, "sf0.01": 1200, "sf0.1": 8000}
 
+#: WAV clips per scale factor for the synthetic audio pool.
+SF_AUDIO = {"sf0.001": 48, "sf0.01": 96, "sf0.1": 512}
+
 
 def _sf_name(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -395,6 +398,21 @@ def _ocr_line_images(sf_dir: str):
     )
 
 
+def _audio_features(sf_dir: str):
+    """Audio feature extraction over the synthetic WAV pool (pure-numpy
+    RIFF/WAVE decode, `ocrs_ray.wav`). The golden is computed by the
+    SAME feature kernel on the pre-encode quantized samples, so the
+    value compare pins the decoder (see corpus.gen_audio_clips)."""
+    from ocrs_ray.corpus import ensure_audio
+    from ocrs_ray.ops.multimodal import audio_features
+
+    name = _sf_name(sf_dir)
+    paths = ensure_audio(
+        os.path.join(CORPUS_BASE, name), n_clips=SF_AUDIO[name]
+    )
+    return audio_features(paths["audio"])
+
+
 def _video_frames(sf_dir: str):
     """Frame sampling fan-out (deterministic fake decode; see
     ocrs_ray/ops/multimodal.py docstring)."""
@@ -430,72 +448,71 @@ def entry() -> Any:
 #: compete for the slots, so the gate ROTATES each round to give
 #: never-externally-gated ops a CORRECTNESS row; everything rotated
 #: out stays value-compared in-repo by tests/test_oracle_sweep.py
-#: every run. r04 rotation — twelve FIRST-TIME entries in
-#: (fuzzy_name_pairs, simhash_neardup_pairs, events_global_cumsum,
-#: docs_global_length_rank, lineitem_cube, events_sorted_sink_scan,
-#: q9_product_profit, events_value_outliers, docs_jsonl_roundtrip,
-#: events_user_type_sequence, plus the two r04-NEW extraction ops
-#: docs_pdf_column_text — column-detection layout, in over its zigzag
-#: sibling docs_pdf_page_text — docs_html_nested_main_content —
-#: depth-tracking scanner over nested markup, in over flat
-#: docs_html_main_content — and the ragged table-extraction pair
-#: docs_html_table_extract / docs_table_value_rollup, in over
-#: r03-gated docs_html_links / web_extract_prep), fourteen out whose
-#: family keeps gate rows (ocr_doc_stats, ocr_text_quality,
-#: media_thumbnails, docs_repetition_stats, lm_quality_score,
-#: dedup_normalized, eval_decontaminate, neardup_survivors,
-#: embedding_neardup_pairs, events_tumbling_window,
-#: docs_pdf_page_text, docs_html_main_content, docs_html_links,
-#: web_extract_prep).
+#: every run. r05 rotation — SEVENTEEN FIRST-TIME entries in:
+#: audio_features (r05-NEW: pure-numpy WAV decode, golden-pinned),
+#: the two never-gated OCR debug sinks ocr_annotated / ocr_text_maps,
+#: docs_html_outline, docs_url_normalize, docs_robots_policy_filter,
+#: docs_pdf_multipage_text, docs_pii_scrub, substring_dup_clusters,
+#: embedding_cluster_survivors, stratified_sample_documents,
+#: events_daily_dense_counts, events_user_ntile,
+#: events_weighted_median, q10_returned_customers, q14_promo_revenue,
+#: part_min_price_supplier. Seventeen r04-green entries out, every
+#: family keeping gate rows (ocr_doc_text, ocr_joined_flat,
+#: media_features, video_frames, docs_html_table_extract,
+#: docs_pdf_column_text, docs_boilerplate_filtered_text,
+#: lm_bigram_score, docs_jsonl_roundtrip, simhash_neardup_pairs,
+#: fuzzy_name_pairs, events_global_cumsum, events_user_type_sequence,
+#: events_sorted_sink_scan, events_value_outliers, lineitem_cube,
+#: q9_product_profit).
 _GATE_ORDER = [
     "ocr_pipeline_flat",
     "ocr_pipeline_flat_beam",
-    "ocr_doc_text",
     "ocr_layout",
-    "ocr_joined_flat",
-    "media_features",
+    "ocr_annotated",
+    "ocr_text_maps",
     "media_ahash_neardup",
     "media_ahash_survivors",
-    "video_frames",
+    "audio_features",
     "text_quality",
     "docs_html_nested_main_content",
-    "docs_html_table_extract",
-    "docs_boilerplate_filtered_text",
-    "docs_pdf_column_text",
+    "docs_html_outline",
     "docs_pdf_dehyphenated_text",
+    "docs_pdf_multipage_text",
+    "docs_url_normalize",
+    "docs_robots_policy_filter",
     "docs_frontier_new_urls",
     "crawl_schedule_prep",
     "docs_link_pagerank",
     "docs_table_value_rollup",
-    "lm_bigram_score",
     "docs_gopher_quality_filter",
     "docs_global_length_rank",
-    "docs_jsonl_roundtrip",
+    "docs_pii_scrub",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "simhash_neardup_pairs",
+    "substring_dup_clusters",
     "dedup_clusters",
     "neardup_best_survivors",
     "embedding_clusters",
+    "embedding_cluster_survivors",
     "ann_topk_bruteforce",
     "embedding_label_centroid",
-    "fuzzy_name_pairs",
     "events_asof_join",
     "events_funnel",
-    "events_global_cumsum",
-    "events_user_type_sequence",
-    "events_value_outliers",
-    "events_sorted_sink_scan",
+    "events_daily_dense_counts",
+    "events_user_ntile",
+    "events_weighted_median",
     "snapshot_new_texts",
     "events_value_quantiles",
     "heavy_hitters_exact",
     "sample_documents",
+    "stratified_sample_documents",
     "docs_pack_chunks",
     "docs_compacted_sink_roundtrip",
     "pretrain_data_prep",
     "lineitem_pricing_summary",
-    "lineitem_cube",
-    "q9_product_profit",
+    "q10_returned_customers",
+    "q14_promo_revenue",
+    "part_min_price_supplier",
     "source_distinct_shingles",
     "docs_dup_gram_fraction",
 ]
@@ -519,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_webdataset_roundtrip": _media_webdataset_roundtrip,
         "media_webp_transcode": _media_webp_transcode,
         "video_frames": _video_frames,
+        "audio_features": _audio_features,
         "ocr_annotated": _ocr_annotated,
         "ocr_text_maps": _ocr_text_maps,
         "ocr_line_images": _ocr_line_images,
@@ -568,6 +586,11 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": (
             f"SELECT media_ref, frame_index, height, width "
             f"FROM read_parquet('{g('expected_video_frames')}')"
+        ),
+        "audio_features": (
+            f"SELECT media_ref, sample_rate, n_channels, n_frames, "
+            f"duration_micro, rms_micro, peak_micro, zero_crossings "
+            f"FROM read_parquet('{g('expected_audio_features')}')"
         ),
         "ocr_annotated": (
             f"SELECT media_ref, image_md5, height, width, channels, format "

@@ -31,9 +31,11 @@ from .schema import MEDIA_SCHEMA, SPANS_SCHEMA
 __all__ = [
     "make_engine",
     "gen_media_templates",
+    "gen_audio_clips",
     "generate_corpus",
     "corpus_paths",
     "ensure_corpus",
+    "ensure_audio",
 ]
 
 DEFAULT_SEED = 42
@@ -423,6 +425,118 @@ def generate_corpus(
                 os.remove(paths[name])
             except OSError:
                 pass
+    return paths
+
+
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+#: (container, numpy quantize) pairs weighted toward PCM16 like a real
+#: speech corpus; every `ocrs_ray.wav` format appears.
+_AUDIO_DEPTHS = ("u8", "i16", "i16", "i24", "i32", "f32")
+
+
+def gen_audio_clips(
+    n_clips: int, seed: int = DEFAULT_SEED
+) -> tuple[pa.Table, pa.Table]:
+    """Deterministic WAV clip pool + per-clip feature golden.
+
+    Each clip is a seeded mix of 1-3 sine partials (+ optional noise)
+    quantized to one of the five `ocrs_ray.wav` container formats. The
+    golden features are computed by `audio_feature_values` on the
+    PRE-ENCODE quantized samples — the distributed op recomputes them
+    from the encoded WAV bytes through `wav.decode_wav`, so a golden
+    match pins the decoder exactly (same independence the
+    expected_flat golden gives the OCR pipeline)."""
+    from .ops.multimodal import audio_feature_values
+    from .wav import encode_wav
+
+    rng = np.random.default_rng(seed + 11)
+    refs, blobs, rows = [], [], []
+    for i in range(n_clips):
+        rate = int(_AUDIO_RATES[int(rng.integers(len(_AUDIO_RATES)))])
+        ch = int(rng.integers(1, 3))
+        n = int(rng.integers(400, 4001))
+        t = np.arange(n, dtype=np.float64)[:, None] / rate
+        wave = np.zeros((n, ch), dtype=np.float64)
+        for _ in range(int(rng.integers(1, 4))):
+            freq = float(rng.uniform(40.0, rate / 4))
+            amp = float(rng.uniform(0.05, 0.45))
+            phase = float(rng.uniform(0, 2 * np.pi))
+            wave += amp * np.sin(2 * np.pi * freq * t + phase)
+        if rng.random() < 0.3:
+            wave += rng.normal(0, 0.02, size=wave.shape)
+        np.clip(wave, -0.999, 0.999, out=wave)
+        depth = _AUDIO_DEPTHS[int(rng.integers(len(_AUDIO_DEPTHS)))]
+        bits = None
+        if depth == "u8":
+            q = np.clip((wave * 127 + 128).round(), 0, 255).astype(np.uint8)
+            gbits = 8
+        elif depth == "i16":
+            q = np.clip((wave * 32767).round(), -32768, 32767).astype(np.int16)
+            gbits = 16
+        elif depth == "i24":
+            q = np.clip(
+                (wave * ((1 << 23) - 1)).round(), -(1 << 23), (1 << 23) - 1
+            ).astype(np.int32)
+            bits = gbits = 24
+        elif depth == "i32":
+            q = np.clip(
+                (wave * ((1 << 31) - 256)).round(), -(1 << 31), (1 << 31) - 1
+            ).astype(np.int32)
+            gbits = 32
+        else:
+            q = wave.astype(np.float32)
+            gbits = 32
+        refs.append(f"aud-{i:04d}")
+        blobs.append(encode_wav(q, rate, bits=bits))
+        rows.append(audio_feature_values(q, rate, gbits))
+    audio = pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "audio": pa.array(blobs, type=pa.binary()),
+            "format": pa.array(["wav"] * n_clips, type=pa.string()),
+        }
+    )
+    golden = pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            **{
+                c: pa.array([r[c] for r in rows], type=pa.int64())
+                for c in (rows[0] if rows else {})
+            },
+        }
+    )
+    return audio, golden
+
+
+def ensure_audio(
+    root: str, n_clips: int, seed: int = DEFAULT_SEED
+) -> dict[str, str]:
+    """Idempotent audio-pool generate under `root` (its OWN params
+    manifest — independent of the main corpus manifest, so adding the
+    audio tables does not invalidate cached corpora)."""
+    import json
+
+    paths = {
+        "audio": os.path.join(root, "audio.parquet"),
+        "expected_audio_features": os.path.join(
+            root, "expected_audio_features.parquet"
+        ),
+    }
+    manifest = os.path.join(root, "audio_params.json")
+    params = {"n_clips": n_clips, "seed": seed, "layout": 1}
+    try:
+        if all(os.path.exists(p) for p in paths.values()):
+            with open(manifest) as f:
+                if json.load(f) == params:
+                    return paths
+    except Exception:
+        pass
+    os.makedirs(root, exist_ok=True)
+    audio, golden = gen_audio_clips(n_clips, seed=seed)
+    pq.write_table(audio, paths["audio"])
+    pq.write_table(golden, paths["expected_audio_features"])
+    with open(manifest, "w") as f:
+        json.dump(params, f)
     return paths
 
 

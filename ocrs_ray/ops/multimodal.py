@@ -37,6 +37,8 @@ __all__ = [
     "media_thumbnails",
     "video_frame_sample",
     "audio_features",
+    "audio_feature_values",
+    "AudioFeatureExtractor",
     "media_ahash",
     "media_ahash_neardup",
     "media_ahash_survivors",
@@ -302,19 +304,87 @@ def video_frame_sample(media_path: str, n_frames: int = 4) -> rd.Dataset:
     )
 
 
-def audio_features(media_path: str) -> rd.Dataset:
-    """Audio feature extraction: STUB. No audio payloads or codec
-    libraries exist in this container; the stage raises on first batch.
-    The schema contract is (media_ref, duration_s, rms, zero_crossings).
-    """
+def audio_feature_values(
+    samples: np.ndarray, sample_rate: int, bits: int | None = None
+) -> dict[str, int]:
+    """Deterministic audio feature kernel over decoded samples — the
+    ONE definition both the corpus golden generator (which applies it
+    to the pre-encode quantized samples) and the distributed op (which
+    applies it to `wav.decode_wav` output) call, so a golden match
+    pins the WAV decoder end to end (template-shared pattern).
 
-    def extract(batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library not present "
-            "in this environment"
+    Amplitudes canonicalize through `wav.normalize_samples` (float64 in
+    [-1, 1)); scalar results carry as integer micro-units so the golden
+    compare is exact under any batch layout.
+    """
+    from ..wav import normalize_samples
+    from .relational import round_half_away
+
+    norm = normalize_samples(samples, bits)
+    n_frames, n_channels = norm.shape
+    if norm.size:
+        rms = float(np.sqrt(np.mean(norm**2)))
+        peak = float(np.max(np.abs(norm)))
+        zc = int(np.count_nonzero(np.signbit(norm[1:]) != np.signbit(norm[:-1])))
+    else:
+        rms = peak = 0.0
+        zc = 0
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_frames": int(n_frames),
+        "duration_micro": n_frames * 1_000_000 // int(sample_rate),
+        "rms_micro": int(round_half_away(np.float64(rms * 1e6))),
+        "peak_micro": int(round_half_away(np.float64(peak * 1e6))),
+        "zero_crossings": zc,
+    }
+
+
+_AUDIO_FEATURE_COLS = (
+    "sample_rate n_channels n_frames duration_micro rms_micro "
+    "peak_micro zero_crossings"
+).split()
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: RIFF/WAVE decode (pure-numpy `ocrs_ray.wav`)
+    -> per-clip feature kernel. Per-clip Python is bounded (one decode
+    + a handful of vectorized numpy reductions per row); payload bytes
+    stay in Arrow buffers until the decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..wav import decode_wav
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("audio").to_pylist()
+        cols: dict[str, list] = {c: [] for c in _AUDIO_FEATURE_COLS}
+        for blob in blobs:
+            samples, rate, bits = decode_wav(blob)
+            feats = audio_feature_values(samples, rate, bits)
+            for c in _AUDIO_FEATURE_COLS:
+                cols[c].append(feats[c])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                **{c: pa.array(cols[c], type=pa.int64()) for c in _AUDIO_FEATURE_COLS},
+            }
         )
 
-    return read_media(media_path).map_batches(extract, batch_format="pyarrow")
+
+def audio_features(audio_path: str) -> rd.Dataset:
+    """Audio feature extraction over a WAV-payload table
+    (media_ref, audio:binary): container metadata (rate, channels, bit
+    depth) plus amplitude statistics in exact integer micro-units.
+    Stateless vectorized-per-clip map — no shuffle; at 100 TB the only
+    knob is batch_size (clips are small; payload bytes dominate)."""
+    return rd.read_parquet(
+        audio_path, columns=["media_ref", "audio"]
+    ).map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
 
 
 class MediaAHasher:

@@ -4,6 +4,7 @@ sampling over the media sidecar table."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 CORPUS_ROOT = "/tmp/ocrs_ray_mm_corpus"
@@ -65,14 +66,52 @@ def test_video_frame_fanout(media_path):
     assert np.array_equal(f1, np.roll(img, 1, axis=0))
 
 
-def test_audio_stub_raises(media_path):
+def test_audio_features_match_pre_encode_golden(ray_session, tmp_path):
+    """The distributed op (WAV bytes -> ocrs_ray.wav decode -> feature
+    kernel) reproduces the golden computed from the PRE-encode
+    quantized samples — value-exact across all five container formats,
+    which pins the decoder end to end (the sweep repeats this at the
+    driver's corpus key; this is the self-contained no-cache variant)."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.corpus import gen_audio_clips
     from ocrs_ray.ops.multimodal import audio_features
 
-    # Ray wraps the stub's NotImplementedError in RayTaskError /
-    # UserCodeException layers; assert the stage fails rather than
-    # silently emitting rows.
+    audio, golden = gen_audio_clips(32, seed=5)
+    path = str(tmp_path / "audio.parquet")
+    pq.write_table(audio, path)
+    out = (
+        audio_features(path)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    exp = golden.to_pandas().sort_values("media_ref").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_dtype=False)
+    # every format family is present in the pool (the parametrization
+    # is inside the seeded generator, so assert it really varied)
+    rates = set(out.sample_rate)
+    assert len(rates) >= 3 and set(out.n_channels) == {1, 2}
+
+
+def test_audio_features_reject_non_wav(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.multimodal import audio_features
+
+    bad = pa.table(
+        {
+            "media_ref": ["x"],
+            "audio": pa.array([b"not a wav"], type=pa.binary()),
+        }
+    )
+    path = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, path)
+    # Ray wraps WavError in RayTaskError/UserCodeException layers;
+    # assert the stage fails loudly rather than emitting rows.
     with pytest.raises(Exception):
-        audio_features(media_path).count()
+        audio_features(path).count()
 
 
 def test_broadcast_join_matches_pandas(ray_session):

@@ -42,7 +42,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     # for speed.
     sf = (
         "/root/testdata/sf0.01"
-        if name.startswith(("ocr_", "media_", "video_"))
+        if name.startswith(("ocr_", "media_", "video_", "audio_"))
         else SF
     )
     res = entry.queries()[name](sf)
