@@ -444,7 +444,7 @@ def entry() -> Any:
 #: The driver's correctness gate records only the first 50 queries()
 #: entries — this list is EXACTLY 50 (r02 had 51 and silently dropped
 #: slot 51) — and puts an ORACLE-BACKED representative of every
-#: operator family inside the gated window. 154 oracle-backed queries
+#: operator family inside the gated window. 172 oracle-backed queries
 #: compete for the slots, so the gate ROTATES each round to give
 #: never-externally-gated ops a CORRECTNESS row; everything rotated
 #: out stays value-compared in-repo by tests/test_oracle_sweep.py

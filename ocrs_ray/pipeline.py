@@ -97,6 +97,12 @@ class OcrPipelineConfig:
     #: 0 disables (default: the actor pool's pull-based batch
     #: scheduling already absorbs moderate skew; enable for
     #: heavy-tailed media sizes where whole batches can be hot).
+    #: Measured crossover (tools/whale_skew_proof.py, BASELINE.md): 8
+    #: batch-clustered whales at 117x tile pixel volume — balancing
+    #: HURTS (exchange overhead); at 469x it wins 2.4x and at 2930x
+    #: 4.3x. Enable when whale_pixels x whales_per_batch rivals
+    #: rest_of_corpus / pool_size AND the tail is clustered in the
+    #: input order; randomly-placed whales rarely cross it.
     balance_partitions: int = 0
     #: "raise" aborts the job on a bad media span (exact-parity mode);
     #: "quarantine" emits the span with empty text, counts it in the
