@@ -403,14 +403,33 @@ def _audio_features(sf_dir: str):
     RIFF/WAVE decode, `ocrs_ray.wav`). The golden is computed by the
     SAME feature kernel on the pre-encode quantized samples, so the
     value compare pins the decoder (see corpus.gen_audio_clips)."""
-    from ocrs_ray.corpus import ensure_audio
     from ocrs_ray.ops.multimodal import audio_features
 
+    return audio_features(_audio_pool(sf_dir)["audio"])
+
+
+def _audio_pool(sf_dir: str) -> dict[str, str]:
+    from ocrs_ray.corpus import ensure_audio
+
     name = _sf_name(sf_dir)
-    paths = ensure_audio(
-        os.path.join(CORPUS_BASE, name), n_clips=SF_AUDIO[name]
-    )
-    return audio_features(paths["audio"])
+    return ensure_audio(os.path.join(CORPUS_BASE, name), n_clips=SF_AUDIO[name])
+
+
+def _audio_content_dedup(sf_dir: str):
+    """Container-insensitive exact audio dedup (decoded-content md5;
+    PCM16/float32 re-encodings of the same samples collide). Golden is
+    built from the generator's ground-truth duplicate structure."""
+    from ocrs_ray.ops.multimodal import audio_content_dedup
+
+    return audio_content_dedup(_audio_pool(sf_dir)["audio"])
+
+
+def _audio_resample(sf_dir: str):
+    """Mono 16 kHz PCM16 canonicalization (exact-index linear resample);
+    blobs reduced to md5 against the pre-encode golden."""
+    from ocrs_ray.ops.multimodal import audio_resample
+
+    return audio_resample(_audio_pool(sf_dir)["audio"])
 
 
 def _video_frames(sf_dir: str):
@@ -537,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_webp_transcode": _media_webp_transcode,
         "video_frames": _video_frames,
         "audio_features": _audio_features,
+        "audio_content_dedup": _audio_content_dedup,
+        "audio_resample": _audio_resample,
         "ocr_annotated": _ocr_annotated,
         "ocr_text_maps": _ocr_text_maps,
         "ocr_line_images": _ocr_line_images,
@@ -591,6 +612,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT media_ref, sample_rate, n_channels, n_frames, "
             f"duration_micro, rms_micro, peak_micro, zero_crossings "
             f"FROM read_parquet('{g('expected_audio_features')}')"
+        ),
+        "audio_content_dedup": (
+            f"SELECT media_ref, content_key, n_copies "
+            f"FROM read_parquet('{g('expected_audio_dedup')}')"
+        ),
+        "audio_resample": (
+            f"SELECT media_ref, dst_rate, n_frames, wav_md5 "
+            f"FROM read_parquet('{g('expected_audio_resample')}')"
         ),
         "ocr_annotated": (
             f"SELECT media_ref, image_md5, height, width, channels, format "

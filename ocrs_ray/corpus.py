@@ -436,21 +436,33 @@ _AUDIO_DEPTHS = ("u8", "i16", "i16", "i24", "i32", "f32")
 
 def gen_audio_clips(
     n_clips: int, seed: int = DEFAULT_SEED
-) -> tuple[pa.Table, pa.Table]:
-    """Deterministic WAV clip pool + per-clip feature golden.
+) -> tuple[pa.Table, dict[str, pa.Table]]:
+    """Deterministic WAV clip pool + goldens for the audio op family.
 
     Each clip is a seeded mix of 1-3 sine partials (+ optional noise)
-    quantized to one of the five `ocrs_ray.wav` container formats. The
-    golden features are computed by `audio_feature_values` on the
-    PRE-ENCODE quantized samples — the distributed op recomputes them
-    from the encoded WAV bytes through `wav.decode_wav`, so a golden
-    match pins the decoder exactly (same independence the
-    expected_flat golden gives the OCR pipeline)."""
-    from .ops.multimodal import audio_feature_values
+    quantized to one of the five `ocrs_ray.wav` container formats;
+    ~25% of PCM16 clips additionally emit a CROSS-CONTAINER duplicate
+    (the identical samples re-encoded as IEEE float32 — int16 values
+    are exact in f32, so the content is bit-equal after normalization),
+    the re-encoding dup vector `audio_content_dedup` exists to catch.
+
+    Goldens are computed by the SHARED kernels (`audio_feature_values`,
+    `audio_content_key`, `audio_resample_values`) on the PRE-ENCODE
+    quantized samples — the distributed ops recompute them from the
+    encoded WAV bytes through `wav.decode_wav`, so a golden match pins
+    the decoder exactly (same independence the expected_flat golden
+    gives the OCR pipeline). The twin/parent key collision is asserted
+    at generation (a loud guard on the cross-container claim)."""
+    from .ops.multimodal import (
+        audio_content_key,
+        audio_feature_values,
+        audio_resample_values,
+    )
     from .wav import encode_wav
 
     rng = np.random.default_rng(seed + 11)
-    refs, blobs, rows = [], [], []
+    # (ref, quantized array, rate, golden bits, encode bits, parent_ref)
+    clips: list[tuple] = []
     for i in range(n_clips):
         rate = int(_AUDIO_RATES[int(rng.integers(len(_AUDIO_RATES)))])
         ch = int(rng.integers(1, 3))
@@ -486,26 +498,68 @@ def gen_audio_clips(
         else:
             q = wave.astype(np.float32)
             gbits = 32
-        refs.append(f"aud-{i:04d}")
+        ref = f"aud-{i:04d}"
+        clips.append((ref, q, rate, gbits, bits, None))
+        if depth == "i16" and rng.random() < 0.25:
+            twin = (q.astype(np.float64) / 32768.0).astype(np.float32)
+            clips.append((f"{ref}-dup", twin, rate, 32, None, ref))
+
+    refs, blobs, feat_rows, keys, res_rows = [], [], [], [], []
+    key_by_ref: dict[str, str] = {}
+    for ref, q, rate, gbits, bits, parent in clips:
+        refs.append(ref)
         blobs.append(encode_wav(q, rate, bits=bits))
-        rows.append(audio_feature_values(q, rate, gbits))
+        feat_rows.append(audio_feature_values(q, rate, gbits))
+        key = audio_content_key(q, rate, gbits)
+        key_by_ref[ref] = key
+        keys.append(key)
+        if parent is not None and key != key_by_ref[parent]:
+            raise AssertionError(
+                f"cross-container twin {ref} does not collide with {parent}"
+            )
+        wav, n_out = audio_resample_values(q, rate, gbits)
+        import hashlib
+
+        res_rows.append((n_out, hashlib.md5(wav).hexdigest()))
+
     audio = pa.table(
         {
             "media_ref": pa.array(refs, type=pa.string()),
             "audio": pa.array(blobs, type=pa.binary()),
-            "format": pa.array(["wav"] * n_clips, type=pa.string()),
+            "format": pa.array(["wav"] * len(refs), type=pa.string()),
         }
     )
-    golden = pa.table(
+    goldens: dict[str, pa.Table] = {}
+    goldens["expected_audio_features"] = pa.table(
         {
             "media_ref": pa.array(refs, type=pa.string()),
             **{
-                c: pa.array([r[c] for r in rows], type=pa.int64())
-                for c in (rows[0] if rows else {})
+                c: pa.array([r[c] for r in feat_rows], type=pa.int64())
+                for c in (feat_rows[0] if feat_rows else {})
             },
         }
     )
-    return audio, golden
+    # Dedup golden from the ground-truth group structure.
+    by_key: dict[str, list[str]] = {}
+    for r, k in zip(refs, keys):
+        by_key.setdefault(k, []).append(r)
+    surv = sorted((min(members), k, len(members)) for k, members in by_key.items())
+    goldens["expected_audio_dedup"] = pa.table(
+        {
+            "media_ref": pa.array([s[0] for s in surv], type=pa.string()),
+            "content_key": pa.array([s[1] for s in surv], type=pa.string()),
+            "n_copies": pa.array([s[2] for s in surv], type=pa.int64()),
+        }
+    )
+    goldens["expected_audio_resample"] = pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "dst_rate": pa.array([16000] * len(refs), type=pa.int64()),
+            "n_frames": pa.array([r[0] for r in res_rows], type=pa.int64()),
+            "wav_md5": pa.array([r[1] for r in res_rows], type=pa.string()),
+        }
+    )
+    return audio, goldens
 
 
 def ensure_audio(
@@ -521,9 +575,16 @@ def ensure_audio(
         "expected_audio_features": os.path.join(
             root, "expected_audio_features.parquet"
         ),
+        "expected_audio_dedup": os.path.join(
+            root, "expected_audio_dedup.parquet"
+        ),
+        "expected_audio_resample": os.path.join(
+            root, "expected_audio_resample.parquet"
+        ),
     }
     manifest = os.path.join(root, "audio_params.json")
-    params = {"n_clips": n_clips, "seed": seed, "layout": 1}
+    # layout=2: cross-container duplicate twins + dedup/resample goldens.
+    params = {"n_clips": n_clips, "seed": seed, "layout": 2}
     try:
         if all(os.path.exists(p) for p in paths.values()):
             with open(manifest) as f:
@@ -532,9 +593,10 @@ def ensure_audio(
     except Exception:
         pass
     os.makedirs(root, exist_ok=True)
-    audio, golden = gen_audio_clips(n_clips, seed=seed)
+    audio, goldens = gen_audio_clips(n_clips, seed=seed)
     pq.write_table(audio, paths["audio"])
-    pq.write_table(golden, paths["expected_audio_features"])
+    for name, tbl in goldens.items():
+        pq.write_table(tbl, paths[name])
     with open(manifest, "w") as f:
         json.dump(params, f)
     return paths

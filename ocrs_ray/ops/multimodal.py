@@ -39,6 +39,11 @@ __all__ = [
     "audio_features",
     "audio_feature_values",
     "AudioFeatureExtractor",
+    "audio_content_key",
+    "audio_content_dedup",
+    "resample_linear",
+    "audio_resample_values",
+    "audio_resample",
     "media_ahash",
     "media_ahash_neardup",
     "media_ahash_survivors",
@@ -384,6 +389,164 @@ def audio_features(audio_path: str) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=128,
         concurrency=(1, 4),
+    )
+
+
+def audio_content_key(samples: np.ndarray, sample_rate: int, bits: int | None = None) -> str:
+    """Container-insensitive content fingerprint: md5 over (rate,
+    n_channels, canonical float64 sample bytes). The SAME audio stored
+    as PCM16 and as IEEE float32 normalizes bit-identically (int16
+    values are exact in f32 and i/32768 is a power-of-two quotient), so
+    re-containered duplicates collide while any sample-level change
+    does not. Shared by the generator's golden and the distributed op
+    (template-shared pattern)."""
+    import hashlib
+
+    from ..wav import normalize_samples
+
+    norm = np.ascontiguousarray(normalize_samples(samples, bits))
+    h = hashlib.md5()
+    h.update(np.int64(sample_rate).tobytes())
+    h.update(np.int64(norm.shape[1] if norm.ndim == 2 else 1).tobytes())
+    h.update(norm.tobytes())
+    return h.hexdigest()
+
+
+def audio_content_dedup(audio_path: str, partitions: int = 8) -> rd.Dataset:
+    """Exact audio dedup by DECODED content, not container bytes: WAV
+    clips that hold the same samples at the same rate dedup across
+    PCM16 / float32 / any supported container (a byte-level hash
+    misses them all — re-encoding is the most common dup vector in
+    crawled audio). Survivor = min media_ref per content key.
+
+    Scale shape: per-batch decode+fingerprint in an actor pool, then
+    ONE keyed exchange of (key, ref) pairs only — payload bytes never
+    shuffle; per-partition vectorized min. Same shape as dedup_exact.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipeline import enable_hash_shuffle
+    from ..wav import decode_wav
+
+    class Fingerprint:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            refs = batch.column("media_ref").to_pylist()
+            keys = []
+            for blob in batch.column("audio").to_pylist():
+                samples, rate, bits = decode_wav(blob)
+                keys.append(audio_content_key(samples, rate, bits))
+            return pa.table(
+                {
+                    "media_ref": pa.array(refs, type=pa.string()),
+                    "content_key": pa.array(keys, type=pa.string()),
+                }
+            )
+
+    keyed = rd.read_parquet(
+        audio_path, columns=["media_ref", "audio"]
+    ).map_batches(
+        Fingerprint, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+    enable_hash_shuffle(keyed)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "content_key": pa.array([], type=pa.string()),
+                    "n_copies": pa.array([], type=pa.int64()),
+                }
+            )
+        g = (
+            t.group_by("content_key")
+            .aggregate([("media_ref", "min"), ("media_ref", "count")])
+        )
+        return pa.table(
+            {
+                "media_ref": g.column("media_ref_min"),
+                "content_key": g.column("content_key"),
+                "n_copies": pc.cast(g.column("media_ref_count"), pa.int64()),
+            }
+        )
+
+    return keyed.repartition(partitions, keys=["content_key"]).map_batches(
+        survivors, batch_format="pyarrow", batch_size=None
+    )
+
+
+def resample_linear(
+    norm: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Deterministic linear-interpolation resample of canonical float64
+    samples (n_frames, n_channels). Output frame k samples source time
+    k/dst_rate; index arithmetic is exact integer rational (idx =
+    k*src//dst, frac = (k*src % dst)/dst) so the output length and
+    sample positions never drift with float error."""
+    n = norm.shape[0]
+    if n == 0 or src_rate == dst_rate:
+        return norm.copy()
+    n_out = (n - 1) * dst_rate // src_rate + 1
+    k = np.arange(n_out, dtype=np.int64)
+    num = k * src_rate
+    idx = num // dst_rate
+    frac = ((num % dst_rate).astype(np.float64) / dst_rate)[:, None]
+    nxt = np.minimum(idx + 1, n - 1)
+    return norm[idx] * (1.0 - frac) + norm[nxt] * frac
+
+
+def audio_resample_values(
+    samples: np.ndarray,
+    sample_rate: int,
+    bits: int | None = None,
+    dst_rate: int = 16000,
+) -> tuple[bytes, int]:
+    """Canonicalize one clip to mono PCM16 at `dst_rate` (the standard
+    ASR-corpus prep): normalize -> channel-mean downmix -> exact-index
+    linear resample -> half-away-from-zero PCM16 quantize -> WAV
+    encode. Returns (wav_bytes, n_frames). Shared by the generator's
+    golden and the distributed op."""
+    from ..wav import encode_wav, normalize_samples
+    from .relational import round_half_away
+
+    norm = normalize_samples(samples, bits)
+    mono = norm.mean(axis=1, keepdims=True)
+    res = resample_linear(mono, sample_rate, dst_rate)
+    q = np.clip(round_half_away(res * 32767.0), -32768, 32767).astype(np.int16)
+    return encode_wav(q, dst_rate), q.shape[0]
+
+
+def audio_resample(audio_path: str, dst_rate: int = 16000) -> rd.Dataset:
+    """Resample every clip to mono PCM16 at `dst_rate`; emits the
+    re-encoded WAV digest + frame counts (blob reduced to md5 for a
+    stable driver row, same convention as thumbnails). Stateless
+    per-clip map in an actor pool — no shuffle."""
+    import hashlib
+
+    from ..wav import decode_wav
+
+    class Resampler:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            refs = batch.column("media_ref").to_pylist()
+            digests, frames = [], []
+            for blob in batch.column("audio").to_pylist():
+                samples, rate, bits = decode_wav(blob)
+                wav, n = audio_resample_values(samples, rate, bits, dst_rate)
+                digests.append(hashlib.md5(wav).hexdigest())
+                frames.append(n)
+            return pa.table(
+                {
+                    "media_ref": pa.array(refs, type=pa.string()),
+                    "dst_rate": pa.array([dst_rate] * len(refs), type=pa.int64()),
+                    "n_frames": pa.array(frames, type=pa.int64()),
+                    "wav_md5": pa.array(digests, type=pa.string()),
+                }
+            )
+
+    return rd.read_parquet(
+        audio_path, columns=["media_ref", "audio"]
+    ).map_batches(
+        Resampler, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
     )
 
 

@@ -77,7 +77,7 @@ def test_audio_features_match_pre_encode_golden(ray_session, tmp_path):
     from ocrs_ray.corpus import gen_audio_clips
     from ocrs_ray.ops.multimodal import audio_features
 
-    audio, golden = gen_audio_clips(32, seed=5)
+    audio, goldens = gen_audio_clips(32, seed=5)
     path = str(tmp_path / "audio.parquet")
     pq.write_table(audio, path)
     out = (
@@ -86,12 +86,102 @@ def test_audio_features_match_pre_encode_golden(ray_session, tmp_path):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    exp = golden.to_pandas().sort_values("media_ref").reset_index(drop=True)
+    exp = (
+        goldens["expected_audio_features"]
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_dtype=False)
     # every format family is present in the pool (the parametrization
     # is inside the seeded generator, so assert it really varied)
     rates = set(out.sample_rate)
     assert len(rates) >= 3 and set(out.n_channels) == {1, 2}
+
+
+def test_resample_linear_kernel():
+    """No Ray: identity at equal rates; exact output length; values
+    match the np.interp reference at rational positions."""
+    from ocrs_ray.ops.multimodal import resample_linear
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, size=(101, 2))
+    same = resample_linear(x, 8000, 8000)
+    np.testing.assert_array_equal(same, x)
+    up = resample_linear(x, 8000, 16000)
+    assert up.shape == ((101 - 1) * 2 + 1, 2)
+    # even output frames hit source samples exactly
+    np.testing.assert_array_equal(up[::2], x)
+    # reference positions via np.interp per channel
+    k = np.arange(up.shape[0])
+    pos = k * 8000 / 16000
+    for c in range(2):
+        np.testing.assert_allclose(
+            up[:, c], np.interp(pos, np.arange(101), x[:, c]), atol=1e-12
+        )
+    down = resample_linear(x, 16000, 8000)
+    assert down.shape == (51, 2)
+    np.testing.assert_array_equal(down, x[::2])
+
+
+def test_audio_content_key_cross_container():
+    """No Ray: the same samples as PCM16 and as IEEE float32 collide;
+    a one-sample perturbation does not."""
+    from ocrs_ray.ops.multimodal import audio_content_key
+
+    rng = np.random.default_rng(4)
+    q = rng.integers(-32768, 32768, size=(300, 2)).astype(np.int16)
+    twin = (q.astype(np.float64) / 32768.0).astype(np.float32)
+    assert audio_content_key(q, 16000, 16) == audio_content_key(twin, 16000, 32)
+    q2 = q.copy()
+    q2[7, 0] += 1
+    assert audio_content_key(q, 16000, 16) != audio_content_key(q2, 16000, 16)
+    assert audio_content_key(q, 16000, 16) != audio_content_key(q, 8000, 16)
+
+
+def test_audio_dedup_and_resample_match_goldens(ray_session, tmp_path):
+    """The distributed dedup/resample ops reproduce the generator's
+    ground-truth goldens — the dedup golden is built from the KNOWN
+    duplicate structure (not the kernel), so this pins decode +
+    fingerprint + exchange end to end."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.corpus import gen_audio_clips
+    from ocrs_ray.ops.multimodal import audio_content_dedup, audio_resample
+
+    audio, goldens = gen_audio_clips(48, seed=6)
+    assert audio.num_rows > 48  # twins actually present
+    path = str(tmp_path / "audio.parquet")
+    pq.write_table(audio, path)
+
+    out = (
+        audio_content_dedup(path)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    exp = (
+        goldens["expected_audio_dedup"]
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_dtype=False)
+    assert (exp.n_copies > 1).any()  # the dup vector is exercised
+
+    res = (
+        audio_resample(path)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    rexp = (
+        goldens["expected_audio_resample"]
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(res[rexp.columns.tolist()], rexp, check_dtype=False)
 
 
 def test_audio_features_reject_non_wav(ray_session, tmp_path):
