@@ -483,13 +483,29 @@ def entry() -> Any:
 #: fuzzy_name_pairs, events_global_cumsum, events_user_type_sequence,
 #: events_sorted_sink_scan, events_value_outliers, lineitem_cube,
 #: q9_product_profit).
+#:
+#: Final-round widening (r05 sitting 2): TWELVE more never-gated
+#: entries swapped in — docs_webdataset_roundtrip,
+#: docs_url_canonical_groups, docs_html_block_stats,
+#: docs_length_outlier_filter, docs_topk_longest,
+#: repeated_substring_pairs, docs_snapshot_diff,
+#: events_value_band_join, events_user_session_number,
+#: events_value_mad, vocab_top_terms, source_budget_sample —
+#: twenty-nine first-time rows this round. The twelve rotated out
+#: (media_ahash_neardup, docs_frontier_new_urls,
+#: docs_table_value_rollup, docs_gopher_quality_filter,
+#: docs_global_length_rank, ngram_jaccard_pairs, snapshot_new_texts,
+#: events_asof_join, events_funnel, events_value_quantiles,
+#: heavy_hitters_exact, sample_documents) all carry a prior-round
+#: external green row AND stay in the in-repo sweep; each family
+#: keeps at least one gate anchor.
 _GATE_ORDER = [
     "ocr_pipeline_flat",
     "ocr_pipeline_flat_beam",
     "ocr_layout",
     "ocr_annotated",
     "ocr_text_maps",
-    "media_ahash_neardup",
+    "docs_webdataset_roundtrip",
     "media_ahash_survivors",
     "audio_features",
     "text_quality",
@@ -499,15 +515,15 @@ _GATE_ORDER = [
     "docs_pdf_multipage_text",
     "docs_url_normalize",
     "docs_robots_policy_filter",
-    "docs_frontier_new_urls",
+    "docs_url_canonical_groups",
     "crawl_schedule_prep",
     "docs_link_pagerank",
-    "docs_table_value_rollup",
-    "docs_gopher_quality_filter",
-    "docs_global_length_rank",
+    "docs_html_block_stats",
+    "docs_length_outlier_filter",
+    "docs_topk_longest",
     "docs_pii_scrub",
     "dedup_exact",
-    "ngram_jaccard_pairs",
+    "repeated_substring_pairs",
     "substring_dup_clusters",
     "dedup_clusters",
     "neardup_best_survivors",
@@ -515,15 +531,15 @@ _GATE_ORDER = [
     "embedding_cluster_survivors",
     "ann_topk_bruteforce",
     "embedding_label_centroid",
-    "events_asof_join",
-    "events_funnel",
+    "events_value_band_join",
+    "events_user_session_number",
     "events_daily_dense_counts",
     "events_user_ntile",
     "events_weighted_median",
-    "snapshot_new_texts",
-    "events_value_quantiles",
-    "heavy_hitters_exact",
-    "sample_documents",
+    "docs_snapshot_diff",
+    "events_value_mad",
+    "vocab_top_terms",
+    "source_budget_sample",
     "stratified_sample_documents",
     "docs_pack_chunks",
     "docs_compacted_sink_roundtrip",
