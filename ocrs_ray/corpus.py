@@ -453,6 +453,8 @@ def gen_audio_clips(
     the decoder exactly (same independence the expected_flat golden
     gives the OCR pipeline). The twin/parent key collision is asserted
     at generation (a loud guard on the cross-container claim)."""
+    import hashlib
+
     from .ops.multimodal import (
         audio_content_key,
         audio_feature_values,
@@ -518,8 +520,6 @@ def gen_audio_clips(
                 f"cross-container twin {ref} does not collide with {parent}"
             )
         wav, n_out = audio_resample_values(q, rate, gbits)
-        import hashlib
-
         res_rows.append((n_out, hashlib.md5(wav).hexdigest()))
 
     audio = pa.table(

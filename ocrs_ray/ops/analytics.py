@@ -2666,7 +2666,7 @@ def events_value_cume_dist(sf_dir: str, partitions: int = 8) -> rd.Dataset:
             return pd.DataFrame(
                 {
                     "event_id": pd.Series([], dtype="int64"),
-                    "event_type": pd.Series([], dtype="str"),
+                    "event_type": pd.Series([], dtype="string"),
                     "value_micro": pd.Series([], dtype="int64"),
                     "n_le": pd.Series([], dtype="int64"),
                     "n_total": pd.Series([], dtype="int64"),

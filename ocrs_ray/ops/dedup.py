@@ -598,12 +598,21 @@ def _exact_dup_membership(docs: rd.Dataset, npart: int) -> rd.Dataset:
     return out.materialize()
 
 
-def _intra_dup_pairs(membership: rd.Dataset, extra: dict | None = None) -> rd.Dataset:
-    """All (doc_a, doc_b) pairs inside each exact-dup group. Groups are
-    co-located by construction (membership blocks come out of the
-    text-hash repartition), so this is a per-block triangle expansion.
+def _intra_dup_pairs(
+    membership: rd.Dataset, npart: int, extra: dict | None = None
+) -> rd.Dataset:
+    """All (doc_a, doc_b) pairs inside each exact-dup group.
+
+    Membership comes out of the text-hash repartition, but one
+    map_batches later: a partition whose `finish` OUTPUT exceeds
+    target_max_block_size is dynamically re-split by Ray, and a group
+    cut across fragments would silently lose its cross-fragment pairs.
+    So co-location is re-established here with one keyed exchange of
+    16-byte (rep_id, doc_id) rows on rep_id — the one key a group is
+    guaranteed to share — before the per-block triangle expansion.
     `extra` adds constant output columns (e.g. jaccard=1.0 — identical
     texts have Jaccard exactly 1, including the empty-shingle case)."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         cols = dict(_EMPTY_PAIRS)
@@ -618,7 +627,10 @@ def _intra_dup_pairs(membership: rd.Dataset, extra: dict | None = None) -> rd.Da
             out[name] = val
         return out if len(out) else pd.DataFrame(cols)
 
-    return membership.map_batches(expand, batch_format="pandas", batch_size=None)
+    enable_hash_shuffle(membership)
+    return membership.repartition(npart, keys=["rep_id"]).map_batches(
+        expand, batch_format="pandas", batch_size=None
+    )
 
 
 def _expand_rep_pairs(
@@ -805,6 +817,17 @@ def _prefix_rows(
     shingles. Emitting only those prefixes keeps the shuffle small while
     candidate generation stays EXACT (no recall loss, unlike LSH).
     """
+    if batch.empty:
+        # Typed empty output: a zero-row object-dtype column breaks
+        # Ray's block size estimator (CLAUDE.md empty-branch rule).
+        out = {
+            "token": pd.Series([], dtype="string"),
+            "doc_id": pd.Series([], dtype="int64"),
+        }
+        if with_text_hash:
+            out["th0"] = pd.Series([], dtype="int64")
+            out["th1"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(out)
     toks: list[str] = []
     docs: list[int] = []
     h0s: list[int] = []
@@ -947,7 +970,7 @@ def ngram_jaccard_pairs(
         else expand_broadcast_limit_bytes
     )
     expanded = _expand_rep_pairs(verified, membership, npart, limit)
-    out = expanded.union(_intra_dup_pairs(membership))
+    out = expanded.union(_intra_dup_pairs(membership, npart))
     enable_hash_shuffle(out)
     return out
 
@@ -1051,7 +1074,9 @@ def minhash_lsh_pairs(
     expanded = _expand_rep_pairs(
         verified, membership, npart, limit, extra_cols=("jaccard",)
     )
-    out = expanded.union(_intra_dup_pairs(membership, extra={"jaccard": 1.0}))
+    out = expanded.union(
+        _intra_dup_pairs(membership, npart, extra={"jaccard": 1.0})
+    )
     enable_hash_shuffle(out)
     return out
 

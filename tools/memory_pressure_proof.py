@@ -56,10 +56,18 @@ def main() -> None:
     )
 
     if joined:
-        # The bench corpus (1024 templates, EXACT bench.py kwargs so the
-        # cache is shared): ~130 MB of media payloads fan out to ~16k
-        # media spans (~2 GB) through the join — far over the cap.
-        root = "/tmp/ocrs_ray_bench"
+        # A 1024-template corpus with EXACT bench.py kwargs: ~130 MB of
+        # media payloads fan out to ~16k media spans (~2 GB) through the
+        # join — far over the cap. bench's sf0.1 headline corpus lives
+        # at /tmp/ocrs_ray_bench/sf0.1 with n_docs=8000; reuse THAT
+        # cache when the doc count matches, otherwise build our own
+        # (the params manifest would force a full 1024-template
+        # regeneration of the shared dir on any kwarg mismatch).
+        root = (
+            "/tmp/ocrs_ray_bench/sf0.1"
+            if n_docs == 8000
+            else "/tmp/ocrs_ray_memproof_joined"
+        )
         paths = ensure_corpus(
             root,
             n_docs=n_docs,
