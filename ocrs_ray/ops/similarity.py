@@ -32,6 +32,9 @@ __all__ = [
     "ann_topk_ivfpq",
     "spherical_kmeans",
     "kmeans_embeddings",
+    "semdedup_survivors",
+    "semdedup_prune",
+    "semdedup_prune_order",
     "embedding_label_centroid",
     "embedding_top_component",
     "embedding_quantize_int8",
@@ -809,6 +812,175 @@ def kmeans_embeddings(
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 2),
+    )
+
+
+def semdedup_prune_order(
+    unit: np.ndarray, cent: np.ndarray, vec_ids: np.ndarray
+) -> np.ndarray:
+    """SemDeDup keep-priority order within one cluster: ascending
+    cosine-to-centroid (the paper keeps LOW-centroid-similarity
+    examples from each duplicate group), ties broken by vec_id — a
+    pure function of (member set, centroid), independent of row
+    arrival order."""
+    cs = unit @ cent
+    return np.lexsort((vec_ids, cs))
+
+
+def semdedup_prune(
+    unit: np.ndarray, order: np.ndarray, tau: float, chunk: int = 2048
+) -> np.ndarray:
+    """Triangular-max prune (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540 — the released implementation's semantics): walk
+    members in keep-priority `order`; drop member i iff ANY
+    earlier-in-order member j (kept or not) has cosine(i, j) >= tau.
+    NOT greedy-kept: in a chain a~b, b~c, a!~c both b and c drop (c is
+    within tau of the already-dropped b) — transitive near-dup chains
+    collapse to their single highest-priority representative, which is
+    the paper's behavior and what the dedup rate is calibrated on.
+
+    Vectorized as chunked matmuls: each chunk scores against all
+    strictly-earlier rows plus its own strict lower triangle —
+    O(m^2 d / chunk) GEMMs, O(m * chunk) memory, and a fixed float
+    reduction order (deterministic across runs). Returns a boolean
+    keep mask aligned to the INPUT row order."""
+    m = len(order)
+    u = unit[order]
+    maxsim = np.full(m, -np.inf)
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        if s > 0:
+            maxsim[s:e] = (u[s:e] @ u[:s].T).max(axis=1)
+        if e - s > 1:
+            intra = u[s:e] @ u[s:e].T
+            # strict lower triangle only — masked with -inf so a row
+            # with no intra-chunk predecessor cannot fake a 0.0
+            intra[np.triu_indices(e - s, k=0)] = -np.inf
+            maxsim[s:e] = np.maximum(maxsim[s:e], intra.max(axis=1))
+    keep_ordered = maxsim < tau
+    keep = np.empty(m, dtype=bool)
+    keep[order] = keep_ordered
+    return keep
+
+
+def semdedup_survivors(
+    sf_dir: str,
+    nlist: int = 16,
+    eps: float = 0.05,
+    seed: int = 13,
+    iters: int = 10,
+    npart: int | None = None,
+    max_cluster_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Semantic deduplication over the embeddings table (SemDeDup):
+    spherical k-means buckets the corpus by cosine, then each cluster
+    prunes members within cosine >= 1 - eps of a higher-priority
+    member, keeping the low-centroid-similarity representative of
+    every semantic-duplicate group. Returns surviving
+    (vec_id, cluster_id) rows.
+
+    Scale shape: centroids train ONCE on a deterministic head sample
+    on the driver (`spherical_kmeans`, the IVF coarse-quantizer idiom)
+    and broadcast via ray.put — assignment is an embarrassingly
+    parallel map, so the only exchange is ONE keyed repartition of
+    (vec_id, cluster_id, unit vector) rows on cluster_id. The
+    per-cluster prune is chunked-GEMM O(m^2 d / chunk) with fixed
+    reduction order: the distributed result is bit-identical to a
+    single-process reference (pinned in tests).
+
+    Partitioning assumption (documented, guarded LOUDLY): one
+    cluster's members must fit in a worker block — size nlist so
+    corpus_rows / nlist stays under `max_cluster_rows` (the paper runs
+    ~100k clusters at LAION scale for exactly this reason; the m^2
+    prune inside a cluster is the other bound on cluster size).
+
+    Iterative training — not SQL-expressible; invariants pinned in
+    tests (exact-dup collapse, chain semantics, distributed ==
+    single-process reference on the full table).
+    """
+    from ocrs_ray.pipeline import default_npart, enable_hash_shuffle
+
+    if npart is None:
+        npart = default_npart()
+    tau = 1.0 - eps
+    sample = _unit(
+        np.asarray(
+            _stream_head_sample(sf_dir, max(nlist * 64, 512)), dtype=np.float64
+        )
+    )
+    cents = spherical_kmeans(sample, nlist, seed=seed, iters=iters)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cluster_id": pa.array([], type=pa.int64()),
+                        "unit": pa.array([], type=pa.list_(pa.float64())),
+                    }
+                )
+            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            u = _unit(embedding_batch_matrix(batch))
+            # argmax takes the FIRST maximal centroid — lowest cluster
+            # id on ties, matching the reference kernel exactly
+            assign = np.argmax(u @ self.cents.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid, type=pa.int64()),
+                    "cluster_id": pa.array(assign, type=pa.int64()),
+                    "unit": f64_list_array(u),
+                }
+            )
+
+    def prune_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                }
+            )
+        cmat = ray.get(cents_ref)
+        out_v, out_c = [], []
+        for cid, grp in df.groupby("cluster_id", sort=True):
+            if len(grp) > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup cluster {int(cid)} has {len(grp)} members "
+                    f"> max_cluster_rows={max_cluster_rows}: raise nlist "
+                    f"(target corpus_rows/nlist under the cap) or the cap"
+                )
+            vid = grp["vec_id"].to_numpy(dtype=np.int64)
+            unit = np.stack(grp["unit"].to_numpy()).astype(np.float64)
+            srt = np.argsort(vid)  # arrival-order independence
+            vid, unit = vid[srt], unit[srt]
+            order = semdedup_prune_order(unit, cmat[int(cid)], vid)
+            keep = semdedup_prune(unit, order, tau)
+            out_v.append(vid[keep])
+            out_c.append(np.full(int(keep.sum()), int(cid), dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "cluster_id": np.concatenate(out_c),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        Assign,
+        fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["cluster_id"]).map_batches(
+        prune_block, batch_format="pandas", batch_size=None
     )
 
 

@@ -1010,3 +1010,224 @@ def test_snapshot_new_texts_anti_join(ray_session):
     expected = np.sort(ids[(ids % 7 != 0) & (ids % 11 == 0)])
     assert (out["status"] == "changed").all()
     assert np.array_equal(np.sort(out["doc_id"].to_numpy()), expected)
+
+
+def test_prefix_rows_empty_batch_typed():
+    """Kernel: an empty input batch must return TYPED empty columns
+    (zero-row object-dtype breaks Ray's block size estimator — the
+    CLAUDE.md empty-branch rule); token must convert to Arrow string,
+    not null."""
+    import pyarrow as pa
+
+    from ocrs_ray.ops.dedup import _prefix_rows
+
+    for with_hash in (False, True):
+        out = _prefix_rows(
+            pd.DataFrame({"doc_id": [], "text": []}),
+            k=5,
+            threshold=0.8,
+            with_text_hash=with_hash,
+        )
+        assert len(out) == 0
+        t = pa.Table.from_pandas(out)
+        assert t.schema.field("token").type == pa.string()
+        assert t.schema.field("doc_id").type == pa.int64()
+        if with_hash:
+            assert t.schema.field("th0").type == pa.int64()
+
+
+def test_intra_dup_pairs_survive_block_splits(ray_session):
+    """An exact-dup group whose membership rows arrive SPLIT across
+    blocks (Ray re-splits a map task's output once it exceeds
+    target_max_block_size) must still emit every intra pair — the
+    rep_id re-colocation exchange inside _intra_dup_pairs is what
+    guarantees it. Simulated by feeding the group's rows as four
+    separate input blocks."""
+    import ray.data as rd
+
+    from ocrs_ray.ops.dedup import _intra_dup_pairs
+
+    # group rep 100 has members 100..111 spread over 4 blocks; a
+    # second group (rep 500) interleaves to prove groups don't merge
+    frames = []
+    members = np.arange(100, 112, dtype=np.int64)
+    for i in range(4):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "rep_id": np.concatenate(
+                        [np.full(3, 100, dtype=np.int64), [500]]
+                    ),
+                    "doc_id": np.concatenate(
+                        [members[i * 3 : (i + 1) * 3], [500 + i]]
+                    ),
+                }
+            )
+        )
+    ds = rd.from_pandas(frames)
+    assert ds.num_blocks() == 4
+    out = (
+        _intra_dup_pairs(ds, npart=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    import itertools
+
+    want = sorted(itertools.combinations(members.tolist(), 2)) + sorted(
+        itertools.combinations([500, 501, 502, 503], 2)
+    )
+    got = sorted(zip(out["doc_a"], out["doc_b"]))
+    assert got == sorted(want)
+
+
+def test_semdedup_prune_kernel_semantics():
+    """Kernel, no Ray: exact-dup pair collapses to one survivor
+    (tie-break: lower vec_id), near-orthogonal members all survive,
+    and a chain a~b, b~c, a!~c drops BOTH b and c (triangular-max —
+    the released SemDeDup semantics, not greedy-kept)."""
+    from ocrs_ray.ops.similarity import (
+        _unit,
+        semdedup_prune,
+        semdedup_prune_order,
+    )
+
+    cent = _unit(np.array([[1.0, 0.2, 0.0]]))[0]
+    # rows: two exact dups, one orthogonal-ish
+    unit = _unit(
+        np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+    )
+    vid = np.array([10, 7, 3], dtype=np.int64)
+    order = semdedup_prune_order(unit, cent, vid)
+    keep = semdedup_prune(unit, order, tau=0.95)
+    # the two dups have EQUAL centroid sim -> lower vec_id (7) wins
+    assert keep.tolist() == [False, True, True]
+
+    # chain: a~b (0.99), b~c (0.99), a~c (~0.96) with tau between —
+    # use vectors on a small arc so consecutive sims exceed tau but
+    # the endpoints' sim falls below it
+    th = np.array([0.0, 0.20, 0.40])
+    arc = _unit(np.stack([np.cos(th), np.sin(th), np.zeros(3)], axis=1))
+    sims = arc @ arc.T
+    tau = 0.97
+    assert sims[0, 1] > tau and sims[1, 2] > tau and sims[0, 2] < tau
+    cent2 = arc[0]
+    vid2 = np.array([1, 2, 3], dtype=np.int64)
+    order2 = semdedup_prune_order(arc, cent2, vid2)
+    # priority: ascending centroid sim -> endpoint c first, then b, a
+    assert order2.tolist() == [2, 1, 0]
+    keep2 = semdedup_prune(arc, order2, tau)
+    # c kept (first); b dropped (sim to c > tau); a dropped too:
+    # sim(a, b) > tau and b is EARLIER in order even though dropped
+    assert keep2.tolist() == [False, False, True]
+
+    # arrival-order independence: shuffle rows, same survivors by id
+    perm = np.array([2, 0, 1])
+    order3 = semdedup_prune_order(arc[perm], cent2, vid2[perm])
+    keep3 = semdedup_prune(arc[perm], order3, tau)
+    assert set(vid2[perm][keep3]) == set(vid2[keep2])
+
+
+def test_semdedup_survivors_matches_reference(ray_session):
+    """Distributed semdedup == single-process numpy reference over the
+    full sf0.001 embeddings table: centroids train driver-side (shared
+    code path), so assignment + prune must agree EXACTLY."""
+    from ocrs_ray.ops.similarity import (
+        _stream_head_sample,
+        _unit,
+        load_embedding_matrix,
+        semdedup_prune,
+        semdedup_prune_order,
+        semdedup_survivors,
+        spherical_kmeans,
+    )
+
+    # the synthetic embeddings are near-random (max pairwise cosine
+    # 0.479) — prune at tau=0.35 so the test exercises real pruning;
+    # realistic-eps behavior on planted duplicates is the next test
+    nlist, eps, seed = 8, 0.65, 13
+    out = (
+        semdedup_survivors(SF, nlist=nlist, eps=eps, seed=seed)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    sample = _unit(
+        np.asarray(_stream_head_sample(SF, max(nlist * 64, 512)), dtype=np.float64)
+    )
+    cents = spherical_kmeans(sample, nlist, seed=seed, iters=10)
+    ids, mat = load_embedding_matrix(SF)
+    unit = _unit(mat.astype(np.float64))
+    assign = np.argmax(unit @ cents.T, axis=1)
+    want_v, want_c = [], []
+    for cid in np.unique(assign):
+        sel = assign == cid
+        vid, u = ids[sel], unit[sel]
+        srt = np.argsort(vid)
+        vid, u = vid[srt], u[srt]
+        order = semdedup_prune_order(u, cents[cid], vid)
+        keep = semdedup_prune(u, order, 1.0 - eps)
+        want_v.append(vid[keep])
+        want_c.append(np.full(int(keep.sum()), cid, dtype=np.int64))
+    want = (
+        pd.DataFrame(
+            {
+                "vec_id": np.concatenate(want_v),
+                "cluster_id": np.concatenate(want_c),
+            }
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # some rows must actually be pruned for the test to mean anything
+    assert len(want) < len(ids)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_semdedup_survivors_planted_duplicates(ray_session, tmp_path):
+    """E2E at realistic eps on a crafted table: 3 exact copies + 1
+    tiny-perturbation near-dup of one base vector collapse to ONE
+    survivor (the lowest vec_id among the equal-centroid-sim copies);
+    all well-separated vectors survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.similarity import semdedup_survivors
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    dup_grp = np.stack(
+        [base[0], base[0], base[0], base[0] + 0.001 * rng.normal(size=16)]
+    )
+    mat = np.concatenate([dup_grp, base[1:]])
+    n = len(mat)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+        row_group_size=7,  # group split across row groups/blocks
+    )
+    out = semdedup_survivors(
+        str(tmp_path), nlist=4, eps=0.05, seed=13
+    ).to_pandas()
+    kept = set(out["vec_id"])
+    # exactly one survivor from the 4-member dup group
+    assert len(kept & {0, 1, 2, 3}) == 1
+    # every base vector (random gaussians, mutually far) survives
+    assert kept >= set(range(4, n))
+    assert len(out) == n - 3
