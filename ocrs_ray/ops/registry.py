@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": analytics.embedding_clusters,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "semdedup_survivors": similarity.semdedup_survivors,
+        "docs_semdedup_survivors": similarity.docs_semdedup_survivors,
         "events_user_lag_diff": analytics.events_user_lag_diff,
         "events_user_first_last": analytics.events_user_first_last,
         "events_user_moving_sum": analytics.events_user_moving_sum,

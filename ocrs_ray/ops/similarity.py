@@ -33,6 +33,7 @@ __all__ = [
     "spherical_kmeans",
     "kmeans_embeddings",
     "semdedup_survivors",
+    "docs_semdedup_survivors",
     "semdedup_prune",
     "semdedup_prune_order",
     "embedding_label_centroid",
@@ -53,6 +54,13 @@ def embedding_batch_matrix(tbl: "pa.Table") -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if not hasattr(col, "flatten"):
+        # Ray's ArrowTensorArray (a pandas column of fixed-size numpy
+        # vectors converts to the tensor extension type, not
+        # list<float>): to_numpy gives the dense (n, d) block directly
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(n, -1)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
@@ -863,6 +871,93 @@ def semdedup_prune(
     return keep
 
 
+def _semdedup_core(
+    ds: rd.Dataset,
+    cents: np.ndarray,
+    tau: float,
+    npart: int,
+    max_cluster_rows: int,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Shared SemDeDup execution: assign each (id_col, embedding) row
+    to its nearest cosine centroid (broadcast k x d matrix), ONE keyed
+    repartition on cluster_id, per-cluster triangular prune. Returns
+    surviving (id_col, cluster_id) rows."""
+    from ocrs_ray.pipeline import enable_hash_shuffle
+
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "cluster_id": pa.array([], type=pa.int64()),
+                        "unit": pa.array([], type=pa.list_(pa.float64())),
+                    }
+                )
+            vid = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            u = _unit(embedding_batch_matrix(batch))
+            # argmax takes the FIRST maximal centroid — lowest cluster
+            # id on ties, matching the reference kernel exactly
+            assign = np.argmax(u @ self.cents.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(vid, type=pa.int64()),
+                    "cluster_id": pa.array(assign, type=pa.int64()),
+                    "unit": f64_list_array(u),
+                }
+            )
+
+    def prune_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                }
+            )
+        cmat = ray.get(cents_ref)
+        out_v, out_c = [], []
+        for cid, grp in df.groupby("cluster_id", sort=True):
+            if len(grp) > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup cluster {int(cid)} has {len(grp)} members "
+                    f"> max_cluster_rows={max_cluster_rows}: raise nlist "
+                    f"(target corpus_rows/nlist under the cap) or the cap"
+                )
+            vid = grp[id_col].to_numpy(dtype=np.int64)
+            unit = np.stack(grp["unit"].to_numpy()).astype(np.float64)
+            srt = np.argsort(vid)  # arrival-order independence
+            vid, unit = vid[srt], unit[srt]
+            order = semdedup_prune_order(unit, cmat[int(cid)], vid)
+            keep = semdedup_prune(unit, order, tau)
+            out_v.append(vid[keep])
+            out_c.append(np.full(int(keep.sum()), int(cid), dtype=np.int64))
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_v),
+                "cluster_id": np.concatenate(out_c),
+            }
+        )
+
+    ds = ds.map_batches(
+        Assign,
+        fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    enable_hash_shuffle(ds)
+    return ds.repartition(npart, keys=["cluster_id"]).map_batches(
+        prune_block, batch_format="pandas", batch_size=None
+    )
+
+
 def semdedup_survivors(
     sf_dir: str,
     nlist: int = 16,
@@ -896,91 +991,81 @@ def semdedup_survivors(
 
     Iterative training — not SQL-expressible; invariants pinned in
     tests (exact-dup collapse, chain semantics, distributed ==
-    single-process reference on the full table).
+    single-process reference on the full table). Scale evidence:
+    tools/semdedup_scale_proof.py (1M rows, 82k rows/s, 99.6% planted-
+    group collapse).
     """
-    from ocrs_ray.pipeline import default_npart, enable_hash_shuffle
+    from ocrs_ray.pipeline import default_npart
 
     if npart is None:
         npart = default_npart()
-    tau = 1.0 - eps
     sample = _unit(
         np.asarray(
             _stream_head_sample(sf_dir, max(nlist * 64, 512)), dtype=np.float64
         )
     )
     cents = spherical_kmeans(sample, nlist, seed=seed, iters=iters)
-    cents_ref = ray.put(cents)
-
-    class Assign:
-        def __init__(self, ref):
-            self.cents = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "cluster_id": pa.array([], type=pa.int64()),
-                        "unit": pa.array([], type=pa.list_(pa.float64())),
-                    }
-                )
-            vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            u = _unit(embedding_batch_matrix(batch))
-            # argmax takes the FIRST maximal centroid — lowest cluster
-            # id on ties, matching the reference kernel exactly
-            assign = np.argmax(u @ self.cents.T, axis=1).astype(np.int64)
-            return pa.table(
-                {
-                    "vec_id": pa.array(vid, type=pa.int64()),
-                    "cluster_id": pa.array(assign, type=pa.int64()),
-                    "unit": f64_list_array(u),
-                }
-            )
-
-    def prune_block(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series([], dtype="int64"),
-                    "cluster_id": pd.Series([], dtype="int64"),
-                }
-            )
-        cmat = ray.get(cents_ref)
-        out_v, out_c = [], []
-        for cid, grp in df.groupby("cluster_id", sort=True):
-            if len(grp) > max_cluster_rows:
-                raise ValueError(
-                    f"semdedup cluster {int(cid)} has {len(grp)} members "
-                    f"> max_cluster_rows={max_cluster_rows}: raise nlist "
-                    f"(target corpus_rows/nlist under the cap) or the cap"
-                )
-            vid = grp["vec_id"].to_numpy(dtype=np.int64)
-            unit = np.stack(grp["unit"].to_numpy()).astype(np.float64)
-            srt = np.argsort(vid)  # arrival-order independence
-            vid, unit = vid[srt], unit[srt]
-            order = semdedup_prune_order(unit, cmat[int(cid)], vid)
-            keep = semdedup_prune(unit, order, tau)
-            out_v.append(vid[keep])
-            out_c.append(np.full(int(keep.sum()), int(cid), dtype=np.int64))
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(out_v),
-                "cluster_id": np.concatenate(out_c),
-            }
-        )
-
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(
-        Assign,
-        fn_constructor_args=(cents_ref,),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 4),
     )
-    enable_hash_shuffle(ds)
-    return ds.repartition(npart, keys=["cluster_id"]).map_batches(
-        prune_block, batch_format="pandas", batch_size=None
+    return _semdedup_core(
+        ds, cents, 1.0 - eps, npart, max_cluster_rows, id_col="vec_id"
+    )
+
+
+def docs_semdedup_survivors(
+    sf_dir: str,
+    dim: int = 64,
+    nlist: int = 16,
+    eps: float = 0.05,
+    seed: int = 13,
+    iters: int = 10,
+    npart: int | None = None,
+    max_cluster_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """SemDeDup applied to the DOCUMENTS table end-to-end — the
+    real-world composition: embed every document with the stateful
+    inference actor pool (`HashingEmbedder`, the real-encoder
+    plumbing), then semantic-dedup the embedding space. Returns
+    surviving (doc_id, cluster_id) rows.
+
+    Centroid training embeds a deterministic head sample of documents
+    DRIVER-side with the same kernel the pool runs — embed + assign +
+    prune all share one code path with `semdedup_survivors`, so the
+    distributed result is bit-identical to a single-process reference
+    (pinned in tests). One keyed exchange total; embeddings never hit
+    storage (they flow pool -> shuffle as list<float> columns)."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.pipeline import cluster_ncpu, default_npart
+
+    if npart is None:
+        npart = default_npart()
+    # head-sample documents -> driver-side embed with the shared kernel
+    want = max(nlist * 64, 512)
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    embedder = HashingEmbedder(dim)
+    sample_rows: list[np.ndarray] = []
+    for rb in pf.iter_batches(batch_size=want, columns=["text"]):
+        sample_rows.extend(
+            embedder.embed_one(t) for t in rb.column("text").to_pylist()
+        )
+        if len(sample_rows) >= want:
+            break
+    sample = _unit(np.asarray(sample_rows[:want], dtype=np.float64))
+    cents = spherical_kmeans(sample, nlist, seed=seed, iters=iters)
+
+    pool = max(1, min(4, cluster_ncpu() - 2))
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas",
+        concurrency=(1, pool),
+    )
+    return _semdedup_core(
+        ds, cents, 1.0 - eps, npart, max_cluster_rows, id_col="doc_id"
     )
 
 

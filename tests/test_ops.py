@@ -1231,3 +1231,62 @@ def test_semdedup_survivors_planted_duplicates(ray_session, tmp_path):
     # every base vector (random gaussians, mutually far) survives
     assert kept >= set(range(4, n))
     assert len(out) == n - 3
+
+
+def test_docs_semdedup_survivors_matches_reference(ray_session):
+    """The documents-table composition (hashing-embed pool -> semantic
+    dedup) == single-process reference using the SAME embed/train/
+    prune kernels over sf0.001."""
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.similarity import (
+        HashingEmbedder,
+        _unit,
+        docs_semdedup_survivors,
+        semdedup_prune,
+        semdedup_prune_order,
+        spherical_kmeans,
+    )
+
+    dim, nlist, eps, seed = 64, 8, 0.5, 13
+    out = (
+        docs_semdedup_survivors(SF, dim=dim, nlist=nlist, eps=eps, seed=seed)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(docs.column("doc_id").to_pylist(), dtype=np.int64)
+    emb = HashingEmbedder(dim)
+    mat = np.asarray(
+        [emb.embed_one(t) for t in docs.column("text").to_pylist()],
+        dtype=np.float64,
+    )
+    want = max(nlist * 64, 512)
+    cents = spherical_kmeans(_unit(mat[:want]), nlist, seed=seed, iters=10)
+    unit = _unit(mat)
+    assign = np.argmax(unit @ cents.T, axis=1)
+    want_v, want_c = [], []
+    for cid in np.unique(assign):
+        sel = assign == cid
+        vid, u = ids[sel], unit[sel]
+        srt = np.argsort(vid)
+        vid, u = vid[srt], u[srt]
+        order = semdedup_prune_order(u, cents[cid], vid)
+        keep = semdedup_prune(u, order, 1.0 - eps)
+        want_v.append(vid[keep])
+        want_c.append(np.full(int(keep.sum()), cid, dtype=np.int64))
+    ref = (
+        pd.DataFrame(
+            {
+                "doc_id": np.concatenate(want_v),
+                "cluster_id": np.concatenate(want_c),
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the corpus HAS textual near-dups at cosine >= 0.5 — real pruning
+    assert len(ref) < len(ids)
+    pd.testing.assert_frame_equal(out, ref)
