@@ -689,3 +689,49 @@ def test_pdf_dehyphenation_roundtrip(text):
         else:
             parts.append(rt)
     assert "".join(parts) == text
+
+
+@given(
+    st.integers(min_value=1, max_value=60),  # members
+    st.integers(min_value=2, max_value=16),  # dim
+    st.floats(min_value=0.0, max_value=1.0),  # eps
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+@settings(max_examples=150, deadline=None)
+def test_semdedup_prune_properties(m, dim, eps, seed):
+    """SemDeDup prune kernel invariants on random unit vectors:
+    (1) CHUNK-SIZE INVARIANCE — the chunked-GEMM implementation must
+    return the identical keep mask at chunk=1, 3, and 2048 (pins the
+    earlier-rows/intra-chunk composition exactly);
+    (2) the highest-priority member is always kept;
+    (3) tau above the max pairwise cosine keeps everything;
+    (4) tau at/below the min keeps ONLY the first-in-order member
+    (triangular semantics: every later member has some predecessor at
+    >= tau)."""
+    import numpy as np
+
+    from ocrs_ray.ops.similarity import (
+        _unit,
+        semdedup_prune,
+        semdedup_prune_order,
+    )
+
+    rng = np.random.default_rng(seed)
+    unit = _unit(rng.normal(size=(m, dim)))
+    vid = rng.permutation(m).astype(np.int64)
+    cent = _unit(rng.normal(size=(1, dim)))[0]
+    order = semdedup_prune_order(unit, cent, vid)
+    tau = 1.0 - eps
+
+    ref = semdedup_prune(unit, order, tau, chunk=2048)
+    for chunk in (1, 3):
+        assert semdedup_prune(unit, order, tau, chunk=chunk).tolist() == ref.tolist()
+
+    assert ref[order[0]]  # first-in-order always kept
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    if m > 1:
+        if tau > sims.max():
+            assert ref.all()
+        if tau <= sims.min():
+            assert ref.sum() == 1 and ref[order[0]]
