@@ -1290,3 +1290,33 @@ def test_docs_semdedup_survivors_matches_reference(ray_session):
     # the corpus HAS textual near-dups at cosine >= 0.5 — real pruning
     assert len(ref) < len(ids)
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_semdedup_max_cluster_rows_guard(ray_session, tmp_path):
+    """The partitioning-assumption guard raises LOUDLY when a cluster
+    exceeds max_cluster_rows (instead of silently attempting an m^2
+    prune that cannot scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_ray.ops.similarity import semdedup_survivors
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 8))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(40, dtype=np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup_survivors(
+            str(tmp_path), nlist=2, eps=0.05, max_cluster_rows=5
+        ).count()
